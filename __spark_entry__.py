@@ -3,8 +3,15 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query here certifies operators from SURVEY.md §2 (the citation in
+each helper names the operator IDs). Determinism conventions (SURVEY
+§7.4): timestamps are compared as epoch micro/millis or 'yyyy-MM-dd'
+strings (session TZ pinned to UTC); money aggregates go through exact
+DECIMAL(18,4) sums cast back to double; stddev/ratios are rounded; every
+top-k has a total order with tie-breaks; every computed column is
+aliased identically in Spark and oracle SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +19,690 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from databricks_flight_etl_spark.session import tune
+from databricks_flight_etl_spark.sources import load_table
+from databricks_flight_etl_spark.functions import (
+    derive_departure_timestamp,
+    hhmm_encode,
+    union_all,
+)
+from databricks_flight_etl_spark.operators import (
+    accuracy,
+    completeness,
+    relational,
+    timeliness,
+    uniqueness,
+    validity,
+)
+from databricks_flight_etl_spark.operators.text import (
+    EN_STOPWORDS,
+    lang_id,
+    text_quality,
+    token_top_k,
+)
+from databricks_flight_etl_spark.operators.dedup import exact_dedup_groups
+from databricks_flight_etl_spark.operators.similarity import cosine_topk
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts projected to epoch microseconds (cross-engine-stable)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _events_dup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ∪ (events where event_id % 97 = 0): a deterministic table
+    WITH duplicates, since the raw synthetic events have none — makes the
+    uniqueness checks (A4/A5) non-trivial."""
+    ev = _events_us(spark, sf_dir)
+    return ev.unionByName(ev.filter(F.col("event_id") % 97 == 0))
+
+
+_EVENTS_DUP_SQL = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events
+    UNION ALL
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events WHERE event_id % 97 = 0
+"""
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on sf0.001 (FIXTURES.md §B): HHMM encode →
+    reference Q7 decode → compound-key dedup → per-day counts with a
+    calendar-spine left join (the reference notebook's backbone:
+    S7→Q7→Q4→Q6 in one plan)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events")
+    enc = (
+        ev.withColumn("DepTime", hhmm_encode(F.col("ts")))
+        .withColumn("Year", F.year("ts"))
+        .withColumn("Month", F.month("ts"))
+        .withColumn("DayofMonth", F.dayofmonth("ts"))
+    )
+    dec = derive_departure_timestamp(enc)
+    dd = uniqueness.dedup(dec, ["user_id", "event_type", "DepTime_Timestamp"])
+    return timeliness.day_coverage(dd, "DepTime_Timestamp")
 
+
+# ---------------------------------------------------------------------------
+# §2 harness queries (Spark side)
+
+def q_scan_project(spark, sf_dir):
+    """S5/S7/P1/P5: parquet scan + projection + range predicate —
+    Catalyst pushes both into the scan (PushedFilters/ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+def q_filter_range(spark, sf_dir):
+    """P5 range predicates + equality (reference NB:325–352 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("value") >= 10) & (F.col("value") <= 100)
+        & (F.col("event_type") == "click")
+    ).select("event_id", "value")
+
+
+def q_topk(spark, sf_dir):
+    """P3/O2: orderBy+limit → TakeOrderedAndProject; total order via
+    (value desc, event_id asc) tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.top_k(
+        ev, [F.desc("value"), F.asc("event_id")], 5
+    ).select("event_id", "value", "event_type")
+
+
+def q_nonnull_counts(spark, sf_dir):
+    """A1/F13 (Q1a): per-column non-null counts, single-pass agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = completeness.nonnull_counts(li)
+    return wide.select(*[F.col(c).alias(f"{c}_nn") for c in _LINEITEM_COLS])
+
+
+def _events_with_nulls(spark, sf_dir):
+    """events with deterministically injected nulls (raw table has none)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 1.0, F.lit(None)).otherwise(F.col("value")).alias("value_n"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("type_n"),
+        F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(F.col("user_id")).alias("user_n"),
+    )
+
+
+_EVENTS_NULLS_SQL = """
+    SELECT event_id,
+           CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n,
+           nullif(event_type, 'view') AS type_n,
+           CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS user_n
+    FROM events
+"""
+
+
+def q_null_profile(spark, sf_dir):
+    """A2/P7 (Q1b): long-form null profile (column, n_null, null_ratio)."""
+    return completeness.null_profile(
+        _events_with_nulls(spark, sf_dir),
+        ["event_id", "value_n", "type_n", "user_n"],
+    )
+
+
+def q_drop_allnull_cols(spark, sf_dir):
+    """P2 + Q1 drop: a column with zero non-nulls is dropped (the
+    TailNum behavior, DBC[11]); certified via schema compare — the
+    oracle never has the dead column."""
+    ev = _events_us(spark, sf_dir).withColumn(
+        "dead_col", F.lit(None).cast("int")
+    )
+    narrowed, dropped = completeness.drop_allnull_columns(ev)
+    assert dropped == ["dead_col"], dropped
+    return narrowed
+
+
+def q_groupby_count(spark, sf_dir):
+    """A3/O1 (Q3): value-frequency table for a string column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_dup_full(spark, sf_dir):
+    """A4/P6 (Q4): group-by-ALL-columns duplicate groups (count>1)."""
+    return uniqueness.duplicate_groups(_events_dup_base(spark, sf_dir))
+
+
+def q_dropduplicates(spark, sf_dir):
+    """A5 (Q4): dropDuplicates() over a table with known duplicates."""
+    return uniqueness.dedup(_events_dup_base(spark, sf_dir))
+
+
+def q_compound_key_dups(spark, sf_dir):
+    """A6 (Q4): compound-key duplicate groups on
+    (user_id, event_type, minute-truncated ts) — the reference's
+    [Origin, UniqueCarrier, FlightNum, DepTime_Timestamp] analogue."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.date_trunc("minute", F.col("ts"))).alias("minute_ms"),
+    )
+    return uniqueness.key_duplicate_groups(
+        ev, ["user_id", "event_type", "minute_ms"]
+    )
+
+
+def q_summary_stats(spark, sf_dir):
+    """A7 (Q2): typed describe() replacement — count/avg/std/min/max."""
+    li = _t(spark, sf_dir, "lineitem")
+    return accuracy.summary_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """Q2/D2 replacement: in-engine 20-bin equi-width histogram."""
+    li = _t(spark, sf_dir, "lineitem")
+    return accuracy.histogram(li, "l_extendedprice", nbins=20)
+
+
+def q_minmax_dates(spark, sf_dir):
+    """A8 (Q6): global min/max over a derived date."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias("min_day"),
+        F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("max_day"),
+    )
+
+
+def q_events_per_day(spark, sf_dir):
+    """A10/O1 (Q6a): per-day counts over the event timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    counts = timeliness.per_period_counts(ev, "ts", "day")
+    return counts.select(
+        F.date_format("period", "yyyy-MM-dd").alias("day"), "n"
+    )
+
+
+def q_missing_days(spark, sf_dir):
+    """J1/G1/G2/G3/F10–F12/F14 (Q6b): calendar spine ⟕ per-day counts
+    with zero-fill — full coverage table (subsumes the missing-day
+    filter; zero-count days are the 'missing' ones)."""
+    ev = _t(spark, sf_dir, "events")
+    cov = timeliness.day_coverage(ev, "ts")
+    return cov.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_events"
+    )
+
+
+def q_derive_timestamp(spark, sf_dir):
+    """Q7/F1–F8: the HHMM decode with exact reference semantics,
+    exercised via hour*100+minute re-encode of the event timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    enc = ev.select(
+        "event_id",
+        hhmm_encode(F.col("ts")).alias("DepTime"),
+        F.year("ts").alias("Year"),
+        F.month("ts").alias("Month"),
+        F.dayofmonth("ts").alias("DayofMonth"),
+    )
+    dec = derive_departure_timestamp(enc)
+    return dec.select(
+        "event_id",
+        F.col("DepTime").alias("dep_int"),
+        F.col("DepTime_Hour").alias("dep_hour"),
+        F.col("DepTime_Min").alias("dep_min"),
+        F.unix_millis("DepTime_Timestamp").alias("dep_ts_ms"),
+    )
+
+
+def q_validity_checks(spark, sf_dir):
+    """Q5/P4/F9: 10-rule validity report (rule, n_fail) in ONE scan;
+    nulls pass silently (three-valued ~cond); fixed reference year
+    (no current_date)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_n",
+        F.when(F.col("value") < 1.0, F.lit(None)).otherwise(F.col("value")),
+    )
+    c = F.col
+    rules = [
+        validity.Rule("r01_year_lt_2026", F.year("ts") < 2026),
+        validity.Rule("r02_month_range", (F.month("ts") >= 1) & (F.month("ts") <= 12)),
+        validity.Rule("r03_day_range", (F.dayofmonth("ts") >= 1) & (F.dayofmonth("ts") <= 31)),
+        validity.Rule("r04_dow_range", (F.dayofweek("ts") >= 1) & (F.dayofweek("ts") <= 7)),
+        validity.Rule(
+            "r05_hhmm_range",
+            ((F.hour("ts") * 100 + F.minute("ts")) >= 0)
+            & ((F.hour("ts") * 100 + F.minute("ts")) <= 2400),
+        ),
+        validity.Rule("r06_value_cap", c("value") <= 300.0),
+        validity.Rule("r07_value_null_pass", c("value_n") >= 1.0),
+        validity.Rule("r08_user_pos", c("user_id") >= 1),
+        validity.Rule(
+            "r09_known_type",
+            c("event_type").isin("click", "view", "purchase", "signup", "error"),
+        ),
+        validity.Rule("r10_props_nonempty", F.length("props") > 0),
+    ]
+    return validity.check_rules(ev, rules)
+
+
+def q_union_all(spark, sf_dir):
+    """U1: bag-semantics UNION ALL of two deterministic halves."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_orderpriority",
+    )
+    even = base.filter(F.col("o_orderkey") % 2 == 0).withColumn("src", F.lit("even"))
+    odd = base.filter(F.col("o_orderkey") % 2 == 1).withColumn("src", F.lit("odd"))
+    return union_all([even, odd])
+
+
+def q_join_inner(spark, sf_dir):
+    """X5/J-family: inner equi-join lineitem⋈orders + grouped revenue.
+    Money through exact DECIMAL sum (engine-order-independent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+def q_window_topk_per_group(spark, sf_dir):
+    """Extension (window functions — absent in the reference, §2.11):
+    top-3 orders per priority class by totalprice, total order."""
+    o = _t(spark, sf_dir, "orders")
+    top = relational.top_k_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return top.select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+# --- LLM-data-pipeline extensions (SURVEY §2.11 X1–X4) ---
+
+def q_token_counts(spark, sf_dir):
+    """X4: whitespace token pipeline → global top-20 token frequencies."""
+    docs = _t(spark, sf_dir, "documents")
+    return token_top_k(docs, "text", k=20)
+
+
+def q_text_quality(spark, sf_dir):
+    """X4: per-document quality metrics (token count, avg token length,
+    stopword ratio) — all built-in array functions, no UDFs."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_quality(docs, "text", id_col="doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    """X4: stopword-overlap language guess (en/es/de/fr) with fixed
+    argmax precedence."""
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "text", id_col="doc_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """X1 exact dedup: md5 of normalized text → (hash, keep_id, n).
+    Run over documents ∪ re-keyed sample so duplicates exist."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return exact_dedup_groups(docs.unionByName(clones), "text", "doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    """X4 document fingerprint: 64-bit (16-hex) sha256 prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("fp")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """X2 similarity search: brute-force cosine top-10 against the
+    vec_id=0 probe (deterministic tie-break on vec_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, probe_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_scan_project": q_scan_project,
+        "q_filter_range": q_filter_range,
+        "q_topk": q_topk,
+        "q_nonnull_counts": q_nonnull_counts,
+        "q_null_profile": q_null_profile,
+        "q_drop_allnull_cols": q_drop_allnull_cols,
+        "q_groupby_count": q_groupby_count,
+        "q_dup_full": q_dup_full,
+        "q_dropduplicates": q_dropduplicates,
+        "q_compound_key_dups": q_compound_key_dups,
+        "q_summary_stats": q_summary_stats,
+        "q_histogram": q_histogram,
+        "q_minmax_dates": q_minmax_dates,
+        "q_events_per_day": q_events_per_day,
+        "q_missing_days": q_missing_days,
+        "q_derive_timestamp": q_derive_timestamp,
+        "q_validity_checks": q_validity_checks,
+        "q_union_all": q_union_all,
+        "q_join_inner": q_join_inner,
+        "q_window_topk_per_group": q_window_topk_per_group,
+        "q_token_counts": q_token_counts,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_dedup_exact": q_dedup_exact,
+        "q_fingerprint": q_fingerprint,
+        "q_cosine_topk": q_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return {
+        "q_scan_project": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+            FROM lineitem
+            WHERE l_quantity >= 10 AND l_quantity <= 20
+        """,
+        "q_filter_range": """
+            SELECT event_id, value FROM events
+            WHERE value >= 10 AND value <= 100 AND event_type = 'click'
+        """,
+        "q_topk": """
+            SELECT event_id, value, event_type FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 5
+        """,
+        "q_nonnull_counts": """
+            SELECT """ + ", ".join(
+            f"sum(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS {c}_nn"
+            for c in _LINEITEM_COLS
+        ) + """ FROM lineitem
+        """,
+        "q_null_profile": f"""
+            WITH t AS ({_EVENTS_NULLS_SQL}),
+            tot AS (SELECT count(*) AS total FROM t)
+            SELECT column_name AS "column", n_null,
+                   round(n_null / (SELECT total FROM tot), 6) AS null_ratio
+            FROM (
+                SELECT 'event_id' AS column_name,
+                       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null FROM t
+                UNION ALL
+                SELECT 'value_n', sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) FROM t
+                UNION ALL
+                SELECT 'type_n', sum(CASE WHEN type_n IS NULL THEN 1 ELSE 0 END) FROM t
+                UNION ALL
+                SELECT 'user_n', sum(CASE WHEN user_n IS NULL THEN 1 ELSE 0 END) FROM t
+            )
+        """,
+        "q_drop_allnull_cols": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                   value, props
+            FROM events
+        """,
+        "q_groupby_count": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+        """,
+        "q_dup_full": f"""
+            SELECT event_id, ts_us, user_id, event_type, value, props,
+                   count(*) AS n
+            FROM ({_EVENTS_DUP_SQL})
+            GROUP BY ALL HAVING count(*) > 1
+        """,
+        "q_dropduplicates": f"""
+            SELECT DISTINCT event_id, ts_us, user_id, event_type, value, props
+            FROM ({_EVENTS_DUP_SQL})
+        """,
+        "q_compound_key_dups": """
+            SELECT user_id, event_type,
+                   epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1, 2, 3 HAVING count(*) > 1
+        """,
+        "q_summary_stats": """
+            SELECT """ + ", ".join(
+            f"count({c}) AS {c}_count, "
+            f"CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / count({c}) AS {c}_avg, "
+            f"round(stddev_samp({c}), 4) AS {c}_std, "
+            f"min({c}) AS {c}_min, max({c}) AS {c}_max"
+            for c in ["l_quantity", "l_extendedprice", "l_discount"]
+        ) + """ FROM lineitem
+        """,
+        "q_histogram": """
+            WITH s AS (SELECT min(l_extendedprice) AS mn,
+                              max(l_extendedprice) AS mx FROM lineitem)
+            SELECT CASE WHEN mx = mn THEN 0
+                        ELSE CAST(least(floor((l_extendedprice - mn) * 20 / (mx - mn)), 19) AS INT)
+                   END AS bucket,
+                   count(*) AS n
+            FROM lineitem, s
+            GROUP BY 1
+        """,
+        "q_minmax_dates": """
+            SELECT strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS min_day,
+                   strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS max_day
+            FROM events
+        """,
+        "q_events_per_day": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q_missing_days": """
+            WITH b AS (SELECT CAST(min(ts) AS DATE) AS mn,
+                              CAST(max(ts) AS DATE) AS mx FROM events),
+            spine AS (
+                SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+                FROM b
+            ),
+            cnts AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c
+                     FROM events GROUP BY 1)
+            SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+                   COALESCE(cnts.c, 0) AS n_events
+            FROM spine LEFT JOIN cnts ON spine.d = cnts.d
+        """,
+        "q_derive_timestamp": """
+            WITH t AS (
+                SELECT event_id,
+                       hour(ts) * 100 + minute(ts) AS dep,
+                       year(ts) AS y, month(ts) AS m, day(ts) AS d
+                FROM events
+            )
+            SELECT event_id, dep AS dep_int,
+                   CASE WHEN substr(CAST(dep AS VARCHAR), 1, 2) = '24'
+                             OR length(CAST(dep AS VARCHAR)) < 3 THEN '00'
+                        WHEN length(CAST(dep AS VARCHAR)) = 3
+                             THEN substr(CAST(dep AS VARCHAR), 1, 1)
+                        ELSE substr(CAST(dep AS VARCHAR), 1, 2)
+                   END AS dep_hour,
+                   right(CAST(dep AS VARCHAR), 2) AS dep_min,
+                   epoch_ms(strptime(
+                       CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(d AS VARCHAR), 2, '0') || ' '
+                       || lpad(CASE WHEN substr(CAST(dep AS VARCHAR), 1, 2) = '24'
+                                         OR length(CAST(dep AS VARCHAR)) < 3 THEN '00'
+                                    WHEN length(CAST(dep AS VARCHAR)) = 3
+                                         THEN substr(CAST(dep AS VARCHAR), 1, 1)
+                                    ELSE substr(CAST(dep AS VARCHAR), 1, 2)
+                               END, 2, '0')
+                       || ':' || lpad(right(CAST(dep AS VARCHAR), 2), 2, '0'),
+                       '%Y-%m-%d %H:%M')) AS dep_ts_ms
+            FROM t
+        """,
+        "q_validity_checks": """
+            WITH t AS (
+                SELECT *,
+                       CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n
+                FROM events
+            ),
+            w AS (
+                SELECT
+                  sum(CASE WHEN NOT (year(ts) < 2026) THEN 1 ELSE 0 END) AS r01,
+                  sum(CASE WHEN NOT (month(ts) >= 1 AND month(ts) <= 12) THEN 1 ELSE 0 END) AS r02,
+                  sum(CASE WHEN NOT (day(ts) >= 1 AND day(ts) <= 31) THEN 1 ELSE 0 END) AS r03,
+                  sum(CASE WHEN NOT (dayofweek(ts) + 1 >= 1 AND dayofweek(ts) + 1 <= 7) THEN 1 ELSE 0 END) AS r04,
+                  sum(CASE WHEN NOT (hour(ts) * 100 + minute(ts) >= 0 AND hour(ts) * 100 + minute(ts) <= 2400) THEN 1 ELSE 0 END) AS r05,
+                  sum(CASE WHEN NOT (value <= 300.0) THEN 1 ELSE 0 END) AS r06,
+                  sum(CASE WHEN NOT (value_n >= 1.0) THEN 1 ELSE 0 END) AS r07,
+                  sum(CASE WHEN NOT (user_id >= 1) THEN 1 ELSE 0 END) AS r08,
+                  sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','error')) THEN 1 ELSE 0 END) AS r09,
+                  sum(CASE WHEN NOT (length(props) > 0) THEN 1 ELSE 0 END) AS r10
+                FROM t
+            )
+            SELECT 'r01_year_lt_2026' AS rule, r01 AS n_fail FROM w
+            UNION ALL SELECT 'r02_month_range', r02 FROM w
+            UNION ALL SELECT 'r03_day_range', r03 FROM w
+            UNION ALL SELECT 'r04_dow_range', r04 FROM w
+            UNION ALL SELECT 'r05_hhmm_range', r05 FROM w
+            UNION ALL SELECT 'r06_value_cap', r06 FROM w
+            UNION ALL SELECT 'r07_value_null_pass', r07 FROM w
+            UNION ALL SELECT 'r08_user_pos', r08 FROM w
+            UNION ALL SELECT 'r09_known_type', r09 FROM w
+            UNION ALL SELECT 'r10_props_nonempty', r10 FROM w
+        """,
+        "q_union_all": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                   o_orderpriority, 'even' AS src
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                   o_orderpriority, 'odd' AS src
+            FROM orders WHERE o_orderkey % 2 = 1
+        """,
+        "q_join_inner": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "q_window_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS INT) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "q_token_counts": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) WHERE token <> ''
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "q_text_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(list_sum(list_transform(toks, x -> length(x)))
+                         / len(toks), 6) AS avg_token_len,
+                   round(len(list_filter(toks, x -> x IN ({en_list})))
+                         / len(toks), 6) AS stopword_ratio
+            FROM t
+        """,
+        "q_lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS s_en,
+                  len(list_filter(toks, x -> x IN ('el','la','de','y','en','es','los','por','con','del'))) AS s_es,
+                  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','den','im','ein'))) AS s_de,
+                  len(list_filter(toks, x -> x IN ('le','la','de','et','est','les','un','une','dans','pour'))) AS s_fr
+                FROM t
+            )
+            SELECT doc_id, s_en, s_es, s_de, s_fr,
+                   CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM s
+        """,
+        "q_dedup_exact": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 50 = 0
+            )
+            SELECT md5(lower(trim(text))) AS text_hash,
+                   min(doc_id) AS keep_id, count(*) AS n
+            FROM base GROUP BY 1
+        """,
+        "q_fingerprint": """
+            SELECT doc_id, substr(sha256(text), 1, 16) AS fp FROM documents
+        """,
+        "q_cosine_topk": """
+            WITH p AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS pv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            s AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), pv) AS dot,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS na,
+                       sqrt(list_dot_product(pv, pv)) AS nb
+                FROM embeddings, p
+            )
+            SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+            FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
+        """,
+    }

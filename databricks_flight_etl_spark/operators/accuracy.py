@@ -1,0 +1,75 @@
+"""Q2 accuracy: summary statistics and distribution histograms.
+
+Reference sites: NB:134/NB:180 (``describe()``), NB:208–216 (per-column
+``select(col).toPandas()`` + matplotlib 20-bin histogram — 24 separate
+JVM→driver transfers costing 47.7 s, DBC[13]).
+
+The histogram is re-engineered to stay distributed: min/max in one agg,
+broadcast-cross-joined back, bucket index by fixed-point math, one
+groupBy — two passes total, no driver bulk transfer, works at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["summary_stats", "histogram", "describe"]
+
+
+def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Thin pass-through to ``df.describe()`` (reference NB:134/180) —
+    string-typed output, presentation-oriented."""
+    return df.describe(*(cols or []))
+
+
+def summary_stats(df: DataFrame, cols: list[str],
+                  stddev_decimals: int = 4) -> DataFrame:
+    """One-row numeric stats: count / avg / stddev_samp / min / max per
+    column, aliased ``{col}_{stat}`` (typed replacement for describe()).
+
+    avg is built from an exact DECIMAL sum divided by the count so the
+    result is deterministic across engines (double summation order is
+    not); stddev is rounded (SURVEY §7.4 float stability).
+    """
+    aggs: list = []
+    for c in cols:
+        dec = F.col(c).cast("decimal(18,4)")
+        cnt = F.count(F.col(c))
+        aggs += [
+            cnt.alias(f"{c}_count"),
+            (F.sum(dec).cast("double") / cnt).alias(f"{c}_avg"),
+            F.round(F.stddev_samp(F.col(c)), stddev_decimals).alias(f"{c}_std"),
+            F.min(F.col(c)).alias(f"{c}_min"),
+            F.max(F.col(c)).alias(f"{c}_max"),
+        ]
+    return df.agg(*aggs)
+
+
+def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
+    """Equi-width histogram: (bucket, n) with bucket ∈ [0, nbins).
+
+    Replaces the reference's toPandas+matplotlib binning (NB:208–216,
+    SURVEY §2.9 D2) with an in-engine plan: agg(min,max) → broadcast
+    cross join (single row) → integer bucket → groupBy. The max value
+    lands in the last bucket (least() clamp). Buckets with zero rows are
+    absent (join a spine if dense output is needed).
+    """
+    stats = df.agg(
+        F.min(F.col(col)).alias("__mn"), F.max(F.col(col)).alias("__mx")
+    )
+    x = F.col(col)
+    bucket = F.when(
+        F.col("__mx") == F.col("__mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((x - F.col("__mn")) * nbins / (F.col("__mx") - F.col("__mn"))),
+            F.lit(nbins - 1),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

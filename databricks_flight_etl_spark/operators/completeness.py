@@ -1,0 +1,64 @@
+"""Q1 completeness: non-null counts, drop-all-null columns, null profile.
+
+Reference sites: NB:167–176 (single-pass non-null agg + drop), NB:184–194
+(count + null agg + Python-side ratios). Observed behavior on the 2008
+slice: drops exactly ``TailNum``; 15 columns have nulls with
+``CancellationCode`` at 97.3% (DBC[11], DBC[29]).
+
+All three ops are single-pass aggregations — linear, shuffle-light, safe
+at 100 TB (a 29-column non-null profile is one HashAggregate regardless
+of row count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["nonnull_counts", "drop_allnull_columns", "null_profile"]
+
+
+def nonnull_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-row DataFrame: per-column non-null count (reference NB:167–169,
+    ``sum(isNotNull.cast(int))`` per column in a single agg)."""
+    cols = cols or df.columns
+    return df.agg(
+        *[F.sum(F.col(c).isNotNull().cast("int")).alias(c) for c in cols]
+    )
+
+
+def drop_allnull_columns(df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Drop columns whose non-null count is 0 (reference NB:167–176).
+
+    Schema-independent: whatever made the column all-null (in the
+    reference, the TailNum Integer mis-typing nulling alphanumeric tail
+    numbers — SURVEY §1.3) the transform only looks at observed nulls.
+    Returns (narrowed_df, dropped_column_names). One aggregate job; the
+    collected row is a single row of counts (driver-safe).
+    """
+    counts = nonnull_counts(df).first().asDict()
+    dropped = [c for c, n in counts.items() if (n or 0) == 0]
+    return (df.drop(*dropped) if dropped else df), dropped
+
+
+def null_profile(df: DataFrame, cols: list[str] | None = None,
+                 ratio_decimals: int = 6) -> DataFrame:
+    """Long-form per-column null report: (column, n_null, null_ratio).
+
+    Reference NB:184–194 computes null counts via agg then derives
+    ratios driver-side in Python; here the ratio stays in-plan (one
+    aggregate computing all null counts + the total, then an unpivot).
+    Ratio rounded for float-stable comparison (SURVEY §7.4).
+    """
+    cols = cols or df.columns
+    aggs = [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in cols]
+    wide = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    stack_expr = "stack({n}, {args}) as (column, n_null)".format(
+        n=len(cols),
+        args=", ".join(f"'{c}', `{c}`" for c in cols),
+    )
+    return wide.select(F.expr(stack_expr), F.col("__total")).select(
+        F.col("column"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.round(F.col("n_null") / F.col("__total"), ratio_decimals).alias("null_ratio"),
+    )

@@ -1,0 +1,69 @@
+"""Q3 consistency: per-column value-frequency tables.
+
+Reference site: NB:227–231 — for every string column,
+``groupBy(col).count().orderBy(col)`` (4 shuffles on the flight data,
+7.6 s, DBC[15]).
+
+At 100 TB an unbounded groupBy on a high-cardinality column is a
+pathological shuffle; ``value_frequencies_capped`` bounds the output to
+the top-k values per column and reports approximate distinct counts
+instead (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["string_columns", "value_frequencies", "value_frequencies_capped"]
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    """The reference's column selector: dtypes filtered to 'string'
+    (NB:227)."""
+    return [c for c, t in df.dtypes if t == "string"]
+
+
+def value_frequencies(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Long-form frequency table (column, value, n) for the given (default:
+    all string) columns, one groupBy per column unioned into one plan —
+    sorted presentation is the caller's concern (hash-compared unordered).
+    """
+    cols = cols if cols is not None else string_columns(df)
+    parts = [
+        df.groupBy(F.col(c).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(c).alias("column"), "value", "n")
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def value_frequencies_capped(
+    df: DataFrame, cols: list[str] | None = None, top_k: int = 100
+) -> DataFrame:
+    """Scale-safe variant: top-k values per column by frequency
+    (ties broken by value) + per-column approx distinct count.
+
+    Output: (column, value, n, rank, approx_n_distinct). The window
+    runs over the *aggregated* (column, value, n) rows — small — not the
+    raw data, so the only full-data shuffle is the groupBy.
+    """
+    freqs = value_frequencies(df, cols)
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
+    capped = (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+    cols = cols if cols is not None else string_columns(df)
+    approx = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    )
+    stack = "stack({n}, {args}) as (column, approx_n_distinct)".format(
+        n=len(cols), args=", ".join(f"'{c}', `{c}`" for c in cols)
+    )
+    approx_long = approx.select(F.expr(stack))
+    return capped.join(F.broadcast(approx_long), "column", "left")

@@ -1,0 +1,307 @@
+"""X1 text deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(SURVEY §2.11 — LLM-training-data pipeline extension).
+
+Design for 100 TB (SURVEY §4.3): never shuffle raw text when a digest
+will do; candidate generation is always an equi-join on a short key
+(band hash / simhash chunk / shingle), never a cartesian product; exact
+verification runs only within candidate buckets.
+
+All stages use built-in expressions (md5/xxhash64/transform/explode +
+hash-agg joins) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "exact_dedup_groups",
+    "exact_dedup",
+    "char_shingles",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash64",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, trimmed, whitespace
+    runs collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup report: (text_hash, keep_id, n) with
+    keep_id = min(id) as the deterministic survivor. Shuffles a 32-hex
+    md5 digest, never the text (collision odds at 1e12 docs ≈ 1e-14)."""
+    hashed = df.select(
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("text_hash"),
+        F.col(id_col),
+    )
+    return hashed.groupBy("text_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly the min-id row per distinct (normalized) text —
+    left-semi join against the survivor set, so the full rows never
+    shuffle by content."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles as array<string> (no UDF: index
+    sequence + dynamic substring). Texts shorter than k yield a single
+    whole-text shingle so they can still match exact twins."""
+    c = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.length(c) - (k - 1))
+    return F.when(F.length(c) >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.substring(c, i, k))
+    )).otherwise(F.array(c))
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) long table — the unit of all candidate generation."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_shingles(text_col, k)).alias("__sh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 32, shingle_k: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_perm`` columns ``mh_j``.
+
+    Permutation family: seeded xxhash64(shingle, j) — one groupBy over
+    the exploded shingle table computing all mins in a single
+    HashAggregate (shuffle key = doc id, payload = num_perm longs).
+    """
+    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(j))).alias(f"mh_{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 32, bands: int = 8, shingle_k: int = 5,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
+
+    Plan: signature → (id, band, band_hash) via stack → self-equi-join
+    on (band, band_hash). The join key is 12 bytes — the corpus text
+    never moves. Band collisions only create candidates; the verified
+    Jaccard filter (minhash_dedup_pairs) removes false positives.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.xxhash64(*cols, F.lit(b)).alias(f"bh_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    stack = "stack({n}, {args}) as (band, band_hash)".format(
+        n=bands, args=", ".join(f"{b}, bh_{b}" for b in range(bands))
+    )
+    long = banded.select(F.col(id_col).alias("__id"), F.expr(stack))
+    left = long.select(
+        F.col("__id").alias("id_a"), "band", "band_hash"
+    )
+    right = long.select(
+        F.col("__id").alias("id_b"), "band", "band_hash"
+    )
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _jaccard_verified(
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame,
+    threshold: float, shingle_k: int,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs via the inverted
+    index: |A∩B| from a join on shingle, sizes from per-doc counts."""
+    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh"))
+    shared = (
+        a.join(pairs, "id_a").join(b, ["id_b", "__sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("__id", "id_a")
+                    .withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__sz", "__szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__shared")
+            / (F.col("__sza") + F.col("__szb") - F.col("__shared")),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.8, num_perm: int = 32, bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
+    threshold. Output (id_a, id_b, jaccard), id_a < id_b."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, num_perm, bands, shingle_k)
+    return _jaccard_verified(df, text_col, id_col, cands, threshold, shingle_k)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash64(df: DataFrame, text_col: str, id_col: str,
+              shingle_k: int = 5) -> DataFrame:
+    """64-bit SimHash per doc: bit i is the sign of Σ±1 over shingle
+    hashes' bit i. One explode + one groupBy (64 conditional sums in a
+    single HashAggregate); the signature packs back into one long."""
+    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    h = F.xxhash64(F.col("__sh"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    agg = sh.groupBy("__id").agg(*sums)
+    packed = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"b_{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col("__id").alias(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    max_hamming: int = 3, shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into
+    ``max_hamming+1`` chunks — any pair within the radius agrees on at
+    least one chunk, so an equi-join on (chunk_idx, chunk_value) finds
+    all of them; verify with bit_count(xor)."""
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    sig = simhash64(df, text_col, id_col, shingle_k)
+    chunks = [
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"c_{i}")
+        for i in range(nchunks)
+    ]
+    wide = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), *chunks)
+    stack = "stack({n}, {args}) as (chunk_idx, chunk_val)".format(
+        n=nchunks, args=", ".join(f"{i}, c_{i}" for i in range(nchunks))
+    )
+    long = wide.select("__id", "simhash", F.expr(stack))
+    a = long.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = long.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "chunk_idx", "chunk_val",
+    )
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join, no LSH approximation)
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.5, shingle_k: int = 5, max_df: int | None = 1000,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold via the inverted
+    index: join docs sharing a shingle, count shared, divide by union.
+
+    ``max_df`` drops stop-shingles (document frequency above the cap)
+    before the self-join — without it one ubiquitous shingle creates a
+    quadratic candidate blowup at scale. Dropping them can only lower
+    measured similarity for pathological texts; set None for exactness.
+    """
+    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("__sh")
+        )
+        sh = sh.join(rare, "__sh", "left_semi")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__sh")
+    b = sh.select(F.col("__id").alias("id_b"), "__sh")
+    shared = (
+        a.join(b, "__sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("__id", "id_a")
+                    .withColumnRenamed("__sz", "__sza"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__sz", "__szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__shared")
+            / (F.col("__sza") + F.col("__szb") - F.col("__shared")),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

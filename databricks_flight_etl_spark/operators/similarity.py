@@ -1,0 +1,128 @@
+"""X2 similarity search over embedding columns (SURVEY §2.11).
+
+Baseline: brute-force cosine top-k — a broadcast of the (tiny) probe
+row cross-joined against the corpus, dot products via built-in
+``zip_with``/``aggregate`` higher-order functions (JVM-side, sequential
+left-fold → deterministic summation order), then TakeOrderedAndProject.
+Linear scan, no shuffle of the corpus: the right shape when the probe
+set is small.
+
+Scale path: random-hyperplane LSH (``hyperplane_bucket``) assigns each
+vector a signature; candidate generation is an equi-join on the bucket
+key (shuffle on a short int key instead of a cartesian product), then
+exact cosine re-ranking within buckets. Cf. PAPERS.md (REPOSE ICDE 2021;
+top-k similarity EDBT 2020) for the distributed top-k pattern.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_bucket",
+           "ann_topk_lsh"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against the row whose ``id_col`` equals
+    ``probe_id``. Output (vec_id, cosine), ordered (cos desc, id asc).
+
+    float32 embeddings are cast to double BEFORE any arithmetic so both
+    engines (and any oracle) do the same IEEE math.
+    """
+    probe = df.filter(F.col(id_col) == probe_id).select(
+        _as_double(vec_col).alias("__pv")
+    )
+    joined = df.select(F.col(id_col), _as_double(vec_col).alias("__v")).crossJoin(
+        F.broadcast(probe)
+    )
+    cos = cosine(F.col("__v"), F.col("__pv"))
+    return (
+        joined.select(F.col(id_col), cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: integer whose bit i is sign(v·hᵢ).
+    Vectors with equal signatures are 'probable neighbors' under cosine."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the probe's LSH
+    bucket, then re-rank by exact cosine. At 100 TB this replaces a full
+    corpus scan per probe with a partition-prunable equi-match on the
+    bucket column (precompute + partition/Z-order by bucket in practice).
+
+    Recall is approximate by construction (bucket boundary misses) —
+    rows-only harness check; the exact variant is the oracle-certified
+    one.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    vecs = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    bucketed = vecs.withColumn("__b", hyperplane_bucket(F.col("__v"), planes))
+    probe = (
+        bucketed.filter(F.col(id_col) == probe_id)
+        .select(F.col("__v").alias("__pv"), F.col("__b").alias("__pb"))
+    )
+    cands = bucketed.join(
+        F.broadcast(probe), bucketed["__b"] == probe["__pb"], "inner"
+    )
+    cos = cosine(F.col("__v"), F.col("__pv"))
+    return (
+        cands.select(F.col(id_col), cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
+    )

@@ -1,0 +1,119 @@
+"""X4 text analysis: tokenization, quality metrics, language ID,
+fingerprints (SURVEY §2.11 — north-star extension, not a reference op).
+
+Everything is built-in column/array expressions (split/filter/transform/
+aggregate) — JVM-side, whole-stage codegen'd, no Python UDFs — so the
+operators scale linearly: one narrow map stage plus (for global token
+counts) a single hash-aggregate shuffle on the token key.
+
+Token-based (not regex-based) scoring keeps semantics portable across
+engines (the DuckDB oracle mirrors the same list operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "EN_STOPWORDS",
+    "STOPWORD_SETS",
+    "tokens",
+    "token_top_k",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+]
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# Small per-language function-word sets for the n-gram/stopword-overlap
+# language heuristic. Order in STOPWORD_SETS fixes the argmax precedence.
+STOPWORD_SETS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "es": ("el", "la", "de", "y", "en", "es", "los", "por", "con", "del"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr": ("le", "la", "de", "et", "est", "les", "un", "une", "dans", "pour"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Non-empty whitespace tokens as array<string> (single-space split;
+    empty strings from runs of spaces are filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_top_k(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Global top-k token frequencies: (token, n), total order
+    (n desc, token asc).
+
+    Plan shape: explode (narrow) → partial+final hash agg on token →
+    TakeOrderedAndProject — the only shuffle is on the token key, and
+    map-side partial aggregation collapses the heavy hitters before it.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def text_quality(df: DataFrame, text_col: str, id_col: str,
+                 decimals: int = 6) -> DataFrame:
+    """Per-document quality metrics: (id, n_tokens, avg_token_len,
+    stopword_ratio) — the length/stopword-ratio heuristics of an LLM
+    training-data quality filter. Pure per-row array math: no shuffle."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(sum_len / n, decimals).alias("avg_token_len"),
+        F.round(n_stop / n, decimals).alias("stopword_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Language guess via stopword-set overlap, deterministic argmax with
+    the STOPWORD_SETS precedence (en > es > de > fr on ties). Output:
+    (id, s_en, s_es, s_de, s_fr, lang_guess). Per-row only — no shuffle."""
+    toks = tokens(text_col)
+
+    def _score(words: tuple[str, ...]):
+        # single-arg lambda: extra defaulted params would be (mis)read as
+        # lambda variables by Spark's higher-order-function binder
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: _score(words) for lang, words in STOPWORD_SETS.items()}
+    guess = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        F.col(id_col),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str,
+                hex_chars: int = 16) -> DataFrame:
+    """Content fingerprint: leading ``hex_chars`` of sha256(text) —
+    a 64-bit-by-default stable document identity for dedup bookkeeping."""
+    return df.select(
+        F.col(id_col),
+        F.substring(F.sha2(F.col(text_col), 256), 1, hex_chars).alias("fp"),
+    )

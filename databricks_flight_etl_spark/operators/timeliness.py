@@ -1,0 +1,69 @@
+"""Q6 timeliness: per-period counts + calendar-spine gap detection.
+
+Reference sites: NB:363–380 (derive date, per-day counts), NB:385–401
+(min/max collect → ``spark.range`` spine via string-interpolated
+``expr("date_add('{min}', id)")`` → left join → days with count 0).
+
+Re-engineered fully in-plan: the spine is ``sequence(min_d, max_d)`` +
+``explode`` over the one-row min/max aggregate — no collect, no SQL
+string interpolation (SURVEY §2.8 G5 calls that out as an anti-pattern).
+The spine side is tiny (one row per day) so Catalyst broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["per_period_counts", "date_spine", "day_coverage", "missing_periods"]
+
+
+def per_period_counts(df: DataFrame, ts_col: str, period: str = "day") -> DataFrame:
+    """(period_start date, n) counts — reference NB:379
+    ``groupBy(DepTime_Date).count()`` generalized to any trunc unit."""
+    if period == "day":
+        key = F.to_date(F.col(ts_col))
+    else:
+        key = F.date_trunc(period, F.col(ts_col)).cast("date")
+    return df.groupBy(key.alias("period")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def date_spine(df: DataFrame, ts_col: str) -> DataFrame:
+    """One row per calendar day between min and max of ``ts_col``
+    (inclusive) — reference NB:385–391 without the collect()/expr()
+    round-trip: agg(min,max) → sequence → explode, all lazy."""
+    bounds = df.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("mn"),
+        F.max(F.to_date(F.col(ts_col))).alias("mx"),
+    )
+    return bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day")
+    )
+
+
+def day_coverage(df: DataFrame, ts_col: str) -> DataFrame:
+    """Full spine ⟕ per-day counts with zero-fill: (day, n_events).
+
+    The join mirrors reference NB:397–399 (left join + coalesce(count,0));
+    returning the whole coverage table subsumes the missing-day filter and
+    certifies the join itself."""
+    counts = per_period_counts(df, ts_col, "day")
+    spine = date_spine(df, ts_col)
+    return (
+        spine.join(
+            F.broadcast(counts.withColumnRenamed("n", "range_count")),
+            spine.day == counts.period,
+            "left",
+        )
+        .select(
+            F.col("day"),
+            F.coalesce(F.col("range_count"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def missing_periods(df: DataFrame, ts_col: str) -> DataFrame:
+    """Days in [min, max] with zero rows — reference NB:401
+    ``.where(count == 0)``. (Observed on the 2008 flight slice: none,
+    DBC[31].)"""
+    return day_coverage(df, ts_col).where(F.col("n_events") == 0).select("day")

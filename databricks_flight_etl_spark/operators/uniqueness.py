@@ -1,0 +1,80 @@
+"""Q4 uniqueness: exact/compound-key duplicate detection, dedup.
+
+Reference sites: NB:249–254 (group-by-ALL-columns count>1 → 4 dup rows;
+``dropDuplicates()`` → 0), NB:258–294 (compound key
+[Origin, UniqueCarrier, FlightNum, DepTime_Timestamp] → 12,245 dups).
+
+100 TB posture (SURVEY §4.3): group-by-all shuffles the entire row as
+the key; ``row_hash``-based variants shuffle a 32-byte digest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "duplicate_groups",
+    "exact_duplicate_count",
+    "dedup",
+    "key_duplicate_groups",
+    "key_duplicate_count",
+    "row_hash",
+    "dedup_by_hash",
+]
+
+# Field separator + NULL sentinel for row hashing. concat_ws silently
+# *skips* nulls, which would collide ('a',NULL,'b') with ('a','b',NULL);
+# coalescing every column to a sentinel keeps the encoding injective for
+# data that never contains the sentinel itself.
+_SEP = "\x1f"
+_NULL = "\x00N"
+
+
+def duplicate_groups(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Rows (key columns + n) for groups occurring more than once —
+    reference NB:249 ``groupBy(df.columns).count().where(count>1)``."""
+    keys = subset or df.columns
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def exact_duplicate_count(df: DataFrame) -> int:
+    """Number of fully-duplicated groups (reference NB:249–250)."""
+    return duplicate_groups(df).count()
+
+
+def dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """``dropDuplicates`` (reference NB:253). With a subset, which row
+    survives is nondeterministic — for deterministic survivorship use
+    dedup_by_hash / a window with an explicit tie-break."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def key_duplicate_groups(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Compound-key duplicate groups (reference NB:258, 293–294)."""
+    return duplicate_groups(df, subset=keys)
+
+
+def key_duplicate_count(df: DataFrame, keys: list[str]) -> int:
+    return key_duplicate_groups(df, keys).count()
+
+
+def row_hash(df: DataFrame, cols: list[str] | None = None) -> Column:
+    """256-bit hash of the (null-safely encoded) row — the scale path for
+    exact-duplicate work: shuffle 32 bytes instead of the whole row
+    (SURVEY §4.3). Collision probability at 100 TB row counts (~1e12
+    rows) is ≈ 1e-53 — negligible."""
+    cols = cols or df.columns
+    encoded = [F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols]
+    return F.sha2(F.concat_ws(_SEP, *encoded), 256)
+
+
+def dedup_by_hash(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup via row-hash: keeps one arbitrary row per distinct
+    content (same result set as dropDuplicates, narrower shuffle)."""
+    hashed = df.withColumn("__rh", row_hash(df, cols))
+    return hashed.dropDuplicates(["__rh"]).drop("__rh")

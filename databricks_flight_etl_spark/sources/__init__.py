@@ -1,0 +1,124 @@
+"""Sources & sinks (SURVEY §2.1 S1–S8).
+
+The reference reads bz2-compressed CSV with a hand-declared schema
+(NB:125), reads JSON with inference (NB:84), and writes snappy Parquet
+after a coalesce sized to ~200 MB partitions (NB:435–436). Spark reads
+``.csv.bz2`` natively, so the reference's shell download/decompress steps
+(NB:41–64) are out-of-engine fixture steps; the engine starts at
+``spark.read``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import estimate_bytes, partitions_for_target
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "load_table",
+    "load_tables",
+    "write_parquet",
+]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """Schema-declared CSV scan (reference NB:125).
+
+    An explicit schema skips Spark's inference pass (one full extra read)
+    — mandatory at 100 TB. Handles .bz2/.gz transparently via codecs.
+    """
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """JSON scan (reference NB:84 — inference on for the metadata file).
+
+    Prefer an explicit schema in production: inference scans the data.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (reference NB:445) — columnar; Catalyst pushes
+    filters and prunes columns into the scan."""
+    return spark.read.parquet(path)
+
+
+# Testdata columns stored as parquet TIMESTAMP(NANOS), which Spark lacks;
+# read as epoch-nanos longs (session conf nanosAsLong) and convert.
+_NS_TIMESTAMP_COLS = {"events": ["ts"]}
+
+
+def ns_long_to_timestamp(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Epoch-nanos long → TimestampType, flooring to microseconds via
+    integer division (`div`, not `/` — float division loses precision
+    above 2^53 ns). Matches the ns→µs truncation engines with native
+    ns timestamps perform."""
+    for c in cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md), normalizing
+    nanos-timestamp columns to TimestampType."""
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    ns_cols = [c for c in _NS_TIMESTAMP_COLS.get(name, []) if c in df.columns]
+    return ns_long_to_timestamp(df, ns_cols) if ns_cols else df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_mb: int | None = 200,
+    compression: str = "snappy",
+) -> int:
+    """Parquet sink with size-targeted partitioning (reference NB:432–437).
+
+    The reference estimates in-memory size via the private JVM
+    ``SizeEstimator`` over a re-pickled RDD (NB:416–427) and coalesces to
+    ``ceil(MB/200)`` partitions. We preserve the semantics (≈200 MB per
+    output partition) using a supported estimate (sampled Arrow row size
+    × count — see plans.estimate_bytes) and ``coalesce``, which avoids a
+    shuffle. Returns the partition count used.
+
+    At 100 TB prefer leaving partitioning to AQE plus
+    ``spark.sql.files.maxRecordsPerFile``; a small coalesce() removes
+    write parallelism (the reference's coalesce(1) cost 28 s on 2.4 M
+    rows, DBC[32]).
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if target_mb is None:
+        writer.parquet(path)
+        return -1
+    est = estimate_bytes(df)
+    parts = partitions_for_target(est, target_mb=target_mb)
+    df.coalesce(parts).write.mode(mode).option("compression", compression).parquet(path)
+    return parts
