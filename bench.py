@@ -1,0 +1,60 @@
+"""Per-round benchmark: runs every harness query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Comparison target: BASELINE.md (the reference's recorded per-cell
+wall-clock; its 2008 pipeline ≈146–231 s at 2.39 M rows with ~10+
+redundant CSV re-scans). Our per-query timings are end-to-end: plan
+construction + execution + collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from databricks_flight_etl_spark.session import get_spark
+
+    spark = get_spark("flight-etl-bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution without driver-side transfer
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "harness_suite_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

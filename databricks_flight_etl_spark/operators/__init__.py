@@ -11,7 +11,11 @@ from . import (  # noqa: F401
     accuracy,
     completeness,
     consistency,
+    dedup,
+    multimodal,
     relational,
+    similarity,
+    text,
     timeliness,
     uniqueness,
     validity,

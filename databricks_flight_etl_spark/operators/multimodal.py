@@ -1,0 +1,155 @@
+"""X3 multimodal columns: opaque binary payloads + typed metadata
+(SURVEY §2.11 — north-star extension).
+
+Pattern: media travels as an opaque ``binary`` column (or a storage
+path reference for large assets) next to a typed metadata struct.
+Cheap, lossless operations (size, content hash, magic-byte sniffing)
+are built-in JVM expressions; decode/feature-extraction runs as
+Arrow-batched ``mapInPandas`` so each Python worker sees columnar
+batches, never single rows.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
+environment, so the decode kernel is a clearly marked deterministic
+stub behind the real Spark plumbing (schema, batching, partitioning are
+real and tested); swap ``_decode_stub`` for a real decoder in
+production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_binary_metadata",
+    "decode_features",
+    "sample_frames",
+]
+
+# Typed metadata carried next to the payload; mirrors what a real
+# decoder would emit. Kept flat for parquet column pruning.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+    ]
+)
+
+_MAGIC = {
+    "89504e47": "image/png",
+    "ffd8ff": "image/jpeg",
+    "52494646": "riff",  # wav/avi container
+    "494433": "audio/mpeg",
+}
+
+
+def attach_binary_metadata(
+    df: DataFrame, payload_col: str, out_col: str = "media_meta"
+) -> DataFrame:
+    """Add (media_type, n_bytes, content_sha256) computed entirely
+    JVM-side: magic-byte sniff via hex prefix, length, sha256. No
+    decode, no Python — safe to run over 100 TB of payloads."""
+    payload = F.col(payload_col)
+    prefix = F.lower(F.hex(F.substring(payload, 1, 4)))
+    media_type = F.lit("application/octet-stream")
+    for magic, mtype in _MAGIC.items():
+        media_type = F.when(
+            prefix.startswith(magic.lower()), F.lit(mtype)
+        ).otherwise(media_type)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            media_type.alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("content_sha256"),
+        ),
+    )
+
+
+def _decode_stub(payload: bytes, n_features: int) -> list[float]:
+    """Deterministic FAKE decode: derives pseudo-features from content
+    bytes. STUB — replace with a real codec (PIL/librosa/ffmpeg) in
+    production; this environment ships no media libraries."""
+    if payload is None:
+        return [0.0] * n_features
+    acc, out = 2166136261, []
+    for i, b in enumerate(payload[: 4 * n_features]):
+        acc = (acc ^ b) * 16777619 % (1 << 32)
+        if i % 4 == 3:
+            out.append((acc % 10_000) / 10_000.0)
+    out += [0.0] * (n_features - len(out))
+    return out[:n_features]
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    n_features: int = 8,
+) -> DataFrame:
+    """Arrow-batched feature extraction: (id, features array<double>).
+
+    Real plumbing, stub kernel (see module docstring). mapInPandas
+    iterates columnar batches — the payload bytes stream through Arrow
+    without per-row pickling; partition counts carry over from the
+    input, so repartition upstream to size Python workers' batches.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "features": [
+                        _decode_stub(p, n_features) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(kernel, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' plumbing: one output row per sampled frame
+    (id, frame_idx, frame_sha256). The sampler slices the payload at
+    fixed offsets — a stand-in for real video frame extraction with the
+    same explode-shaped output (rows multiply, so follow with a
+    repartition if frames feed a heavy downstream op)."""
+    payload = F.col(payload_col)
+    n = F.least(
+        F.greatest((F.length(payload) / every_n_bytes).cast("int"), F.lit(1)),
+        F.lit(max_frames),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx")
+    frame = F.substring(
+        payload, F.col("frame_idx") * every_n_bytes + 1, every_n_bytes
+    )
+    return (
+        df.select(F.col(id_col), payload, idx)
+        .select(
+            F.col(id_col),
+            F.col("frame_idx"),
+            F.sha2(frame, 256).alias("frame_sha256"),
+        )
+    )

@@ -1,0 +1,13 @@
+"""Structured Streaming variants of the batch operators.
+
+The reference has NO streaming (README:42 lists it as future work —
+SURVEY §2.11); these modules deliver it as the natural Spark extension:
+the timeliness per-day counts as a watermarked windowed aggregation, and
+streaming dedup via dropDuplicatesWithinWatermark. Batch and streaming
+share semantics so Q6-style checks can move to a live feed without API
+changes (SURVEY §7.4 item 6).
+"""
+
+from .jobs import run_stream_to_memory, streaming_day_counts, streaming_dedup
+
+__all__ = ["streaming_day_counts", "streaming_dedup", "run_stream_to_memory"]

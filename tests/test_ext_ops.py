@@ -1,0 +1,150 @@
+"""Extension operators: dedup (exact/MinHash/SimHash/Jaccard),
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_flight_etl_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun with great patience "
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),        # near dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "  THE  quick brown fox jumps over the lazy dog while the cat watches "
+            "from a warm windowsill in the afternoon sun with great patience "),
+        # 4 = normalized dup of 0 (case/whitespace)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs, "text", "doc_id")
+    dupg = {r["keep_id"]: r["n"] for r in groups.where("n > 1").collect()}
+    assert dupg == {0: 2}  # 0 and 1 (whitespace-run differences are not md5-equal)
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("ab",), ("abcdef",)], "t string")
+    rows = df.select(dedup.char_shingles("t", 5).alias("sh")).collect()
+    assert rows[0]["sh"] == ["ab"]
+    assert rows[1]["sh"] == ["abcde", "bcdef"]
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # 0,1,4 mutually identical after normalization; 2 is a near dup
+    assert {(0, 1), (0, 4), (1, 4)} <= got
+    assert (0, 2) in got or (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0 and got[(0, 4)] == 0
+    assert all(3 not in k for k in got)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] > 0.5
+    assert all(3 not in k for k in got)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to probe
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+        (4, [0.8, 0.2, 0.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, vectors):
+    top = similarity.cosine_topk(vectors, probe_id=0, k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    assert top[0]["cosine"] == 1.0
+    assert top[1]["cosine"] > 0.98
+
+
+def test_ann_lsh_contains_probe_bucket(spark, vectors):
+    top = similarity.ann_topk_lsh(
+        vectors, probe_id=0, k=3, dim=3, n_planes=4
+    ).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0          # probe matches itself
+    assert 3 not in ids         # opposite vector lands in another bucket
+
+
+def test_token_ops(spark, docs):
+    top = text.token_top_k(docs, "text", k=3).collect()
+    assert top[0]["token"] == "the"
+    quality = {r["doc_id"]: r for r in
+               text.text_quality(docs, "text", "doc_id").collect()}
+    assert quality[3]["n_tokens"] == 9
+    assert 0 < quality[0]["stopword_ratio"] < 1
+    fp = {r["doc_id"]: r["fp"] for r in
+          text.fingerprint(docs, "text", "doc_id").collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+    assert len(fp[0]) == 16
+
+
+def test_lang_id_precedence(spark):
+    rows = [
+        (0, "the cat is on the mat and it is warm"),
+        (1, "el gato es de la casa y los perros"),
+        (2, "der hund ist von der stadt und das haus"),
+        (3, "le chat est dans les maisons et une porte"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"]
+           for r in text.lang_id(df, "text", "doc_id").collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr"}
+
+
+def test_multimodal_plumbing(spark):
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"fakepixels" * 50
+    jpg_magic = b"\xff\xd8\xff\xe0" + b"other" * 40
+    df = spark.createDataFrame(
+        [(0, bytearray(png_magic)), (1, bytearray(jpg_magic))],
+        "id long, payload binary",
+    )
+    meta = multimodal.attach_binary_metadata(df, "payload")
+    got = {r["id"]: r["media_meta"] for r in meta.collect()}
+    assert got[0]["media_type"] == "image/png"
+    assert got[1]["media_type"] == "image/jpeg"
+    assert got[0]["n_bytes"] == len(png_magic)
+
+    feats = multimodal.decode_features(df, "payload", "id", n_features=4)
+    rows = {r["id"]: r["features"] for r in feats.collect()}
+    assert len(rows[0]) == 4 and rows[0] != rows[1]
+    # deterministic stub: same input → same features
+    rows2 = {r["id"]: r["features"] for r in
+             multimodal.decode_features(df, "payload", "id", n_features=4).collect()}
+    assert rows == rows2
+
+    frames = multimodal.sample_frames(df, "payload", "id", every_n_bytes=64)
+    per_id = frames.groupBy("id").count().collect()
+    assert all(r["count"] >= 1 for r in per_id)

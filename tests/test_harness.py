@@ -1,0 +1,30 @@
+"""Driver-contract smoke: entry() runs on sf0.001 and every queries()
+entry returns rows with a stable schema (full oracle differential lives
+in tools/check_oracle.py and the driver's t2 gate)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 30
+    assert df.schema.simpleString() == "struct<day:date,n_events:bigint>"
+
+
+def test_queries_and_oracles_paired():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # SURVEY §2 coverage floor
+    assert len(qs) >= 26 and len(oracles) >= 26
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_runs(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.columns  # stable, non-empty schema
+    df.limit(5).collect()

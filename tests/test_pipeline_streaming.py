@@ -1,0 +1,127 @@
+"""End-to-end pipeline composition + streaming twins + sources/plans."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databricks_flight_etl_spark import pipeline, plans, sources
+from databricks_flight_etl_spark.operators import validity
+from databricks_flight_etl_spark.streaming import (
+    run_stream_to_memory,
+    streaming_day_counts,
+    streaming_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def flights(spark):
+    rows = [
+        # Year, Month, Day, DepTime, Carrier, FlightNum, TailNum(all-null), Distance
+        (2008, 1, 1, 945, "AA", 100, None, 500),
+        (2008, 1, 1, 945, "AA", 100, None, 500),      # exact dup
+        (2008, 1, 2, 2455, "UA", 200, None, 300),     # 24xx quirk → 00:55 same day
+        (2008, 1, 4, 1200, "DL", 300, None, -1),      # bad distance; day 3 missing
+        (2008, 1, 2, None, "WN", 400, None, 100),     # null DepTime → null ts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "Year int, Month int, DayofMonth int, DepTime int, UniqueCarrier string, "
+        "FlightNum int, TailNum int, Distance int",
+    )
+
+
+def test_flight_pipeline(spark, flights, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    report = pipeline.run_flight_pipeline(
+        flights,
+        dedup_keys=["UniqueCarrier", "FlightNum", "DepTime_Timestamp"],
+        rules=[validity.Rule("dist_pos", F.col("Distance") > 0)],
+        output_path=out,
+    )
+    assert report.dropped_columns == ["TailNum"]
+    assert report.exact_dup_groups.count() == 1
+    assert {r["rule"]: r["n_fail"] for r in report.validity.collect()} == {
+        "dist_pos": 1
+    }
+    cov = {str(r["day"]): r["n_events"] for r in report.day_coverage.collect()}
+    assert cov["2008-01-03"] == 0          # missing day found
+    assert cov["2008-01-01"] == 2
+    # null-DepTime row has no timestamp → absent from coverage, kept in output
+    assert report.cleaned.count() == 5     # validity is report-only
+    assert report.output_partitions == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert "TailNum" not in back.columns
+
+
+def test_partition_sizing():
+    assert plans.partitions_for_target(0) == 1
+    assert plans.partitions_for_target(199_000_000) == 1
+    assert plans.partitions_for_target(201_000_000) == 2
+    assert plans.partitions_for_target(10**12) == 5000
+
+
+def test_estimate_bytes(spark):
+    df = spark.createDataFrame([(i, "x" * 100) for i in range(1000)], "id long, s string")
+    est = plans.estimate_bytes(df)
+    assert 50_000 < est < 5_000_000  # order of magnitude sane
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = str(tmp_path / "f.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = sources.read_csv(
+        spark, p,
+        schema=T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ]),
+    )
+    assert df.dtypes == [("a", "int"), ("b", "string")]
+    assert df.count() == 2
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5, 0), 1.0),
+        (2, dt.datetime(2024, 1, 1, 9, 0), 2.0),
+        (2, dt.datetime(2024, 1, 1, 9, 0), 2.0),   # dup event_id
+        (3, dt.datetime(2024, 1, 2, 1, 0), 3.0),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(d)
+    return d
+
+
+def test_streaming_day_counts(spark, stream_dir):
+    out = run_stream_to_memory(
+        spark, stream_dir, EVENTS_SCHEMA,
+        lambda s: streaming_day_counts(s, "ts"),
+        query_name="day_counts", output_mode="update",
+    )
+    got = {str(r["day"]): r["n"] for r in out.collect()}
+    assert got == {"2024-01-01": 3, "2024-01-02": 1}
+
+
+def test_streaming_dedup(spark, stream_dir):
+    out = run_stream_to_memory(
+        spark, stream_dir, EVENTS_SCHEMA,
+        lambda s: streaming_dedup(s, ["event_id"], "ts"),
+        query_name="dedup_out", output_mode="append",
+    )
+    assert out.count() == 3
+    assert out.groupBy("event_id").count().where("count > 1").count() == 0

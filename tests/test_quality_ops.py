@@ -1,0 +1,156 @@
+"""Quality operator suite: Q1 completeness, Q2 accuracy, Q3 consistency,
+Q4 uniqueness, Q5 validity (null-pass), Q6 timeliness (missing days).
+Fixtures per FIXTURES.md §A2."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_flight_etl_spark.operators import (
+    accuracy,
+    completeness,
+    consistency,
+    timeliness,
+    uniqueness,
+    validity,
+)
+
+
+@pytest.fixture(scope="module")
+def allnull_df(spark):
+    # mimics TailNum: one fully-null col, one partially-null
+    return spark.createDataFrame(
+        [(1, None, "a"), (2, None, None), (3, None, "c")],
+        "id int, dead int, part string",
+    )
+
+
+def test_nonnull_counts(spark, allnull_df):
+    row = completeness.nonnull_counts(allnull_df).collect()[0]
+    assert (row["id"], row["dead"], row["part"]) == (3, 0, 2)
+
+
+def test_drop_allnull_columns(spark, allnull_df):
+    out, dropped = completeness.drop_allnull_columns(allnull_df)
+    assert dropped == ["dead"]
+    assert out.columns == ["id", "part"]
+    assert out.count() == 3
+
+
+def test_null_profile(spark, allnull_df):
+    prof = {r["column"]: (r["n_null"], r["null_ratio"])
+            for r in completeness.null_profile(allnull_df).collect()}
+    assert prof["dead"] == (3, 1.0)
+    assert prof["part"] == (1, round(1 / 3, 6))
+    assert prof["id"] == (0, 0.0)
+    # invariant: nonnull + null == total per column
+    nn = completeness.nonnull_counts(allnull_df).collect()[0]
+    for c in allnull_df.columns:
+        assert nn[c] + prof[c][0] == 3
+
+
+def test_histogram_buckets(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(100)], "v double")
+    got = {r["bucket"]: r["n"] for r in accuracy.histogram(df, "v", nbins=10).collect()}
+    # 0..99 into 10 equal bins over [0,99]: every bin gets exactly 10
+    # (the max value clamps into bucket 9 instead of opening bucket 10)
+    assert sum(got.values()) == 100
+    assert got == {b: 10 for b in range(10)}
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    got = accuracy.histogram(df, "v").collect()
+    assert len(got) == 1 and got[0]["bucket"] == 0 and got[0]["n"] == 2
+
+
+def test_summary_stats(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    row = accuracy.summary_stats(df, ["v"]).collect()[0]
+    assert row["v_count"] == 3
+    assert row["v_avg"] == 2.0
+    assert row["v_min"] == 1.0 and row["v_max"] == 3.0
+    assert row["v_std"] == 1.0
+
+
+def test_value_frequencies(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None)], "c1 string, c2 string"
+    )
+    freqs = consistency.value_frequencies(df)
+    got = {(r["column"], r["value"]): r["n"] for r in freqs.collect()}
+    assert got[("c1", "a")] == 2 and got[("c1", "b")] == 1
+    assert got[("c2", None)] == 1
+
+
+def test_value_frequencies_capped(spark):
+    df = spark.createDataFrame([(str(i % 5),) for i in range(50)], "c string")
+    out = consistency.value_frequencies_capped(df, ["c"], top_k=3).collect()
+    assert len(out) == 3
+    assert all(r["approx_n_distinct"] >= 4 for r in out)
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    # 2 exact-dup pairs + compound-key dups differing elsewhere
+    rows = [
+        ("ORD", "AA", 100, "x"), ("ORD", "AA", 100, "x"),   # exact pair 1
+        ("SFO", "UA", 200, "y"), ("SFO", "UA", 200, "y"),   # exact pair 2
+        ("JFK", "DL", 300, "a"), ("JFK", "DL", 300, "b"),   # compound only
+        ("LAX", "WN", 400, "z"),
+    ]
+    return spark.createDataFrame(
+        rows, "Origin string, Carrier string, FlightNum int, other string"
+    )
+
+
+def test_exact_duplicates(spark, dup_df):
+    assert uniqueness.exact_duplicate_count(dup_df) == 2
+    assert uniqueness.dedup(dup_df).count() == 5
+    assert uniqueness.dedup_by_hash(dup_df).count() == 5
+
+
+def test_compound_key_duplicates(spark, dup_df):
+    keys = ["Origin", "Carrier", "FlightNum"]
+    assert uniqueness.key_duplicate_count(dup_df, keys) == 3
+    groups = {
+        (r["Origin"], r["n"])
+        for r in uniqueness.key_duplicate_groups(dup_df, keys).collect()
+    }
+    assert groups == {("ORD", 2), ("SFO", 2), ("JFK", 2)}
+
+
+def test_validity_nulls_pass(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (0,), (13,)], "Month int"
+    )
+    rules = [validity.range_rule("month_range", "Month", 1, 12)]
+    report = validity.check_rules(df, rules).collect()
+    assert report[0]["rule"] == "month_range"
+    assert report[0]["n_fail"] == 2  # 0 and 13 fail; NULL passes
+    # failures() mirrors filter(~cond): nulls not selected
+    fails = validity.failures(df, rules[0]).collect()
+    assert sorted(r["Month"] for r in fails) == [0, 13]
+
+
+def test_validity_report_only(spark):
+    df = spark.createDataFrame([(0,), (5,)], "Month int")
+    rules = [validity.range_rule("m", "Month", 1, 12)]
+    validity.check_rules(df, rules).collect()
+    assert df.count() == 2  # rows never removed
+
+
+def test_missing_days(spark):
+    days = [1, 2, 3, 5]  # gap on the 4th (FIXTURES §A2.5)
+    df = spark.createDataFrame(
+        [(dt.datetime(2008, 1, d, 12, 0),) for d in days], "ts timestamp"
+    )
+    missing = timeliness.missing_periods(df, "ts").collect()
+    assert [str(r["day"]) for r in missing] == ["2008-01-04"]
+    cov = {str(r["day"]): r["n_events"]
+           for r in timeliness.day_coverage(df, "ts").collect()}
+    assert cov == {
+        "2008-01-01": 1, "2008-01-02": 1, "2008-01-03": 1,
+        "2008-01-04": 0, "2008-01-05": 1,
+    }
