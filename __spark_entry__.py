@@ -31,7 +31,9 @@ from databricks_flight_etl_spark.functions import (
 from databricks_flight_etl_spark.operators import (
     accuracy,
     completeness,
+    multimodal,
     relational,
+    sessions,
     timeliness,
     uniqueness,
     validity,
@@ -42,8 +44,13 @@ from databricks_flight_etl_spark.operators.text import (
     text_quality,
     token_top_k,
 )
-from databricks_flight_etl_spark.operators.dedup import exact_dedup_groups
-from databricks_flight_etl_spark.operators.similarity import cosine_topk
+from databricks_flight_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from databricks_flight_etl_spark.operators.similarity import ann_topk_lsh, cosine_topk
 
 
 # ---------------------------------------------------------------------------
@@ -339,8 +346,8 @@ def q_join_inner(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -408,6 +415,239 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, probe_id=0, k=10)
 
 
+# --- second wave: classic OLAP shapes + sessionization + JSON + multimodal ---
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: filter + groupBy + 5 sums +
+    derived averages + count. Exact DECIMAL(18,4) sums (engine- and
+    order-independent), averages derived as double sum/count and rounded.
+    Filter pushes to the parquet scan; agg is partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    # The money columns are exact 2-decimal values, so casting the INPUTS
+    # to decimal makes every product exact — no per-row double→decimal
+    # rounding whose half-up/half-even policy could differ across engines.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1) - disc)
+    charge = disc_price * (F.lit(1) + tax)
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(disc).cast("double").alias("_sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("_sum_disc") / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: customers with at least one order. Semi joins
+    never duplicate or widen the left side — the probe table streams."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti join: customers with no orders (NOT EXISTS shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+def q_join_multiway(spark, sf_dir):
+    """4-way star join lineitem⋈orders⋈customer⋈nation with the tiny
+    dim broadcast (no shuffle for the nation side); revenue per nation
+    through exact DECIMAL sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Extension (sessionization; the reference has no window functions,
+    §2.11): 30-minute-gap sessions per user via lag + running-sum
+    windows → (user_id, n_events, n_sessions)."""
+    ev = _t(spark, sf_dir, "events")
+    return sessions.session_counts(
+        ev, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id"
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot: per-day event counts spread across one column per event
+    type (missing combos zero-filled). Fixed pivot-value list so the
+    plan needs no extra distinct-values job."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+    return p.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """Rollup on (returnflag, linestatus): subtotals + grand total in
+    one pass; NULL group keys re-labelled '<all>' identically in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+    return r.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "n",
+        "sum_qty",
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    """Exact distinct-count per group (expands to a two-level agg —
+    the scalable exact form; approx_count_distinct is the sketch path)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull $.k out of the JSON props
+    column, aggregate per key value (get_json_object — JVM-side JSON
+    path, no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """X3 multimodal plumbing: text→binary payload, then JVM-side
+    metadata (magic-byte media type, byte length, sha256) — the
+    decode-free operations that are safe over 100 TB of payloads."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    m = multimodal.attach_binary_metadata(docs, "payload")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_sha256").alias("sha256"),
+    )
+
+
+# --- rows-only (not SQL-oracle-expressible): LSH/sketch + Arrow plumbing ---
+
+def _docs_near_dup_base(spark, sf_dir):
+    """documents ∪ perturbed clones (1-in-100, tail appended) so the
+    near-dup detectors have true positives to find."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    return docs.unionByName(pert)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """X1 MinHash+LSH near-dup pairs (banded candidates → exact Jaccard
+    verify). Approximate candidate generation → rows-only check.
+    k=7 shingles + threshold 0.8 (the 4-band S-curve midpoint): planted
+    clones sit at J≈0.95, background lorem pairs far below — candidate
+    count stays near-linear."""
+    return minhash_dedup_pairs(
+        _docs_near_dup_base(spark, sf_dir), "text", "doc_id",
+        threshold=0.8, shingle_k=7,
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """X1 SimHash near-dup pairs (pigeonhole chunk blocking, Hamming≤3)."""
+    return simhash_near_dup_pairs(
+        _docs_near_dup_base(spark, sf_dir), "text", "doc_id",
+        max_hamming=3, shingle_k=7,
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """X1 exact n-gram Jaccard pairs via the inverted shingle index.
+    max_df=50 drops stop-shingles before the self-join (each shingle
+    with df=d contributes d²/2 pairs — the cap bounds the blowup)."""
+    return ngram_jaccard_pairs(
+        _docs_near_dup_base(spark, sf_dir), "text", "doc_id",
+        threshold=0.6, shingle_k=7, max_df=50,
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """X2 ANN: random-hyperplane LSH bucket restriction + exact cosine
+    re-rank (recall is approximate by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
+
+
+def q_decode_features(spark, sf_dir):
+    """X3 Arrow-batched decode plumbing: mapInPandas feature extraction
+    over binary payloads (stub kernel, real batching/schema)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return multimodal.decode_features(docs, "payload", "doc_id", n_features=8)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -438,6 +678,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
         "q_cosine_topk": q_cosine_topk,
+        "q_tpch_q1": q_tpch_q1,
+        "q_join_semi": q_join_semi,
+        "q_join_anti": q_join_anti,
+        "q_join_multiway": q_join_multiway,
+        "q_sessionize": q_sessionize,
+        "q_pivot": q_pivot,
+        "q_rollup": q_rollup,
+        "q_count_distinct": q_count_distinct,
+        "q_json_extract": q_json_extract,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ann_lsh": q_ann_lsh,
+        "q_decode_features": q_decode_features,
     }
 
 
@@ -619,8 +874,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_inner": """
             SELECT o_orderpriority, count(*) AS n_items,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         """,
@@ -704,5 +960,103 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(dot / (na * nb), 6) AS cosine
             FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
+        """,
+        "q_tpch_q1": """
+            WITH t AS (
+                SELECT l_returnflag, l_linestatus, l_quantity,
+                       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                       CAST(l_discount AS DECIMAL(4,2)) AS disc,
+                       CAST(l_tax AS DECIMAL(4,2)) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(price) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM t GROUP BY 1, 2
+        """,
+        "q_join_semi": """
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_join_anti": """
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_join_multiway": """
+            SELECT n_name, count(*) AS n_items,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "q_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       1 + sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(max(session_id) AS BIGINT) AS n_sessions
+            FROM s GROUP BY 1
+        """,
+        "q_pivot": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY 1
+        """,
+        "q_rollup": """
+            SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+                   coalesce(l_linestatus, '<all>') AS linestatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_count_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "q_json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q_multimodal_meta": """
+            SELECT doc_id,
+                   CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+                        WHEN substr(text, 1, 3) = 'ID3' THEN 'audio/mpeg'
+                        ELSE 'application/octet-stream' END AS media_type,
+                   strlen(text) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
         """,
     }

