@@ -50,7 +50,11 @@ from databricks_flight_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from databricks_flight_etl_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from databricks_flight_etl_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -639,6 +643,40 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_embed_dup(spark, sf_dir):
+    """X1/X2 embedding-cosine near-dup: blocked exact pairs — the
+    self-join runs within label blocks, so pair count is quadratic only
+    in block size. Oracle-certified (both engines fold the dot product
+    in identical order → bit-equal cosines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+
+
+def q_embed_dup_lsh(spark, sf_dir):
+    """X1/X2 embedding near-dup with self-derived LSH blocks (no label
+    needed): approximate by construction → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35, block_col=None)
+
+
+def q_parquet_roundtrip(spark, sf_dir):
+    """S6/S8: size-targeted parquet sink + read-back (the reference's
+    SizeEstimator→coalesce→write, NB:416–437, on supported APIs).
+    Writes to a temp dir; returns (n_rows, n_partitions_used)."""
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import read_parquet, write_parquet
+
+    ev = _events_us(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="flight_etl_sink_") + "/events"
+    parts = write_parquet(ev, out, target_mb=200)
+    back = read_parquet(spark, out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(parts).cast("int").alias("n_partitions"),
+    )
+
+
 def q_decode_features(spark, sf_dir):
     """X3 Arrow-batched decode plumbing: mapInPandas feature extraction
     over binary payloads (stub kernel, real batching/schema)."""
@@ -692,6 +730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
+        "q_embed_dup": q_embed_dup,
+        "q_embed_dup_lsh": q_embed_dup_lsh,
+        "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_decode_features": q_decode_features,
     }
 
@@ -1049,6 +1090,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_embed_dup": """
+            WITH v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.ve, b.ve) / (a.n * b.n), 6) AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
         """,
         "q_multimodal_meta": """
             SELECT doc_id,

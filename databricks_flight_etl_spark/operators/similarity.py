@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_bucket",
-           "ann_topk_lsh"]
+           "ann_topk_lsh", "cosine_near_dup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -71,6 +71,57 @@ def cosine_topk(
         .orderBy(F.desc("__cos"), F.asc(id_col))
         .limit(k)
         .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine ≥ threshold and id_a < id_b.
+
+    Candidate generation is a self-equi-join on ``block_col`` (a label,
+    shard, or precomputed LSH bucket — see ``hyperplane_bucket``), never
+    a full cross join: per-block pairs are quadratic only in the block
+    size, and the join shuffles (id, vector, norm) co-located by block.
+    With ``block_col=None`` an 8-plane LSH bucket is derived from the
+    vectors themselves (approximate: cross-bucket pairs are missed —
+    acceptable for near-DUPLICATE hunting where cosine≈1 pairs almost
+    always share a bucket).
+
+    Norms are computed once per side before the join; float32 input is
+    cast to double before any arithmetic.
+    """
+    v = df.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("__v"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    if block_col is None:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, 8, seed=42)
+        v = v.withColumn("__blk", hyperplane_bucket(F.col("__v"), planes))
+    v = v.withColumn("__n", l2_norm(F.col("__v")))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__blk",
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__blk",
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        a.join(b, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("__cos"))
+        .where(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", decimals).alias("cosine"))
     )
 
 

@@ -12,7 +12,16 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimate_bytes", "partitions_for_target", "explain_str"]
+__all__ = [
+    "estimate_bytes",
+    "partitions_for_target",
+    "explain_str",
+    "pushed_filters",
+    "read_schemas",
+    "has_operator",
+    "count_operator",
+    "plan_audit",
+]
 
 
 def estimate_bytes(df: DataFrame, sample_rows: int = 10_000) -> int:
@@ -45,3 +54,65 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), mode
     )
+
+
+# ---------------------------------------------------------------------------
+# Plan audit: machine-checkable answers to "is this the plan I'd want at
+# 100 TB?" — filters reached the scan, columns pruned, small dims broadcast,
+# no surprise shuffles. Used by tests/test_plans.py to pin plan quality.
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans (flattened).
+    Empty list ⇒ nothing pushed — for a filtered parquet scan that's a
+    red flag (each filter becomes a post-scan row filter instead of a
+    row-group skip)."""
+    out: list[str] = []
+    for line in explain_str(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            body = line.split(":", 1)[1].strip().strip("[]")
+            out.extend(f.strip() for f in body.split(",") if f.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings, one per file scan — verifies column
+    pruning (a scan reading all columns for a 2-column projection is
+    wasted I/O that scales linearly with data size)."""
+    return [
+        line.strip().split(":", 1)[1].strip()
+        for line in explain_str(df).splitlines()
+        if line.strip().startswith("ReadSchema:")
+    ]
+
+
+def count_operator(df: DataFrame, op: str) -> int:
+    """Occurrences of a physical operator (e.g. 'BroadcastHashJoin',
+    'Exchange', 'HashAggregate') in the formatted plan's tree section."""
+    n = 0
+    for line in explain_str(df).splitlines():
+        # tree lines look like '+- BroadcastHashJoin Inner BuildRight (16)'
+        # or detail headers '(16) BroadcastHashJoin'; count tree lines only.
+        s = line.strip()
+        if (s.startswith(("+-", ":-", "*", ":  +-")) or s[:1].isalnum()) and op in s:
+            if not s.startswith("("):
+                n += 1
+    return n
+
+
+def has_operator(df: DataFrame, op: str) -> bool:
+    return count_operator(df, op) > 0
+
+
+def plan_audit(df: DataFrame) -> dict:
+    """One-call summary for eyeballing a plan in a REPL or asserting in
+    tests: pushed filters, read schemas, shuffle count, join strategies."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "n_shuffles": count_operator(df, "Exchange")
+        - count_operator(df, "BroadcastExchange"),
+        "n_broadcast_joins": count_operator(df, "BroadcastHashJoin"),
+        "n_sortmerge_joins": count_operator(df, "SortMergeJoin"),
+        "has_take_ordered": has_operator(df, "TakeOrderedAndProject"),
+    }

@@ -8,6 +8,16 @@ share semantics so Q6-style checks can move to a live feed without API
 changes (SURVEY §7.4 item 6).
 """
 
-from .jobs import run_stream_to_memory, streaming_day_counts, streaming_dedup
+from .jobs import (
+    run_stream_to_memory,
+    streaming_day_counts,
+    streaming_dedup,
+    streaming_sessionize,
+)
 
-__all__ = ["streaming_day_counts", "streaming_dedup", "run_stream_to_memory"]
+__all__ = [
+    "streaming_day_counts",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "run_stream_to_memory",
+]

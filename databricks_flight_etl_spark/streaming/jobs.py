@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["streaming_day_counts", "streaming_dedup", "run_stream_to_memory"]
+__all__ = [
+    "streaming_day_counts",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "run_stream_to_memory",
+]
 
 
 def streaming_day_counts(
@@ -44,6 +49,40 @@ def streaming_dedup(
     forever)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators.sessions.session_counts, via the
+    built-in ``session_window`` (gap-based, merging windows as events
+    arrive). A session closes — and its row finalizes — once the
+    watermark passes its end + gap. Output: (user, session_start,
+    session_end, n_events) per closed session, append mode.
+
+    Batch/stream parity note: session *identity* differs (the batch
+    operator numbers sessions 1..n per user; here each session is keyed
+    by its time window), but the partitioning is identical — same gap
+    rule, same event→session assignment.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

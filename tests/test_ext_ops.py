@@ -148,3 +148,30 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(df, "payload", "id", every_n_bytes=64)
     per_id = frames.groupBy("id").count().collect()
     assert all(r["count"] >= 1 for r in per_id)
+
+
+def test_cosine_near_dup_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.1, 0.0], "a"),   # near dup of 0 (same block)
+        (2, [0.0, 1.0, 0.0], "a"),    # orthogonal
+        (3, [1.0, 0.0, 0.0], "b"),    # identical to 0 but different block
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.9, block_col="label"
+        ).collect()
+    }
+    assert set(got) == {(0, 1)}          # blocking hides (0,3); (0,2) below threshold
+    assert got[(0, 1)] > 0.99
+
+    # self-derived LSH blocks: identical vectors always share a bucket
+    got_lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(
+            df.drop("label"), threshold=0.9, block_col=None
+        ).collect()
+    }
+    assert (0, 3) in got_lsh

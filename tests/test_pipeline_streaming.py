@@ -13,6 +13,7 @@ from databricks_flight_etl_spark.streaming import (
     run_stream_to_memory,
     streaming_day_counts,
     streaming_dedup,
+    streaming_sessionize,
 )
 
 
@@ -125,3 +126,50 @@ def test_streaming_dedup(spark, stream_dir):
     )
     assert out.count() == 3
     assert out.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+SESS_SCHEMA = "user_id long, ts timestamp"
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Append-mode session_window: sessions emit only once the watermark
+    passes their end + gap, so a second (much later) batch is what
+    flushes the first batch's sessions."""
+    d = str(tmp_path / "sess_events")
+    t = dt.datetime
+    batch1 = [
+        (1, t(2024, 1, 1, 9, 0)),
+        (1, t(2024, 1, 1, 9, 10)),   # same session (gap 10m < 30m)
+        (1, t(2024, 1, 1, 11, 0)),   # new session
+        (2, t(2024, 1, 1, 9, 5)),
+    ]
+    spark.createDataFrame(batch1, SESS_SCHEMA).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(SESS_SCHEMA).format("parquet").load(d)
+    q = (
+        streaming_sessionize(stream, "user_id", "ts", gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late batch far in the future advances the watermark past all
+        # batch-1 sessions
+        spark.createDataFrame(
+            [(9, t(2024, 1, 3, 0, 0))], SESS_SCHEMA
+        ).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.table("sess_out").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 09:00:00"): 2,
+        (1, "2024-01-01 11:00:00"): 1,
+        (2, "2024-01-01 09:05:00"): 1,
+    }
