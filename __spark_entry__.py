@@ -42,7 +42,9 @@ from databricks_flight_etl_spark.operators.text import (
     EN_STOPWORDS,
     lang_id,
     text_quality,
+    token_counts,
     token_top_k,
+    winnow_fingerprints,
 )
 from databricks_flight_etl_spark.operators.dedup import (
     exact_dedup_groups,
@@ -643,6 +645,27 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """X4 token counting, whitespace + BPE-ish regex (letter runs,
+    digit runs, single punctuation — the pre-tokenizer shape). Pattern
+    uses only ASCII classes so Java regex and RE2 agree."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_counts(docs, "text", "doc_id")
+    return tc.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_winnow(spark, sf_dir):
+    """X4 winnowing (MOSS rolling-hash fingerprints): per-doc selected
+    k-gram hash set — xxhash64-based, not SQL-oracle-expressible →
+    rows-only. Guarantees shared fingerprints for shared runs ≥ k+w-1."""
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+
+
 def q_embed_dup(spark, sf_dir):
     """X1/X2 embedding-cosine near-dup: blocked exact pairs — the
     self-join runs within label blocks, so pair count is quadratic only
@@ -730,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
+        "q_token_count_bpe": q_token_count_bpe,
+        "q_winnow": q_winnow,
         "q_embed_dup": q_embed_dup,
         "q_embed_dup_lsh": q_embed_dup_lsh,
         "q_parquet_roundtrip": q_parquet_roundtrip,
@@ -1090,6 +1115,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "q_embed_dup": """
             WITH v AS (

@@ -172,16 +172,16 @@ def _jaccard_verified(
     """Exact shingle-set Jaccard for candidate pairs via the inverted
     index: |A∩B| from a join on shingle, sizes from per-doc counts.
 
-    Only docs that appear in some candidate pair enter the verify joins
-    (left-semi prune) — verification cost scales with the candidate set,
-    not the corpus."""
-    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    Only docs that appear in some candidate pair are even SHINGLED
+    (left-semi prune on the raw docs, before the explode) — verification
+    cost scales with the candidate set, not the corpus."""
     ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .unionByName(pairs.select(F.col("id_b").alias("__id")))
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(ids, "__id", "left_semi")  # AQE picks broadcast when small
+    docs = df.join(ids, id_col, "left_semi")  # AQE broadcasts when small
+    sh = _shingle_table(docs, text_col, id_col, shingle_k)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh"))

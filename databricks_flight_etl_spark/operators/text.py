@@ -19,10 +19,13 @@ __all__ = [
     "EN_STOPWORDS",
     "STOPWORD_SETS",
     "tokens",
+    "bpe_ish_tokens",
+    "token_counts",
     "token_top_k",
     "text_quality",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -42,6 +45,35 @@ def tokens(col: Column | str) -> Column:
     empty strings from runs of spaces are filtered)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+# Letter runs, digit runs, and single non-space symbols — the shape a
+# byte-pair-encoding pre-tokenizer produces before merges. The character
+# classes are plain ASCII ranges so the pattern means the same thing in
+# Java regex (Spark) and RE2 (DuckDB/others).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-pre-tokenizer-style tokens as array<string>: letter runs,
+    digit runs, and individual punctuation marks ('don't' → [don, ',
+    t]; 'v2.0' → [v, 2, ., 0]). A cheap JVM-side proxy for LLM token
+    counting — counts correlate with real BPE token counts far better
+    than whitespace splits on code/punctuation-heavy text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_counts(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document token counts, whitespace and BPE-ish:
+    (id, n_ws_tokens, n_bpe_tokens). Per-row array math — no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
+    )
 
 
 def token_top_k(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
@@ -116,4 +148,47 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col),
         F.substring(F.sha2(F.col(text_col), 256), 1, hex_chars).alias("fp"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): hash every k-gram,
+    keep the minimum hash of each sliding window of ``window`` k-grams,
+    deduplicate. Two documents sharing any run of ≥ k+window-1 chars
+    are guaranteed to share a fingerprint — the basis of contained-copy
+    detection (quote/boilerplate reuse), which whole-document hashing
+    and Jaccard both miss.
+
+    Output: (id, fp) long table, one row per distinct selected hash.
+    The whole selection is per-row array math (k-gram order is
+    positional, so no explode/regroup that could reorder): normalize →
+    ordered k-gram hashes → window minima → explode. The only shuffle
+    is the final distinct on (id, fp).
+    """
+    from .dedup import normalize_text  # local import: avoid module cycle
+
+    norm = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__t")
+    )
+    t = F.col("__t")
+    # ordered (non-distinct!) k-gram hash sequence; short texts hash whole
+    grams = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: F.xxhash64(F.substring(t, i, k)),
+        ),
+    ).otherwise(F.array(F.xxhash64(t)))
+    hashed = norm.select(F.col(id_col), grams.alias("__hs"))
+    n = F.size(F.col("__hs"))
+    win_mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+    )
+    return (
+        hashed.select(F.col(id_col), F.explode(win_mins).alias("fp"))
+        .distinct()
     )

@@ -175,3 +175,29 @@ def test_cosine_near_dup_pairs(spark):
         ).collect()
     }
     assert (0, 3) in got_lsh
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(0, "don't stop v2.0!")], "id long, text string")
+    toks = df.select(text.bpe_ish_tokens("text").alias("t")).first()["t"]
+    assert toks == ["don", "'", "t", "stop", "v", "2", ".", "0", "!"]
+    counts = text.token_counts(df, "text", "id").first()
+    assert counts["n_ws_tokens"] == 3 and counts["n_bpe_tokens"] == 9
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # docs share a 40-char run >> k+window-1 = 11 → must share a fingerprint
+    shared = "this exact sentence appears in both docs"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "totally different lead-in " + shared + " and another tail"),
+        (2, "nothing in common with the others at all, not one bit"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = text.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.where(F.col("doc_id") == i).collect()}
+        for i in (0, 1, 2)
+    }
+    assert by_doc[0] & by_doc[1], "shared run must produce shared fingerprints"
+    assert not (by_doc[0] & by_doc[2] and by_doc[1] & by_doc[2])
