@@ -645,6 +645,58 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_sql_surface(spark, sf_dir):
+    """G4 (Entry 2): temp view + spark.sql — the reference's SQL entry
+    path, running the Q7 HHMM decode as an inline SQL string (the exact
+    shape of NB:261–291) instead of the DataFrame API. Same oracle as
+    q_derive_timestamp; certifies the dual API surface."""
+    from databricks_flight_etl_spark.session import register_views
+
+    ev = _t(spark, sf_dir, "events")
+    register_views(spark, {"events_v": ev})
+    return spark.sql("""
+        WITH t AS (
+            SELECT event_id,
+                   hour(ts) * 100 + minute(ts) AS dep,
+                   year(ts) AS y, month(ts) AS m, day(ts) AS d
+            FROM events_v
+        )
+        SELECT event_id, dep AS dep_int,
+               CASE WHEN substring(cast(dep AS string), 1, 2) = '24'
+                         OR length(cast(dep AS string)) < 3 THEN '00'
+                    WHEN length(cast(dep AS string)) = 3
+                         THEN substring(cast(dep AS string), 1, 1)
+                    ELSE substring(cast(dep AS string), 1, 2)
+               END AS dep_hour,
+               right(cast(dep AS string), 2) AS dep_min,
+               unix_millis(to_timestamp(concat(
+                   cast(y AS string), '-', lpad(cast(m AS string), 2, '0'),
+                   '-', lpad(cast(d AS string), 2, '0'), ' ',
+                   lpad(CASE WHEN substring(cast(dep AS string), 1, 2) = '24'
+                                  OR length(cast(dep AS string)) < 3 THEN '00'
+                             WHEN length(cast(dep AS string)) = 3
+                                  THEN substring(cast(dep AS string), 1, 1)
+                             ELSE substring(cast(dep AS string), 1, 2)
+                        END, 2, '0'),
+                   ':', lpad(right(cast(dep AS string), 2), 2, '0')),
+                   'yyyy-MM-dd HH:mm')) AS dep_ts_ms
+        FROM t
+    """)
+
+
+def q_value_freq_capped(spark, sf_dir):
+    """Q3 at scale: top-10 values per string column + exact distinct
+    count (exact_distinct=True for oracle determinism; production
+    default is the HLL sketch)."""
+    from databricks_flight_etl_spark.operators import consistency
+
+    ev = _t(spark, sf_dir, "events")
+    out = consistency.value_frequencies_capped(
+        ev, ["event_type", "props"], top_k=10, exact_distinct=True
+    )
+    return out.withColumnRenamed("approx_n_distinct", "n_distinct")
+
+
 def q_token_count_bpe(spark, sf_dir):
     """X4 token counting, whitespace + BPE-ish regex (letter runs,
     digit runs, single punctuation — the pre-tokenizer shape). Pattern
@@ -753,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
+        "q_sql_surface": q_sql_surface,
+        "q_value_freq_capped": q_value_freq_capped,
         "q_token_count_bpe": q_token_count_bpe,
         "q_winnow": q_winnow,
         "q_embed_dup": q_embed_dup,
@@ -1115,6 +1169,59 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_sql_surface": """
+            WITH t AS (
+                SELECT event_id,
+                       hour(ts) * 100 + minute(ts) AS dep,
+                       year(ts) AS y, month(ts) AS m, day(ts) AS d
+                FROM events
+            )
+            SELECT event_id, dep AS dep_int,
+                   CASE WHEN substr(CAST(dep AS VARCHAR), 1, 2) = '24'
+                             OR length(CAST(dep AS VARCHAR)) < 3 THEN '00'
+                        WHEN length(CAST(dep AS VARCHAR)) = 3
+                             THEN substr(CAST(dep AS VARCHAR), 1, 1)
+                        ELSE substr(CAST(dep AS VARCHAR), 1, 2)
+                   END AS dep_hour,
+                   right(CAST(dep AS VARCHAR), 2) AS dep_min,
+                   epoch_ms(strptime(
+                       CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(d AS VARCHAR), 2, '0') || ' '
+                       || lpad(CASE WHEN substr(CAST(dep AS VARCHAR), 1, 2) = '24'
+                                         OR length(CAST(dep AS VARCHAR)) < 3 THEN '00'
+                                    WHEN length(CAST(dep AS VARCHAR)) = 3
+                                         THEN substr(CAST(dep AS VARCHAR), 1, 1)
+                                    ELSE substr(CAST(dep AS VARCHAR), 1, 2)
+                               END, 2, '0')
+                       || ':' || lpad(right(CAST(dep AS VARCHAR), 2), 2, '0'),
+                       '%Y-%m-%d %H:%M')) AS dep_ts_ms
+            FROM t
+        """,
+        "q_value_freq_capped": """
+            WITH f AS (
+                SELECT 'event_type' AS "column", event_type AS value,
+                       count(*) AS n
+                FROM events GROUP BY 2
+                UNION ALL
+                SELECT 'props', props, count(*) FROM events GROUP BY 2
+            ),
+            r AS (
+                SELECT "column", value, n,
+                       CAST(row_number() OVER (
+                           PARTITION BY "column"
+                           ORDER BY n DESC, value ASC) AS INT) AS rank
+                FROM f
+            ),
+            d AS (
+                SELECT 'event_type' AS "column",
+                       count(DISTINCT event_type) AS n_distinct FROM events
+                UNION ALL
+                SELECT 'props', count(DISTINCT props) FROM events
+            )
+            SELECT r."column", r.value, r.n, r.rank, d.n_distinct
+            FROM r JOIN d ON r."column" = d."column"
+            WHERE r.rank <= 10
         """,
         "q_token_count_bpe": """
             SELECT doc_id,

@@ -43,7 +43,8 @@ def value_frequencies(df: DataFrame, cols: list[str] | None = None) -> DataFrame
 
 
 def value_frequencies_capped(
-    df: DataFrame, cols: list[str] | None = None, top_k: int = 100
+    df: DataFrame, cols: list[str] | None = None, top_k: int = 100,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Scale-safe variant: top-k values per column by frequency
     (ties broken by value) + per-column approx distinct count.
@@ -51,6 +52,10 @@ def value_frequencies_capped(
     Output: (column, value, n, rank, approx_n_distinct). The window
     runs over the *aggregated* (column, value, n) rows — small — not the
     raw data, so the only full-data shuffle is the groupBy.
+
+    ``exact_distinct=True`` swaps the HLL sketch for an exact
+    count(DISTINCT) — deterministic/oracle-comparable, but a second
+    shuffle per column at scale; the sketch is the 100 TB default.
     """
     freqs = value_frequencies(df, cols)
     w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
@@ -59,9 +64,8 @@ def value_frequencies_capped(
         .where(F.col("rank") <= top_k)
     )
     cols = cols if cols is not None else string_columns(df)
-    approx = df.agg(
-        *[F.approx_count_distinct(c).alias(c) for c in cols]
-    )
+    counter = F.countDistinct if exact_distinct else F.approx_count_distinct
+    approx = df.agg(*[counter(c).alias(c) for c in cols])
     stack = "stack({n}, {args}) as (column, approx_n_distinct)".format(
         n=len(cols), args=", ".join(f"'{c}', `{c}`" for c in cols)
     )

@@ -45,6 +45,19 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+def register_views(spark: SparkSession, tables, prefix: str = "") -> list[str]:
+    """Expose DataFrames as session temp views — the dual SQL surface
+    (reference Entry 2, SURVEY §3: every operator usable from both the
+    DataFrame API and ``spark.sql`` over views). Views wrap the lazy
+    plans, not materialized data. Returns the registered names."""
+    names = []
+    for name, df in tables.items():
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        names.append(view)
+    return names
+
+
 def get_spark(
     app_name: str = "flight-etl-engine",
     cpus: int | None = None,
