@@ -53,6 +53,7 @@ from databricks_flight_etl_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from databricks_flight_etl_spark.operators.similarity import (
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_near_dup_pairs,
     cosine_topk,
@@ -645,6 +646,14 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """X2 IVF ANN: coarse k-means quantizer (deterministic seeds, 2
+    Lloyd steps) → probe the 4 nearest of 16 lists → exact re-rank.
+    Approximate recall by construction → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, probe_id=0, k=10, n_lists=16, n_probe=4)
+
+
 def q_sql_surface(spark, sf_dir):
     """G4 (Entry 2): temp view + spark.sql — the reference's SQL entry
     path, running the Q7 HHMM decode as an inline SQL string (the exact
@@ -805,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_sql_surface": q_sql_surface,
         "q_value_freq_capped": q_value_freq_capped,
         "q_token_count_bpe": q_token_count_bpe,

@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_bucket",
-           "ann_topk_lsh", "cosine_near_dup_pairs"]
+           "ann_topk_lsh", "cosine_near_dup_pairs",
+           "ivf_centroids", "ivf_assign", "ann_topk_ivf"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -122,6 +123,127 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("__cos"))
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", decimals).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer → per-list inverted
+# index → probe the nearest n_probe lists only. The scale path beyond LSH:
+# at 100 TB the corpus is written partitioned by list_id, so a query scans
+# n_probe/n_lists of the data with partition pruning doing the skipping.
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _unit(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the max-cosine centroid. Centroids are unit
+    vectors, so argmax dot == argmax cosine; array_position finds the
+    max's index (exact double equality — same computed value)."""
+    dots = F.array(*[dot(vec, _lit_vec(c)) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: seed with the ``n_lists`` vectors
+    of smallest xxhash64(id) (seeded 'random' sample without an RNG),
+    then ``iters`` distributed Lloyd steps — assign (narrow map) +
+    per-list elementwise mean via posexplode/groupBy. Only the
+    (n_lists × dim) centroid table ever reaches the driver."""
+    seeds = (
+        df.select(
+            _as_double(vec_col).alias("__v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "__v")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = [_unit(list(r["__v"])) for r in seeds]
+    vecs = df.select(_as_double(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn("__list", _nearest_list(F.col("__v"), cents))
+        means = (
+            assigned.select("__list", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("__list", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__list")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("__list", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_list = {r["__list"]: _unit(list(r["c"])) for r in means}
+        # empty lists keep their previous centroid
+        cents = [by_list.get(i, cents[i]) for i in range(n_lists)]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Attach the IVF list id (nearest-centroid index) — the column to
+    partition/cluster the stored index by."""
+    return df.withColumn(
+        out_col, _nearest_list(_as_double(vec_col), centroids)
+    )
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids by cosine to the probe, scan only
+    the ``n_probe`` nearest lists, exact cosine re-rank within them.
+    Recall misses only when a true neighbor's list ranks below n_probe.
+    (In production, centroids are trained once and the assignment is a
+    stored partition column — per-query work is just the pruned scan.)"""
+    cents = ivf_centroids(df, id_col, vec_col, n_lists, iters)
+    probe_vec = list(
+        df.filter(F.col(id_col) == probe_id).select(_as_double(vec_col)).first()[0]
+    )
+    pu = _unit(probe_vec)
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: -sum(a * b for a, b in zip(pu, cents[i])),
+    )
+    lists = ranked[:n_probe]
+    assigned = ivf_assign(df, cents, vec_col, "__list")
+    cand = assigned.filter(F.col("__list").isin(*lists)).select(
+        F.col(id_col), _as_double(vec_col).alias("__v")
+    )
+    cos = cosine(F.col("__v"), _lit_vec(probe_vec))
+    return (
+        cand.select(F.col(id_col), cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
     )
 
 

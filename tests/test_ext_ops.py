@@ -201,3 +201,36 @@ def test_winnow_shared_run_guarantee(spark):
     }
     assert by_doc[0] & by_doc[1], "shared run must produce shared fingerprints"
     assert not (by_doc[0] & by_doc[2] and by_doc[1] & by_doc[2])
+
+
+def test_ivf_ann_clustered(spark):
+    # three tight, well-separated clusters: with n_lists=3 and n_probe=1
+    # the probe's own cluster is recovered exactly
+    import itertools
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for cid, (dx, dy, dz) in itertools.product(
+        base, [(0.1, 0, 0), (0, 0.1, 0), (0, 0, 0.1), (0.1, 0.1, 0)]
+    ):
+        b = base[cid]
+        rows.append(
+            (len(rows), [b[0] + dx, b[1] + dy, b[2] + dz], cid)
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = similarity.ann_topk_ivf(
+        df, probe_id=0, k=4, n_lists=3, n_probe=1, iters=2
+    ).collect()
+    cluster0 = {r[0] for r in rows if r[2] == 0}
+    assert {r["vec_id"] for r in got} == cluster0
+    assert all(r["cosine"] > 0.99 for r in got)
+
+
+def test_ivf_assign_partition_column(spark):
+    rows = [(i, [float(i % 2) * 10 + 1, float(1 - i % 2) * 10 + 1]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(df, n_lists=2, iters=2)
+    assigned = similarity.ivf_assign(df, cents)
+    got = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    evens = {got[i] for i in range(0, 8, 2)}
+    odds = {got[i] for i in range(1, 8, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
