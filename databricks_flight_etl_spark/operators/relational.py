@@ -11,7 +11,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["top_k", "join_broadcast_dim", "top_k_per_group"]
+__all__ = [
+    "top_k",
+    "join_broadcast_dim",
+    "top_k_per_group",
+    "salted_join",
+    "salted_count",
+]
 
 
 def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
@@ -26,6 +32,61 @@ def join_broadcast_dim(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
     skips shuffling the fact table (reference J1's date spine join is the
     same shape, SURVEY §2.3)."""
     return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_src: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the LEFT side: the left gets a
+    deterministic salt (hash of ``salt_src`` columns, default all left
+    columns), the right is replicated once per salt value, and the join
+    key becomes (keys + salt) — a hot key's rows now spread over
+    ``n_salts`` tasks instead of one straggler.
+
+    Cost: right side is exploded ``n_salts``× — use when right is modest
+    (or itself pre-aggregated). AQE's skew-join split covers sort-merge
+    skew automatically; salting is for when you also need the downstream
+    partitioning spread (e.g. a following window/stateful op on the same
+    key), or for broadcast-disabled environments. Result equals the
+    plain join (semantics-preserving; pinned by tests).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (salt_src or left.columns)]),
+        F.lit(n_salts),
+    ).cast("int")
+    salted_left = left.withColumn("__salt", salt)
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_left.join(
+        replicated_right, key_cols + ["__salt"], how
+    ).drop("__salt")
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Two-stage salted groupBy-count: stage 1 aggregates on
+    (keys + salt) so a hot key's stream spreads across ``n_salts``
+    reducers; stage 2 combines the per-salt partials. Equal to
+    ``groupBy(keys).count()`` (pinned by tests).
+
+    Spark's map-side partial aggregation already de-skews plain
+    counts/sums — reach for this pattern when the per-key state is what
+    skews (collect_set/percentile/large sketches), substituting the
+    appropriate partial/final pair for count/sum."""
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__n").alias("count"))
 
 
 def top_k_per_group(

@@ -77,6 +77,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # bucketed saveAsTable target — keep managed tables out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/flight_etl_warehouse"),
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -23,6 +23,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "write_parquet",
+    "write_bucketed",
 ]
 
 
@@ -122,3 +123,29 @@ def write_parquet(
     parts = partitions_for_target(est, target_mb=target_mb)
     df.coalesce(parts).write.mode(mode).option("compression", compression).parquet(path)
     return parts
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed parquet table (hash-bucketed by ``bucket_cols``,
+    optionally sorted within buckets).
+
+    The co-located-join primitive: two tables bucketed by the same key
+    into the same bucket count join with NO Exchange — each task zips
+    bucket i with bucket i (and with ``sort_cols`` set, no Sort either).
+    The 100 TB pattern for fact⋈fact joins repeated across many jobs:
+    pay the shuffle once at write, never per query
+    (tests/test_pipeline_streaming pins the shuffle-free plan).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -12,12 +12,14 @@ from .jobs import (
     run_stream_to_memory,
     streaming_day_counts,
     streaming_dedup,
+    streaming_running_counts,
     streaming_sessionize,
 )
 
 __all__ = [
     "streaming_day_counts",
     "streaming_dedup",
+    "streaming_running_counts",
     "streaming_sessionize",
     "run_stream_to_memory",
 ]

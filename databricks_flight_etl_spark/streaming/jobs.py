@@ -16,6 +16,7 @@ __all__ = [
     "streaming_day_counts",
     "streaming_dedup",
     "streaming_sessionize",
+    "streaming_running_counts",
     "run_stream_to_memory",
 ]
 
@@ -82,6 +83,59 @@ def streaming_sessionize(
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
             "n_events",
+        )
+    )
+
+
+def streaming_running_counts(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (n_events, sum_value) that survives across micro-batches —
+    the escape hatch for stateful logic the built-in windowed aggs can't
+    express (counters, custom sketches, online stats).
+
+    State is one tiny tuple per key, Arrow-batched per group; emits the
+    updated running totals for keys touched in each batch (update mode).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

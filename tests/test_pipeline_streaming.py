@@ -173,3 +173,73 @@ def test_streaming_sessionize(spark, tmp_path):
         (1, "2024-01-01 11:00:00"): 1,
         (2, "2024-01-01 09:05:00"): 1,
     }
+
+
+def test_streaming_running_counts_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate ACROSS micro-batches
+    (state, not per-batch agg)."""
+    from databricks_flight_etl_spark.streaming import streaming_running_counts
+
+    d = str(tmp_path / "run_events")
+    t = dt.datetime
+    spark.createDataFrame(
+        [(1, t(2024, 1, 1, 9, 0), 10.0), (1, t(2024, 1, 1, 9, 1), 5.0),
+         (2, t(2024, 1, 1, 9, 2), 1.0)],
+        "user_id long, ts timestamp, value double",
+    ).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).format("parquet").load(d)
+    q = (
+        streaming_running_counts(stream, "user_id", "value")
+        .writeStream.format("memory").queryName("run_out")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, t(2024, 1, 1, 9, 5), 7.0)],
+            "user_id long, ts timestamp, value double",
+        ).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("run_out").collect()
+    # last emission per key wins (update mode appends each batch's rows
+    # to the memory sink; take the max n_events per key)
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["n_events"] > latest[r["key"]][0]:
+            latest[r["key"]] = (r["n_events"], r["sum_value"])
+    assert latest[1] == (3, 22.0)   # 2 events batch 1 + 1 event batch 2
+    assert latest[2] == (1, 1.0)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed by the join key into the same bucket count
+    join without any Exchange — the pay-the-shuffle-once-at-write
+    pattern for repeated fact-to-fact joins."""
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(1000)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(i, i * 2.0) for i in range(1000)], "k long, bv double"
+    )
+    sources.write_bucketed(a, "bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+    sources.write_bucketed(b, "bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert plans.count_operator(joined, "SortMergeJoin") == 1
+        n_shuffles = plans.count_operator(joined, "Exchange") - \
+            plans.count_operator(joined, "BroadcastExchange")
+        assert n_shuffles == 0, plans.explain_str(joined)
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -154,3 +154,34 @@ def test_missing_days(spark):
         "2008-01-01": 1, "2008-01-02": 1, "2008-01-03": 1,
         "2008-01-04": 0, "2008-01-05": 1,
     }
+
+
+def test_salted_join_equals_plain_join(spark):
+    from databricks_flight_etl_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, "hot")] * 50 + [(2, "warm")] * 3 + [(9, "orphan")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 300.0)], "k long, rv double"
+    )
+    for how in ("inner", "left"):
+        plain = relational.join_broadcast_dim(left, right, "k", how) \
+            .select("k", "lv", "rv")
+        salted = relational.salted_join(left, right, ["k"], n_salts=4, how=how) \
+            .select("k", "lv", "rv")
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_equals_groupby_count(spark):
+    from databricks_flight_etl_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i % 3, f"p{i}") for i in range(100)], "k long, payload string"
+    )
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"]
+              for r in relational.salted_count(df, ["k"], n_salts=8).collect()}
+    assert plain == salted
