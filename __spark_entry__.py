@@ -646,6 +646,67 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (absent from both the reference and stock Spark): for
+    every click event, the user's most recent purchase at or before it.
+    Union + sorted-window carry — one shuffle on the key, no range
+    nested-loop. Oracle: DuckDB's native ASOF JOIN. Right side is
+    pre-aggregated per (user, ts) so timestamp ties can't make the
+    match ambiguous."""
+    from databricks_flight_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purch_id"),
+            F.max("value").alias("purch_value"),
+        )
+    )
+    out = asof_join(
+        clicks, purchases, keys=["user_id"],
+        left_ts="ts", right_ts="ts", how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purch_id",
+        "purch_value",
+        (F.unix_micros("ts") - F.unix_micros("__matched_ts")).alias("gap_us"),
+    )
+
+
+def q_range_join_time(spark, sf_dir):
+    """Time-range join: (click, error) pairs of the same user within
+    5 minutes — bucketed equi-join on (key, time cell) with neighbor
+    cells instead of a nested-loop range predicate."""
+    from databricks_flight_etl_spark.operators.temporal import range_join_time
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_id"),
+    )
+    out = range_join_time(
+        clicks, errors, keys=["user_id"],
+        left_ts="ts", right_ts="err_ts", tolerance_minutes=5,
+    )
+    return out.select(
+        "click_id",
+        "err_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("err_ts")).alias("delta_us"),
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """X2 IVF ANN: coarse k-means quantizer (deterministic seeds, 2
     Lloyd steps) → probe the 4 nearest of 16 lists → exact re-rank.
@@ -815,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_asof_join": q_asof_join,
+        "q_range_join_time": q_range_join_time,
         "q_sql_surface": q_sql_surface,
         "q_value_freq_capped": q_value_freq_capped,
         "q_token_count_bpe": q_token_count_bpe,
@@ -1179,6 +1242,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_asof_join": """
+            WITH purchases AS (
+                SELECT user_id, ts,
+                       max(event_id) AS purch_id,
+                       max(value) AS purch_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2
+            )
+            SELECT a.event_id, a.user_id, b.purch_id, b.purch_value,
+                   epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            ASOF JOIN purchases b
+            ON a.user_id = b.user_id AND b.ts <= a.ts
+        """,
+        "q_range_join_time": """
+            SELECT a.event_id AS click_id, b.event_id AS err_id,
+                   a.user_id,
+                   epoch_us(a.ts) - epoch_us(b.ts) AS delta_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            JOIN (SELECT * FROM events WHERE event_type = 'error') b
+              ON a.user_id = b.user_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
         """,
         "q_sql_surface": """
             WITH t AS (

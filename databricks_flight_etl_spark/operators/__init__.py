@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     relational,
     sessions,
     similarity,
+    temporal,
     text,
     timeliness,
     uniqueness,

@@ -1,0 +1,82 @@
+"""Temporal joins: as-of (backward, inclusive) and time-bucketed range
+join — edge semantics pinned against hand-computed expectations."""
+
+from datetime import datetime
+
+from databricks_flight_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_time,
+)
+
+
+def _ts(m, s=0):
+    return datetime(2024, 5, 1, 12, m, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "L1"),
+            (1, _ts(20), "L2"),
+            (1, _ts(5), "L0"),     # before any right row
+            (2, _ts(30), "L3"),    # key with no right rows at all
+        ],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), "R@10"),  # equal ts → inclusive match for L1
+            (1, _ts(15), "R@15"),
+            (1, _ts(25), "R@25"),  # after every left row
+        ],
+        "k long, ts timestamp, rv string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], how="left")
+    got = {r["lv"]: (r["rv"], r["__matched_ts"] and str(r["__matched_ts"]))
+           for r in out.collect()}
+    assert got == {
+        "L0": (None, None),                          # nothing at or before
+        "L1": ("R@10", "2024-05-01 12:10:00"),       # equal ts matches
+        "L2": ("R@15", "2024-05-01 12:15:00"),       # latest ≤, not R@25
+        "L3": (None, None),                          # key absent from right
+    }
+    assert out.count() == 4
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], how="inner")
+    assert {r["lv"] for r in out.collect()} == {"L1", "L2"}
+
+
+def test_asof_rejects_column_collision(spark):
+    left, right = _frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="rename"):
+        asof_join(left, right.withColumnRenamed("rv", "lv"), ["k"])
+
+
+def test_range_join_tolerance_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 200),      # exactly -5 min → inclusive
+            (1, _ts(15), 201),     # exactly +5 min → inclusive
+            (1, _ts(15, 1), 202),  # 5m01s → out
+            (1, _ts(10), 203),     # same instant
+            (2, _ts(10), 204),     # different key
+        ],
+        "k long, rts timestamp, rid long",
+    )
+    out = range_join_time(
+        left, right, ["k"], left_ts="ts", right_ts="rts", tolerance_minutes=5
+    )
+    assert {r["rid"] for r in out.collect()} == {200, 201, 203}
