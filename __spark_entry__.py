@@ -646,6 +646,21 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_quantiles(spark, sf_dir):
+    """A7 extension: exact interpolated percentiles + Pearson
+    correlation per group (Spark `percentile` and DuckDB
+    `quantile_cont` share the (n−1)·p linear-interpolation definition;
+    both rounded to 6). At 100 TB swap `percentile` for
+    `percentile_approx` — the exact form sorts per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (absent from both the reference and stock Spark): for
     every click event, the user's most recent purchase at or before it.
@@ -876,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_quantiles": q_quantiles,
         "q_asof_join": q_asof_join,
         "q_range_join_time": q_range_join_time,
         "q_sql_surface": q_sql_surface,
@@ -1242,6 +1258,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+            FROM lineitem GROUP BY 1
         """,
         "q_asof_join": """
             WITH purchases AS (

@@ -24,6 +24,7 @@ __all__ = [
     "load_tables",
     "write_parquet",
     "write_bucketed",
+    "write_partitioned",
 ]
 
 
@@ -123,6 +124,28 @@ def write_parquet(
     parts = partitions_for_target(est, target_mb=target_mb)
     df.coalesce(parts).write.mode(mode).option("compression", compression).parquet(path)
     return parts
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet layout (`path/col=value/…`).
+
+    The partition-pruning primitive: a filter on ``partition_cols``
+    never touches non-matching directories — at 100 TB a
+    one-day-of-three-years query reads ~0.1% of the files
+    (tests pin `PartitionFilters` in the scan). Choose low-cardinality,
+    always-filtered columns (event date, region); high-cardinality
+    partitioning produces a small-file explosion instead.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
 
 
 def write_bucketed(

@@ -55,3 +55,25 @@ def test_semi_join_no_row_widening(spark):
     df = entrymod.q_join_semi(spark, SF)
     p = plans.explain_str(df)
     assert "LeftSemi" in p
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must show up as a PartitionFilter
+    (directory pruning), not a data filter over every file."""
+    from databricks_flight_etl_spark import sources
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(300)],
+        "id long, day string, v double",
+    )
+    out = str(tmp_path / "by_day")
+    sources.write_partitioned(df, out, ["day"])
+
+    back = spark.read.parquet(out).filter("day = '2024-01-02'")
+    p = plans.explain_str(back)
+    scan = [line for line in p.splitlines() if "PartitionFilters" in line]
+    assert scan and "2024-01-02" in scan[0], p
+    assert back.count() == 100
+    # non-partition filter stays a pushed data filter, for contrast
+    vf = spark.read.parquet(out).filter("v < 10")
+    assert any("LessThan(v" in f for f in plans.pushed_filters(vf))

@@ -87,3 +87,39 @@ def test_planted_near_dups_found(spark):
         ).collect()
     }
     assert (0, 100) in nj
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Seeded randomized cross-check: Spark sessionization vs a
+    pure-Python reference over 60 users x random gaps."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(60):
+        t = datetime(2024, 1, 1, 0, 0, 0)
+        for _ in range(rng.randint(1, 30)):
+            t = t + timedelta(minutes=rng.choice([1, 5, 29, 30, 31, 90]))
+            rows.append((eid, u, t))
+            eid += 1
+
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessions.sessionize(df, "user_id", "ts", 30, "event_id").collect()
+    }
+
+    expect = {}
+    by_user = {}
+    for eid_, u, t in sorted(rows, key=lambda x: (x[1], x[2], x[0])):
+        prev = by_user.get(u)
+        if prev is None:
+            sid = 1
+        else:
+            gap = (t - prev[0]).total_seconds()
+            sid = prev[1] + 1 if gap > 30 * 60 else prev[1]
+        by_user[u] = (t, sid)
+        expect[eid_] = sid
+    assert got == expect
