@@ -646,6 +646,58 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority): 3-way join with per-side
+    filters, grouped revenue, top-10 — filters push to all three scans,
+    revenue through exact decimal inputs, total order on
+    (revenue desc, orderkey asc)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_orderpriority",
+    ).agg(F.sum(rev).cast("double").alias("revenue"))
+    return relational.top_k(
+        agg, [F.desc("revenue"), F.asc("l_orderkey")], 10
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global
+    agg — every predicate reaches the parquet scan; one partial+final
+    agg, no shuffle of data rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """A7 extension: exact interpolated percentiles + Pearson
     correlation per group (Spark `percentile` and DuckDB
@@ -891,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q6": q_tpch_q6,
         "q_quantiles": q_quantiles,
         "q_asof_join": q_asof_join,
         "q_range_join_time": q_range_join_time,
@@ -1258,6 +1312,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "q_tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                   o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q_tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "q_quantiles": """
             SELECT l_returnflag,

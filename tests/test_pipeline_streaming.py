@@ -243,3 +243,19 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_read_json_inference_nested(spark, tmp_path):
+    """S4: JSON scan with schema inference, incl. the nested
+    struct/array shape of the reference's metadata file."""
+    p = str(tmp_path / "meta.json")
+    with open(p, "w") as f:
+        f.write('{"name": "ds", "files": [{"n": "a.csv", "sz": 10}, {"n": "b.csv", "sz": 20}]}\n')
+        f.write('{"name": "ds2", "files": [{"n": "c.csv", "sz": 5}]}\n')
+    df = sources.read_json(spark, p)
+    assert df.count() == 2
+    assert dict(df.dtypes)["files"].startswith("array<struct")
+    total = df.select(
+        F.explode("files").alias("f")
+    ).agg(F.sum("f.sz").alias("s")).first()["s"]
+    assert total == 35
