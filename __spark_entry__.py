@@ -646,6 +646,57 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_streaming_day_counts(spark, sf_dir):
+    """Structured Streaming, certified against the BATCH oracle: the
+    events parquet replayed through a file-source stream → watermarked
+    1-day windows → memory sink. After processAllAvailable the update-
+    mode state equals the batch per-day counts exactly, so the oracle
+    is the same SQL as q_events_per_day."""
+    from databricks_flight_etl_spark.sources import ns_long_to_timestamp
+    from databricks_flight_etl_spark.streaming import streaming_day_counts
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; point basePath at a staging dir
+    # holding just the events file (testdata itself is read-only and the
+    # sf_dir mixes ten tables)
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="flight_etl_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    )
+    out = streaming_day_counts(
+        ns_long_to_timestamp(stream, ["ts"]), "ts", watermark="2 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("harness_stream_days")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("harness_stream_days").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n"
+    )
+
+
+def q_cosine_topk_pandas(spark, sf_dir):
+    """X2 alternative hot path: cosine top-k with the dot products in an
+    Arrow-batched Pandas UDF (numpy matmul). Same answer as the JVM
+    fold (pinned by unit test); numpy's pairwise summation order can
+    differ in the last ulp → rows-only here."""
+    from databricks_flight_etl_spark.operators.similarity import cosine_topk_pandas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(emb, probe_id=0, k=10)
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape (shipping-priority): 3-way join with per-side
     filters, grouped revenue, top-10 — filters push to all three scans,
@@ -943,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_streaming_day_counts": q_streaming_day_counts,
+        "q_cosine_topk_pandas": q_cosine_topk_pandas,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q6": q_tpch_q6,
         "q_quantiles": q_quantiles,
@@ -1311,6 +1364,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q_streaming_day_counts": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n
             FROM events GROUP BY 1
         """,
         "q_tpch_q3": """

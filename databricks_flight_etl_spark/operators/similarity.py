@@ -21,8 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "hyperplane_bucket",
-           "ann_topk_lsh", "cosine_near_dup_pairs",
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_pandas",
+           "hyperplane_bucket", "ann_topk_lsh", "cosine_near_dup_pairs",
            "ivf_centroids", "ivf_assign", "ann_topk_ivf"]
 
 
@@ -123,6 +123,64 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("__cos"))
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", decimals).alias("cosine"))
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """``cosine_topk`` with the dot products computed in Arrow-batched
+    Python (numpy matmul per batch via ``mapInPandas``) instead of JVM
+    higher-order functions.
+
+    The alternative hot path when vectors are wide: numpy's BLAS matmul
+    beats the element-wise JVM fold at high dimensions, at the price of
+    Arrow transfer. Same results as the built-in version (pinned by
+    test) — choose per profile, not per taste.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    probe = df.filter(F.col(id_col) == probe_id).select(
+        _as_double(vec_col).alias("__pv")
+    ).first()
+    pv = np.asarray(probe["__pv"], dtype=np.float64)
+    pn = np.sqrt(pv @ pv)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        _as_double(vec_col).alias("__v"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("__cos", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            m = np.stack(pdf["__v"].to_numpy())    # (batch, dim) float64
+            dots = m @ pv
+            norms = np.sqrt((m * m).sum(axis=1))
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__cos": dots / (norms * pn)}
+            )
+
+    scored = src.mapInPandas(kernel, out_schema)
+    return (
+        scored.orderBy(F.desc("__cos"), F.asc("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.round("__cos", decimals).alias("cosine"),
+        )
     )
 
 

@@ -234,3 +234,10 @@ def test_ivf_assign_partition_column(spark):
     evens = {got[i] for i in range(0, 8, 2)}
     odds = {got[i] for i in range(1, 8, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_cosine_topk_pandas_matches_builtin(spark, vectors):
+    jvm = similarity.cosine_topk(vectors, probe_id=0, k=3).collect()
+    py = similarity.cosine_topk_pandas(vectors, probe_id=0, k=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in jvm] == \
+        [(r["vec_id"], r["cosine"]) for r in py]
