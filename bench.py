@@ -32,6 +32,11 @@ def main() -> None:
 
     spark = get_spark("flight-etl-bench")
 
+    # warm the JVM / codegen / parquet footer caches so per-query numbers
+    # measure steady-state execution, not one-time session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():

@@ -28,6 +28,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_binary_metadata",
     "decode_features",
+    "resize_media",
     "sample_frames",
 ]
 
@@ -118,6 +119,54 @@ def decode_features(
                     "features": [
                         _decode_stub(p, n_features) for p in pdf["payload"]
                     ],
+                }
+            )
+
+    return src.mapInPandas(kernel, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    target_w: int = 64,
+    target_h: int = 64,
+) -> DataFrame:
+    """'Resize' plumbing: (id, resized binary, width, height) via
+    Arrow-batched mapInPandas. STUB kernel — a real implementation
+    decodes with PIL/ffmpeg and resamples; this environment has no
+    media codecs, so the stand-in deterministically strides the payload
+    bytes down to w·h bytes (same batch shape, schema, and size
+    contract as the real thing)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+    n_out = target_w * target_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def shrink(p):
+            if p is None:
+                return b"\x00" * n_out
+            if len(p) >= n_out:
+                step = len(p) // n_out
+                return bytes(p[i * step] for i in range(n_out))
+            return bytes(p) + b"\x00" * (n_out - len(p))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "resized": [shrink(p) for p in pdf["payload"]],
+                    "width": target_w,
+                    "height": target_h,
                 }
             )
 

@@ -241,3 +241,36 @@ def test_cosine_topk_pandas_matches_builtin(spark, vectors):
     py = similarity.cosine_topk_pandas(vectors, probe_id=0, k=3).collect()
     assert [(r["vec_id"], r["cosine"]) for r in jvm] == \
         [(r["vec_id"], r["cosine"]) for r in py]
+
+
+def test_resize_media_plumbing(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"x" * 10000)), (1, bytearray(b"y" * 10)), (2, None)],
+        "id long, payload binary",
+    )
+    out = {r["id"]: r for r in
+           multimodal.resize_media(df, "payload", "id", 8, 8).collect()}
+    assert all(len(out[i]["resized"]) == 64 for i in (0, 1, 2))
+    assert out[0]["width"] == 8 and out[0]["height"] == 8
+    assert out[1]["resized"].startswith(b"y" * 10)   # short payload padded
+    assert out[2]["resized"] == b"\x00" * 64         # null-safe
+
+
+def test_ivf_index_partition_pruned(spark, tmp_path):
+    """The stored-ANN-index pattern: assign IVF lists, write partitioned
+    by list_id, and a probe query's list filter prunes directories."""
+    from databricks_flight_etl_spark import plans, sources
+
+    rows = [(i, [float(i % 4) * 5 + 1, float((i + 1) % 4) * 5 + 1])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(df, n_lists=4, iters=1)
+    assigned = similarity.ivf_assign(df, cents)
+    out = str(tmp_path / "ivf_index")
+    sources.write_partitioned(assigned, out, ["list_id"])
+
+    probe = spark.read.parquet(out).filter("list_id = 1")
+    p = plans.explain_str(probe)
+    assert any("PartitionFilters" in line and "list_id" in line
+               for line in p.splitlines()), p
+    assert probe.count() > 0
