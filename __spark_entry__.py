@@ -552,6 +552,32 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    """Cube on (returnflag, linestatus): all 2² grouping combinations in
+    one pass (rollup's superset); NULL keys re-labelled '<all>'."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return c.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "n",
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """The sketch path for distinct counts (HLL++). Estimator internals
+    differ across engines → rows-only; the exact twin is
+    q_count_distinct. At 100 TB this is the default: fixed-size state
+    per group instead of a distinct-expand shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.approx_count_distinct("props").alias("n_props_approx"),
+    )
+
+
 def q_count_distinct(spark, sf_dir):
     """Exact distinct-count per group (expands to a two-level agg —
     the scalable exact form; approx_count_distinct is the sketch path)."""
@@ -986,7 +1012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_pivot": q_pivot,
         "q_rollup": q_rollup,
+        "q_cube": q_cube,
         "q_count_distinct": q_count_distinct,
+        "q_approx_distinct": q_approx_distinct,
         "q_json_extract": q_json_extract,
         "q_multimodal_meta": q_multimodal_meta,
         "q_minhash_pairs": q_minhash_pairs,
@@ -1354,6 +1382,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_cube": """
+            SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+                   coalesce(l_linestatus, '<all>') AS linestatus,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "q_count_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
