@@ -552,6 +552,32 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_moving_avg(spark, sf_dir):
+    """Window frames: 7-day trailing moving average of daily order
+    revenue (exact decimal daily sums; the 7-value frame average sums in
+    frame order in both engines → bit-stable)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_rev")
+    )
+    return accuracy.moving_average(daily, "day", "day_rev", window_rows=7)
+
+
+def q_zscore_grouped(spark, sf_dir):
+    """applyInPandas grouped-map kernel: per-event-type z-scores
+    (vectorized pandas per Arrow group). Certified against the
+    window-SQL formulation — the Python and declarative paths must
+    agree."""
+    ev = _t(spark, sf_dir, "events")
+    return accuracy.zscore_by_group(
+        ev, ["event_type"], "value", "event_id", decimals=4
+    )
+
+
 def q_cube(spark, sf_dir):
     """Cube on (returnflag, linestatus): all 2² grouping combinations in
     one pass (rollup's superset); NULL keys re-labelled '<all>'."""
@@ -1013,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
+        "q_moving_avg": q_moving_avg,
+        "q_zscore_grouped": q_zscore_grouped,
         "q_count_distinct": q_count_distinct,
         "q_approx_distinct": q_approx_distinct,
         "q_json_extract": q_json_extract,
@@ -1382,6 +1410,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_moving_avg": """
+            WITH d AS (
+                SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                           AS day_rev
+                FROM orders GROUP BY 1
+            )
+            SELECT day, day_rev,
+                   round(avg(day_rev) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                       AS moving_avg
+            FROM d
+        """,
+        "q_zscore_grouped": """
+            SELECT event_type, event_id,
+                   round((value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w, 4) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
         """,
         "q_cube": """
             SELECT coalesce(l_returnflag, '<all>') AS returnflag,

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["summary_stats", "histogram", "describe"]
+__all__ = ["summary_stats", "histogram", "describe",
+           "moving_average", "zscore_by_group"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -44,6 +46,69 @@ def summary_stats(df: DataFrame, cols: list[str],
             F.max(F.col(c)).alias(f"{c}_max"),
         ]
     return df.agg(*aggs)
+
+
+def moving_average(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    partition_cols: list[str] | None = None,
+    out_col: str = "moving_avg",
+    decimals: int = 6,
+) -> DataFrame:
+    """Trailing ``window_rows``-row moving average over ``order_col``
+    (window frame rowsBetween(-(n-1), 0)) — optionally per partition.
+    Rows at the head average over what exists (no NULL padding).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*(partition_cols or []))
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return df.withColumn(out_col, F.round(F.avg(value_col).over(w), decimals))
+
+
+def zscore_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    out_col: str = "zscore",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` (grouped-map Pandas UDF):
+    each group arrives as one Arrow-backed pandas frame, normalized with
+    vectorized numpy (ddof=1 — sample stddev, matching stddev_samp).
+
+    This is deliberately the Python path — the demonstration of grouped
+    custom kernels (model scoring, per-group fitting) where built-in
+    expressions run out; for plain z-scores prefer the window/agg form
+    (same result, no Python). Single-member or zero-variance groups get
+    NULL. Groups must fit in one worker's memory — the operative
+    constraint of applyInPandas at 100 TB (pre-split giant groups)."""
+    out_fields = [
+        *[df.schema[c] for c in group_cols],
+        df.schema[id_col],
+        T.StructField(out_col, T.DoubleType()),
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def kernel(pdf):
+        import pandas as pd  # noqa: F401
+
+        std = pdf[value_col].std(ddof=1)
+        if std and std > 0:
+            z = ((pdf[value_col] - pdf[value_col].mean()) / std).round(decimals)
+        else:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        out = pdf[[*group_cols, id_col]].copy()
+        out[out_col] = z
+        return out
+
+    return df.groupBy(*group_cols).applyInPandas(kernel, out_schema)
 
 
 def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
