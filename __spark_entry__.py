@@ -505,6 +505,43 @@ def q_join_multiway(spark, sf_dir):
     )
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operations beyond the reference's UNION ALL: INTERSECT and
+    EXCEPT (distinct set semantics) over two overlapping order slices,
+    tagged and re-unioned into one certified result."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    low = o.filter(F.col("o_orderkey") % 3 == 0)
+    high = o.filter(F.col("o_orderkey") % 2 == 0)
+    both = low.intersect(high).withColumn("src", F.lit("both"))
+    only_low = low.exceptAll(high).withColumn("src", F.lit("only_low"))
+    return both.unionByName(only_low)
+
+
+def q_join_outer(spark, sf_dir):
+    """Full-outer equi-join with unmatched rows on BOTH sides: the
+    acctbal filter leaves some nations supplier-less (left-unmatched),
+    and re-keyed phantom rows (+100) have no nation (right-unmatched) —
+    null-filled on each side. The remaining join type after
+    inner/left/semi/anti."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 8000)
+    s = (
+        sup.select(
+            F.when(F.col("s_suppkey") % 7 == 0, F.col("s_nationkey") + 100)
+            .otherwise(F.col("s_nationkey"))
+            .alias("s_nationkey")
+        )
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    out = n.join(s, n.n_nationkey == s.s_nationkey, "full_outer")
+    return out.select(
+        F.coalesce("n_nationkey", "s_nationkey").alias("nationkey"),
+        "n_name",
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Extension (sessionization; the reference has no window functions,
     §2.11): 30-minute-gap sessions per user via lag + running-sum
@@ -882,7 +919,7 @@ def q_ann_ivf(spark, sf_dir):
     Lloyd steps) → probe the 4 nearest of 16 lists → exact re-rank.
     Approximate recall by construction → rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk_ivf(emb, probe_id=0, k=10, n_lists=16, n_probe=4)
+    return ann_topk_ivf(emb, probe_id=0, k=10, n_lists=16, n_probe=4, iters=1)
 
 
 def q_sql_surface(spark, sf_dir):
@@ -1035,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
+        "q_set_ops": q_set_ops,
+        "q_join_outer": q_join_outer,
         "q_sessionize": q_sessionize,
         "q_pivot": q_pivot,
         "q_rollup": q_rollup,
@@ -1373,6 +1412,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "q_set_ops": """
+            WITH low AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE o_orderkey % 3 = 0
+            ),
+            high AS (
+                SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE o_orderkey % 2 = 0
+            )
+            SELECT *, 'both' AS src FROM (SELECT * FROM low INTERSECT SELECT * FROM high)
+            UNION ALL
+            SELECT *, 'only_low' AS src FROM (SELECT * FROM low EXCEPT ALL SELECT * FROM high)
+        """,
+        "q_join_outer": """
+            SELECT coalesce(n_nationkey, s.s_nationkey) AS nationkey,
+                   n_name,
+                   coalesce(s.n_suppliers, 0) AS n_suppliers
+            FROM nation
+            FULL OUTER JOIN (
+                SELECT CASE WHEN s_suppkey % 7 = 0 THEN s_nationkey + 100
+                            ELSE s_nationkey END AS s_nationkey,
+                       count(*) AS n_suppliers
+                FROM supplier WHERE s_acctbal > 8000
+                GROUP BY 1
+            ) s ON n_nationkey = s.s_nationkey
         """,
         "q_sessionize": """
             WITH g AS (
