@@ -987,6 +987,21 @@ def q_token_count_bpe(spark, sf_dir):
     )
 
 
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF (one row in → N rows out, per-row Python generator)
+    applied via LATERAL join — certified against the equivalent
+    list-expansion SQL."""
+    from databricks_flight_etl_spark.operators.text import split_sentences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # the synthetic docs carry no punctuation; inject periods
+        # deterministically so the UDTF's 1→N expansion is exercised
+        F.expr("replace(text, ' table', '. table')").alias("text"),
+    )
+    return split_sentences(docs, "text", "doc_id")
+
+
 def q_winnow(spark, sf_dir):
     """X4 winnowing (MOSS rolling-hash fingerprints): per-doc selected
     k-gram hash set — xxhash64-based, not SQL-oracle-expressible →
@@ -1099,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_surface": q_sql_surface,
         "q_value_freq_capped": q_value_freq_capped,
         "q_token_count_bpe": q_token_count_bpe,
+        "q_udtf_sentences": q_udtf_sentences,
         "q_winnow": q_winnow,
         "q_embed_dup": q_embed_dup,
         "q_embed_dup_lsh": q_embed_dup_lsh,
@@ -1637,6 +1653,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "q_udtf_sentences": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split(
+                                   replace(text, ' table', '. table'), '.'),
+                               x -> trim(x)),
+                           x -> x <> '') AS parts
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(parts, 1) - 1 AS INT) AS idx,
+                   unnest(parts) AS sentence
+            FROM t
         """,
         "q_embed_dup": """
             WITH v AS (

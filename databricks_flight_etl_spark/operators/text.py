@@ -26,6 +26,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnow_fingerprints",
+    "split_sentences",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -148,6 +149,38 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col),
         F.substring(F.sha2(F.col(text_col), 256), 1, hex_chars).alias("fp"),
+    )
+
+
+def split_sentences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per '.'-delimited sentence: (id, idx, sentence), trimmed,
+    empties dropped, idx dense from 0.
+
+    Deliberately the Python **UDTF** path (the one UDF family member
+    built-ins can't mimic: one input row → N output rows with per-row
+    Python logic), applied per row via a LATERAL join. For plain
+    delimiter splits prefer split+posexplode (JVM-side); reach for a
+    UDTF when the expansion logic needs real Python (parsers,
+    tokenizers, generators).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string")
+    class _SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            parts = [x.strip() for x in text.split(".")]
+            for i, s in enumerate(x for x in parts if x):
+                yield i, s
+
+    spark = df.sparkSession
+    spark.udtf.register("__split_sentences_udtf", _SplitSentences)
+    df.createOrReplaceTempView("__split_sentences_src")
+    return spark.sql(
+        f"SELECT {id_col}, s.idx, s.sentence "
+        f"FROM __split_sentences_src, "
+        f"LATERAL __split_sentences_udtf({text_col}) s"
     )
 
 

@@ -14,6 +14,7 @@ from .jobs import (
     streaming_dedup,
     streaming_running_counts,
     streaming_sessionize,
+    streaming_upsert_parquet,
 )
 
 __all__ = [
@@ -21,5 +22,6 @@ __all__ = [
     "streaming_dedup",
     "streaming_running_counts",
     "streaming_sessionize",
+    "streaming_upsert_parquet",
     "run_stream_to_memory",
 ]

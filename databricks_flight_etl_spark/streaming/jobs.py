@@ -17,6 +17,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_sessionize",
     "streaming_running_counts",
+    "streaming_upsert_parquet",
     "run_stream_to_memory",
 ]
 
@@ -137,6 +138,43 @@ def streaming_running_counts(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_upsert_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """foreachBatch sink: key-idempotent append to a parquet directory.
+
+    Each micro-batch dedups itself on ``keys`` and anti-joins the keys
+    already in the sink before appending — re-delivered rows (at-least-
+    once sources, batch replays after failure) never duplicate output.
+    This is the escape hatch for sinks/logic writeStream can't express
+    (multi-table writes, merges, JDBC); with a transactional table
+    format the anti-join becomes a MERGE. Returns the StreamingQuery —
+    caller stops it.
+
+    Scale note: the anti-join rescans sink keys each batch; at 100 TB
+    keep the sink partitioned (prune to the partitions a batch can
+    touch) or use a format with a key index.
+    """
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(path).select(*keys).distinct()
+            new = new.join(existing, keys, "left_anti")
+        except Exception:
+            pass  # first batch: sink does not exist yet
+        new.write.mode("append").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
 
 

@@ -274,3 +274,15 @@ def test_ivf_index_partition_pruned(spark, tmp_path):
     assert any("PartitionFilters" in line and "list_id" in line
                for line in p.splitlines()), p
     assert probe.count() > 0
+
+
+def test_split_sentences_udtf(spark):
+    df = spark.createDataFrame(
+        [(0, "hi there. bye. "), (1, "no periods"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["idx"], r["sentence"])
+        for r in text.split_sentences(df, "text", "doc_id").collect()
+    )
+    assert got == [(0, 0, "hi there"), (0, 1, "bye"), (1, 0, "no periods")]

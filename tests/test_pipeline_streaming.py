@@ -259,3 +259,36 @@ def test_read_json_inference_nested(spark, tmp_path):
         F.explode("files").alias("f")
     ).agg(F.sum("f.sz").alias("s")).first()["s"]
     assert total == 35
+
+
+def test_streaming_upsert_parquet_idempotent(spark, tmp_path):
+    """foreachBatch upsert: re-delivered keys across batches never
+    duplicate sink rows."""
+    from databricks_flight_etl_spark.streaming import streaming_upsert_parquet
+
+    src = str(tmp_path / "upsert_src")
+    sink = str(tmp_path / "upsert_sink")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    t = dt.datetime
+    schema = "k long, ts timestamp, v double"
+    spark.createDataFrame(
+        [(1, t(2024, 1, 1), 1.0), (2, t(2024, 1, 1), 2.0),
+         (2, t(2024, 1, 1), 2.5)],      # in-batch dup key
+        schema,
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = streaming_upsert_parquet(stream, sink, ["k"], ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, t(2024, 1, 2), 9.0), (3, t(2024, 1, 2), 3.0)],  # k=2 replayed
+            schema,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(sink)
+    counts = {r["k"]: r["count"] for r in out.groupBy("k").count().collect()}
+    assert counts == {1: 1, 2: 1, 3: 1}
