@@ -104,8 +104,14 @@ def cosine_near_dup_pairs(
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     if block_col is None:
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, 8, seed=42)
+        first = df.select(vec_col).first()
+        if first is None:  # empty corpus → empty result, not a crash
+            return v.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        planes = _hyperplanes(len(first[0]), 8, seed=42)
         v = v.withColumn("__blk", hyperplane_bucket(F.col("__v"), planes))
     v = v.withColumn("__n", l2_norm(F.col("__v")))
     a = v.select(
@@ -150,6 +156,8 @@ def cosine_topk_pandas(
     probe = df.filter(F.col(id_col) == probe_id).select(
         _as_double(vec_col).alias("__pv")
     ).first()
+    if probe is None:
+        raise ValueError(f"probe {id_col}={probe_id} not found in corpus")
     pv = np.asarray(probe["__pv"], dtype=np.float64)
     pn = np.sqrt(pv @ pv)
 
@@ -283,9 +291,12 @@ def ann_topk_ivf(
     (In production, centroids are trained once and the assignment is a
     stored partition column — per-query work is just the pruned scan.)"""
     cents = ivf_centroids(df, id_col, vec_col, n_lists, iters)
-    probe_vec = list(
-        df.filter(F.col(id_col) == probe_id).select(_as_double(vec_col)).first()[0]
+    probe_row = (
+        df.filter(F.col(id_col) == probe_id).select(_as_double(vec_col)).first()
     )
+    if probe_row is None:
+        raise ValueError(f"probe {id_col}={probe_id} not found in corpus")
+    probe_vec = list(probe_row[0])
     pu = _unit(probe_vec)
     ranked = sorted(
         range(len(cents)),

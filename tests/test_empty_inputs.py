@@ -1,0 +1,96 @@
+"""Hardening sweep: every batch operator must handle a 0-row input
+without raising (empty partitions are routine at 100 TB — a filter or
+partition prune can zero out any branch)."""
+
+from pyspark.sql import functions as F
+
+from databricks_flight_etl_spark.functions import derive_departure_timestamp
+from databricks_flight_etl_spark.operators import (
+    accuracy,
+    completeness,
+    consistency,
+    dedup,
+    relational,
+    sessions,
+    similarity,
+    temporal,
+    text,
+    timeliness,
+    uniqueness,
+    validity,
+)
+
+
+def test_empty_inputs_do_not_raise(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, value double")
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    flights = spark.createDataFrame(
+        [], "Year int, Month int, DayofMonth int, DepTime int"
+    )
+
+    assert completeness.nonnull_counts(ev).count() == 1        # one agg row
+    assert completeness.null_profile(ev).count() == 4          # per column
+    narrowed, dropped = completeness.drop_allnull_columns(ev)
+    assert dropped == list(ev.columns)                         # 0 non-null each
+
+    assert consistency.value_frequencies(docs, ["text"]).count() == 0
+    assert consistency.value_frequencies_capped(docs, ["text"]).count() == 0
+
+    assert uniqueness.duplicate_groups(ev).count() == 0
+    assert uniqueness.dedup(ev).count() == 0
+
+    assert accuracy.summary_stats(ev, ["value"]).count() == 1
+    assert accuracy.histogram(ev, "value").count() == 0
+    assert accuracy.moving_average(ev, "ts", "value").count() == 0
+    assert accuracy.zscore_by_group(ev, ["user_id"], "value", "event_id").count() == 0
+
+    assert validity.check_rules(
+        ev, [validity.Rule("v_pos", F.col("value") > 0)]
+    ).collect()[0]["n_fail"] == 0
+
+    assert timeliness.per_period_counts(ev, "ts").count() == 0
+    assert timeliness.day_coverage(ev, "ts").count() == 0      # empty spine
+
+    assert derive_departure_timestamp(flights).count() == 0
+
+    assert sessions.sessionize(ev, "user_id", "ts").count() == 0
+    assert sessions.session_counts(ev, "user_id", "ts").count() == 0
+
+    assert dedup.exact_dedup_groups(docs, "text", "doc_id").count() == 0
+    assert dedup.minhash_dedup_pairs(docs, "text", "doc_id").count() == 0
+    assert dedup.simhash_near_dup_pairs(docs, "text", "doc_id").count() == 0
+    assert dedup.ngram_jaccard_pairs(docs, "text", "doc_id").count() == 0
+
+    assert text.token_top_k(docs, "text").count() == 0
+    assert text.text_quality(docs, "text", "doc_id").count() == 0
+    assert text.lang_id(docs, "text", "doc_id").count() == 0
+    assert text.winnow_fingerprints(docs, "text", "doc_id").count() == 0
+    assert text.split_sentences(docs, "text", "doc_id").count() == 0
+
+    assert similarity.cosine_near_dup_pairs(vecs, block_col="label").count() == 0
+
+    left = spark.createDataFrame([], "k long, ts timestamp, lv string")
+    right = spark.createDataFrame([], "k long, ts timestamp, rv string")
+    assert temporal.asof_join(left, right, ["k"]).count() == 0
+    assert temporal.range_join_time(
+        left, right.withColumnRenamed("ts", "rts"), ["k"], right_ts="rts"
+    ).count() == 0
+
+    assert relational.salted_join(left, right.withColumnRenamed("ts", "rts"),
+                                  ["k"]).count() == 0
+    assert relational.salted_count(ev, ["user_id"]).count() == 0
+
+
+def test_ann_probe_errors_are_clear(spark):
+    import pytest
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="probe vec_id=99"):
+        similarity.ann_topk_ivf(vecs, probe_id=99, n_lists=1, iters=0)
+    with pytest.raises(ValueError, match="probe vec_id=99"):
+        similarity.cosine_topk_pandas(vecs, probe_id=99)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.cosine_near_dup_pairs(empty, block_col=None).count() == 0
