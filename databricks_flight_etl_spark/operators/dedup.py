@@ -16,6 +16,19 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _pin(df: DataFrame, persist: bool) -> DataFrame:
+    """Persist a subplan that downstream code references more than once.
+
+    Without this, every reference to a self-joined side re-executes the
+    whole lineage back to the source scan (a plan audit showed the
+    banded-LSH join reading the corpus 76×). MEMORY_AND_DISK spills
+    instead of failing; callers running many one-shot jobs can
+    ``spark.catalog.clearCache()`` between them, and long-lived 100 TB
+    pipelines should checkpoint these tables to parquet instead."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
 __all__ = [
     "normalize_text",
@@ -124,6 +137,7 @@ def minhash_signatures(
 def minhash_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
@@ -150,7 +164,9 @@ def minhash_candidate_pairs(
     stack = "stack({n}, {args}) as (band, band_hash)".format(
         n=bands, args=", ".join(f"{b}, bh_{b}" for b in range(bands))
     )
-    long = banded.select(F.col(id_col).alias("__id"), F.expr(stack))
+    long = _pin(
+        banded.select(F.col(id_col).alias("__id"), F.expr(stack)), persist
+    )
     left = long.select(
         F.col("__id").alias("id_a"), "band", "band_hash"
     )
@@ -167,7 +183,7 @@ def minhash_candidate_pairs(
 
 def _jaccard_verified(
     df: DataFrame, text_col: str, id_col: str, pairs: DataFrame,
-    threshold: float, shingle_k: int,
+    threshold: float, shingle_k: int, persist: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs via the inverted
     index: |A∩B| from a join on shingle, sizes from per-doc counts.
@@ -181,7 +197,7 @@ def _jaccard_verified(
         .distinct()
     )
     docs = df.join(ids, id_col, "left_semi")  # AQE broadcasts when small
-    sh = _shingle_table(docs, text_col, id_col, shingle_k)
+    sh = _pin(_shingle_table(docs, text_col, id_col, shingle_k), persist)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh"))
@@ -209,12 +225,23 @@ def _jaccard_verified(
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str,
     threshold: float = 0.8, num_perm: int = 32, bands: int = 4,
-    shingle_k: int = 5,
+    shingle_k: int = 5, persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
-    threshold. Output (id_a, id_b, jaccard), id_a < id_b."""
-    cands = minhash_candidate_pairs(df, text_col, id_col, num_perm, bands, shingle_k)
-    return _jaccard_verified(df, text_col, id_col, cands, threshold, shingle_k)
+    threshold. Output (id_a, id_b, jaccard), id_a < id_b.
+
+    ``persist`` pins the multiply-referenced intermediates (banded
+    signatures, candidate pairs, verify shingles) so each is computed
+    once instead of once per plan reference — see ``_pin``."""
+    cands = _pin(
+        minhash_candidate_pairs(
+            df, text_col, id_col, num_perm, bands, shingle_k, persist
+        ),
+        persist,
+    )
+    return _jaccard_verified(
+        df, text_col, id_col, cands, threshold, shingle_k, persist
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +274,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    max_hamming: int = 3, shingle_k: int = 5,
+    max_hamming: int = 3, shingle_k: int = 5, persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -268,7 +295,7 @@ def simhash_near_dup_pairs(
     stack = "stack({n}, {args}) as (chunk_idx, chunk_val)".format(
         n=nchunks, args=", ".join(f"{i}, c_{i}" for i in range(nchunks))
     )
-    long = wide.select("__id", "simhash", F.expr(stack))
+    long = _pin(wide.select("__id", "simhash", F.expr(stack)), persist)
     a = long.select(
         F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"),
         "chunk_idx", "chunk_val",
@@ -295,6 +322,7 @@ def simhash_near_dup_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     threshold: float = 0.5, shingle_k: int = 5, max_df: int | None = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via the inverted
     index: join docs sharing a shingle, count shared, divide by union.
@@ -312,6 +340,7 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         sh = sh.join(rare, "__sh", "left_semi")
+    sh = _pin(sh, persist)  # referenced by sizes + both join sides
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.select(F.col("__id").alias("id_a"), "__sh")
     b = sh.select(F.col("__id").alias("id_b"), "__sh")
