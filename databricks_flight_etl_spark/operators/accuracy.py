@@ -89,6 +89,10 @@ def zscore_by_group(
     (same result, no Python). Single-member or zero-variance groups get
     NULL. Groups must fit in one worker's memory — the operative
     constraint of applyInPandas at 100 TB (pre-split giant groups)."""
+    # prune BEFORE the groupBy: applyInPandas Arrow-ships every input
+    # column to Python, so an unpruned frame pays transfer for columns
+    # the kernel never reads (visible as extra scan width in PLANS.md)
+    df = df.select(*group_cols, id_col, value_col)
     out_fields = [
         *[df.schema[c] for c in group_cols],
         df.schema[id_col],
