@@ -838,6 +838,71 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): EXISTS subquery —
+    orders in a date window having at least one lineitem shipped after
+    the order date, counted per priority. Catalyst rewrites the
+    decorrelated EXISTS into a left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("__q4_orders")
+    li.createOrReplaceTempView("__q4_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM __q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM __q4_lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """)
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional revenue share
+    over a lineitem⋈part join — CASE inside an aggregate, exact decimal
+    revenue, final ratio rounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated
+    aggregate subquery — lineitems below 20% of their part's average
+    quantity. Expressed as an explicit pre-aggregated self-join (the
+    plan Catalyst's decorrelation would produce), exact decimal sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__lim")
+    )
+    out = li.join(avg_qty, li.l_partkey == F.col("__pk")).where(
+        F.col("l_quantity") < F.col("__lim")
+    )
+    return out.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """A7 extension: exact interpolated percentiles + Pearson
     correlation per group (Spark `percentile` and DuckDB
@@ -1107,7 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
         "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q4": q_tpch_q4,
         "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q17": q_tpch_q17,
         "q_quantiles": q_quantiles,
         "q_asof_join": q_asof_join,
         "q_range_join_time": q_range_join_time,
@@ -1552,6 +1620,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "q_tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q_tpch_q14": """
+            SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                         END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                                AS DOUBLE), 6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q_tpch_q17": """
+            WITH a AS (
+                SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS small_qty_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN a ON l_partkey = a.pk
+            WHERE l_quantity < lim
         """,
         "q_tpch_q6": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
