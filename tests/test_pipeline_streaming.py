@@ -292,3 +292,22 @@ def test_streaming_upsert_parquet_idempotent(spark, tmp_path):
     out = spark.read.parquet(sink)
     counts = {r["k"]: r["count"] for r in out.groupBy("k").count().collect()}
     assert counts == {1: 1, 2: 1, 3: 1}
+
+
+def test_read_csv_bz2_native(spark, tmp_path):
+    """S2: the reference shells out to bzip2 before reading; Spark's
+    codec support makes that a no-op — a .csv.bz2 reads directly."""
+    import bz2
+
+    p = str(tmp_path / "f.csv.bz2")
+    with bz2.open(p, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n3,z\n")
+    df = sources.read_csv(
+        spark, p,
+        schema=T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ]),
+    )
+    assert df.count() == 3
+    assert df.agg(F.sum("a")).first()[0] == 6
