@@ -641,6 +641,22 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the generalization rollup/cube
+    specialize): totals by (flag,status), by flag alone, and by status
+    alone — but NOT the grand total — in one pass, via the SQL surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               count(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+    """)
+
+
 def q_count_distinct(spark, sf_dir):
     """Exact distinct-count per group (expands to a two-level agg —
     the scalable exact form; approx_count_distinct is the sketch path)."""
@@ -773,6 +789,15 @@ def q_streaming_day_counts(spark, sf_dir):
     return spark.table("harness_stream_days").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n"
     )
+
+
+def q_cosine_topk_batch(spark, sf_dir):
+    """X2 batched retrieval: top-5 neighbors for 4 probes in ONE corpus
+    scan (broadcast probes × corpus, per-probe window rank)."""
+    from databricks_flight_etl_spark.operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(emb, probe_ids=[0, 1, 2, 3], k=5)
 
 
 def q_cosine_topk_pandas(spark, sf_dir):
@@ -1158,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": q_pivot,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
         "q_moving_avg": q_moving_avg,
         "q_zscore_grouped": q_zscore_grouped,
         "q_count_distinct": q_count_distinct,
@@ -1170,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
+        "q_cosine_topk_batch": q_cosine_topk_batch,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q4": q_tpch_q4,
@@ -1588,6 +1615,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
+        "q_grouping_sets": """
+            SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+                   coalesce(l_linestatus, '<all>') AS linestatus,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus))
+        """,
         "q_count_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
@@ -1603,6 +1638,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "q_cosine_topk_batch": """
+            WITH c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            ),
+            p AS (SELECT vec_id AS probe_id, v AS pv, n AS pn
+                  FROM c WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (
+                SELECT p.probe_id, c.vec_id,
+                       list_dot_product(c.v, p.pv) / (c.n * p.pn) AS cos
+                FROM c, p
+            ),
+            r AS (
+                SELECT probe_id, vec_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY probe_id
+                           ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+                       round(cos, 6) AS cosine
+                FROM s
+            )
+            SELECT probe_id, vec_id, rank, cosine FROM r WHERE rank <= 5
         """,
         "q_tpch_q3": """
             SELECT l_orderkey,

@@ -21,7 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_pandas",
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
+           "cosine_topk_pandas",
            "hyperplane_bucket", "ann_topk_lsh", "cosine_near_dup_pairs",
            "ivf_centroids", "ivf_assign", "ann_topk_ivf"]
 
@@ -129,6 +130,50 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("__cos"))
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", decimals).alias("cosine"))
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-k neighbors for MANY probes in one job: broadcast the probe
+    rows, cross-join corpus×probes (|corpus|·|probes| scored pairs, one
+    corpus scan), rank per probe with a window. Output
+    (probe_id, vec_id, rank, cosine), total order per probe.
+
+    The retrieval shape that matters in practice — per-query jobs waste
+    a full scan per probe; this amortizes one scan across the batch.
+    For probe batches too large to broadcast, switch to the IVF index
+    (ann_topk_ivf) and join probes to their lists instead.
+    """
+    probes = df.filter(F.col(id_col).isin(*probe_ids)).select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("__pv")
+    )
+    corpus = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        F.col(id_col),
+        cosine(F.col("__v"), F.col("__pv")).alias("__cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("__cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            id_col,
+            "rank",
+            F.round("__cos", decimals).alias("cosine"),
+        )
     )
 
 
