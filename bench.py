@@ -47,6 +47,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # operators pin shared intermediates (see operators.dedup._pin);
+        # caches are per-query — drop them so a 68-query run stays flat
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

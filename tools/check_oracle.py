@@ -68,6 +68,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            spark.catalog.clearCache()  # per-query pins (dedup._pin)
         except Exception:
             failures.append(name)
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
