@@ -250,20 +250,24 @@ def minhash_dedup_pairs(
 def simhash64(df: DataFrame, text_col: str, id_col: str,
               shingle_k: int = 5) -> DataFrame:
     """64-bit SimHash per doc: bit i is the sign of Σ±1 over shingle
-    hashes' bit i. One explode + one groupBy (64 conditional sums in a
-    single HashAggregate); the signature packs back into one long."""
+    hashes' bit i. One explode + one groupBy; the signature packs back
+    into one long.
+
+    Σ±1 over bit i equals 2·Σbitᵢ − n, so the aggregate computes plain
+    bit sums plus one count — no conditional branch per (row, bit),
+    which keeps the 64-sum HashAggregate inside tight codegen."""
     sh = _shingle_table(df, text_col, id_col, shingle_k)
     h = F.xxhash64(F.col("__sh"))
     sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b_{i}")
         for i in range(64)
     ]
-    agg = sh.groupBy("__id").agg(*sums)
+    agg = sh.groupBy("__id").agg(*sums, F.count(F.lit(1)).alias("__n"))
     packed = reduce(
         lambda acc, i: acc.bitwiseOR(
-            F.when(F.col(f"b_{i}") >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+            # sign of 2·b_i − n: bit set when ones are at least half
+            F.when(F.col(f"b_{i}") * 2 >= F.col("__n"),
+                   F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long"))
         ),
         range(64),

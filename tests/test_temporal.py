@@ -80,3 +80,39 @@ def test_range_join_tolerance_inclusive(spark):
         left, right, ["k"], left_ts="ts", right_ts="rts", tolerance_minutes=5
     )
     assert {r["rid"] for r in out.collect()} == {200, 201, 203}
+
+
+def test_asof_matches_python_reference(spark):
+    """Seeded randomized cross-check vs a pure-Python as-of scan."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(11)
+    base = datetime(2024, 6, 1)
+    lrows = [
+        (rng.randint(1, 8), base + timedelta(minutes=rng.randint(0, 500)), i)
+        for i in range(300)
+    ]
+    rrows = [
+        (rng.randint(1, 8), base + timedelta(minutes=rng.randint(0, 500)), 1000 + i)
+        for i in range(120)
+    ]
+    # make right (key, ts) unique so the match is unambiguous
+    seen = set()
+    rrows = [r for r in rrows if not (r[:2] in seen or seen.add(r[:2]))]
+
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rid long")
+    out = asof_join(left, right, ["k"], how="left")
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    by_key = {}
+    for k, ts, rid in rrows:
+        by_key.setdefault(k, []).append((ts, rid))
+    for v in by_key.values():
+        v.sort()
+    expect = {}
+    for k, ts, lid in lrows:
+        cands = [(t, rid) for t, rid in by_key.get(k, []) if t <= ts]
+        expect[lid] = cands[-1][1] if cands else None
+    assert got == expect
