@@ -928,6 +928,78 @@ def q_tpch_q17(spark, sf_dir):
     )
 
 
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    OR-of-AND predicate groups spanning both join sides — exercises
+    CNF conversion and partial predicate pushdown through the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_type") == "PROMO")
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") <= 25)
+        )
+    )
+    return joined.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21-flavored correlated pair: orders in a window having at
+    least one line shipped AFTER ship deadline (EXISTS) and none
+    shipped early (NOT EXISTS) — two correlated subqueries decorrelated
+    into semi + anti joins in one plan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("__q21_orders")
+    li.createOrReplaceTempView("__q21_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM __q21_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM __q21_lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM __q21_lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate < o_orderdate + INTERVAL 5 DAYS
+          )
+        GROUP BY o_orderpriority
+    """)
+
+
+def q_event_gaps(spark, sf_dir):
+    """lag/lead directly certified: per-user gap to the previous event
+    and time to the next (µs), total-ordered window."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_prev_us"),
+        (F.lead(us).over(w) - us).alias("gap_next_us"),
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """A7 extension: exact interpolated percentiles + Pearson
     correlation per group (Spark `percentile` and DuckDB
@@ -1203,6 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q14": q_tpch_q14,
         "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q21_shape": q_tpch_q21_shape,
+        "q_event_gaps": q_event_gaps,
         "q_quantiles": q_quantiles,
         "q_asof_join": q_asof_join,
         "q_range_join_time": q_range_join_time,
@@ -1722,6 +1797,41 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q_tpch_q19": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_type = 'PROMO' AND l_quantity >= 1 AND l_quantity <= 20
+                   AND p_size <= 10)
+               OR (p_type = 'ECONOMY' AND l_quantity >= 10 AND l_quantity <= 30
+                   AND p_size <= 25)
+        """,
+        "q_tpch_q21_shape": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate < o_orderdate + INTERVAL 5 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q_event_gaps": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_prev_us,
+                   lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q_quantiles": """
             SELECT l_returnflag,

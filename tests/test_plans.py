@@ -77,3 +77,10 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # non-partition filter stays a pushed data filter, for contrast
     vf = spark.read.parquet(out).filter("v < 10")
     assert any("LessThan(v" in f for f in plans.pushed_filters(vf))
+
+
+def test_exists_decorrelates_to_semi_anti(spark):
+    p4 = plans.explain_str(entrymod.q_tpch_q4(spark, SF))
+    assert "LeftSemi" in p4, p4
+    p21 = plans.explain_str(entrymod.q_tpch_q21_shape(spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
