@@ -984,6 +984,47 @@ def q_tpch_q21_shape(spark, sf_dir):
     """)
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide→long, the inverse of q_pivot): three measure
+    columns melt into (metric, value) rows via the native unpivot —
+    a narrow 3× row expansion, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Stable hash sample: same keys selected on every engine/run/
+    partitioning (md5-prefix threshold) — unlike df.sample, which
+    depends on partition layout. Certified exactly against the oracle
+    computing the same predicate."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.deterministic_sample(ev, "event_id", 0.1).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function battery over the distinct event types:
+    translate, levenshtein, reverse, repeat, lpad, upper — each 1:1
+    with a DuckDB builtin of identical semantics."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return ev.select("event_type").distinct().select(
+        "event_type",
+        F.upper(t).alias("up"),
+        F.reverse(t).alias("rev"),
+        F.translate(t, "aeiou", "AEIOU").alias("vowels_up"),
+        F.levenshtein(t, F.lit("click")).alias("lev_click"),
+        F.repeat(F.substring(t, 1, 1), 3).alias("first3"),
+        F.lpad(t, 10, ".").alias("padded"),
+    )
+
+
 def q_event_gaps(spark, sf_dir):
     """lag/lead directly certified: per-user gap to the previous event
     and time to the next (µs), total-ordered window."""
@@ -1278,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q21_shape": q_tpch_q21_shape,
         "q_event_gaps": q_event_gaps,
+        "q_unpivot": q_unpivot,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_string_funcs": q_string_funcs,
         "q_quantiles": q_quantiles,
         "q_asof_join": q_asof_join,
         "q_range_join_time": q_range_join_time,
@@ -1825,6 +1869,30 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate < o_orderdate + INTERVAL 5 DAY
               )
             GROUP BY o_orderpriority
+        """,
+        "q_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "q_deterministic_sample": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 6) < '19999a'
+        """,
+        "q_string_funcs": """
+            SELECT DISTINCT event_type,
+                   upper(event_type) AS up,
+                   reverse(event_type) AS rev,
+                   translate(event_type, 'aeiou', 'AEIOU') AS vowels_up,
+                   levenshtein(event_type, 'click') AS lev_click,
+                   repeat(substr(event_type, 1, 1), 3) AS first3,
+                   lpad(event_type, 10, '.') AS padded
+            FROM events
         """,
         "q_event_gaps": """
             SELECT event_id, user_id,

@@ -17,6 +17,7 @@ __all__ = [
     "top_k_per_group",
     "salted_join",
     "salted_count",
+    "deterministic_sample",
 ]
 
 
@@ -87,6 +88,24 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     return partial.groupBy(*keys).agg(F.sum("__n").alias("count"))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, hex_digits: int = 6
+) -> DataFrame:
+    """Stable ~``fraction`` sample keyed on ``key_col``: keep rows whose
+    md5(key) hex prefix falls below the fraction threshold.
+
+    Unlike ``df.sample`` (partition-layout-dependent) this selects the
+    SAME keys on every engine, run, and partitioning — the property
+    experiment holdouts and cross-system comparisons need. md5's hex is
+    uniform, so selectivity ≈ fraction (exact only in expectation);
+    same-key rows are kept or dropped together."""
+    thr = format(int(fraction * 16 ** hex_digits), f"0{hex_digits}x")
+    prefix = F.substring(
+        F.md5(F.col(key_col).cast("string")), 1, hex_digits
+    )
+    return df.where(prefix < F.lit(thr))
 
 
 def top_k_per_group(
