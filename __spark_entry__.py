@@ -1025,6 +1025,24 @@ def q_string_funcs(spark, sf_dir):
     )
 
 
+def q_date_funcs(spark, sf_dir):
+    """Calendar-function battery: week/month/quarter truncation,
+    datediff from a fixed epoch, last_day, day-of-week (Spark's
+    Sunday=1 vs DuckDB's Sunday=0 reconciled in the oracle), day/week
+    of year — each 1:1 with a DuckDB builtin."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.date_trunc("week", "ts")).alias("week_start_ms"),
+        F.unix_millis(F.date_trunc("quarter", "ts")).alias("quarter_start_ms"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since_ny"),
+        F.date_format(F.last_day(F.to_date("ts")), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("woy"),
+    )
+
+
 def q_event_gaps(spark, sf_dir):
     """lag/lead directly certified: per-user gap to the previous event
     and time to the next (µs), total-ordered window."""
@@ -1319,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q21_shape": q_tpch_q21_shape,
         "q_event_gaps": q_event_gaps,
+        "q_date_funcs": q_date_funcs,
         "q_unpivot": q_unpivot,
         "q_deterministic_sample": q_deterministic_sample,
         "q_string_funcs": q_string_funcs,
@@ -1869,6 +1888,19 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate < o_orderdate + INTERVAL 5 DAY
               )
             GROUP BY o_orderpriority
+        """,
+        "q_date_funcs": """
+            SELECT event_id,
+                   epoch_ms(date_trunc('week', ts)) AS week_start_ms,
+                   epoch_ms(date_trunc('quarter', ts)) AS quarter_start_ms,
+                   datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS days_since_ny,
+                   strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d')
+                       AS month_end,
+                   CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                   CAST(dayofyear(ts) AS INT) AS doy,
+                   CAST(weekofyear(ts) AS INT) AS woy
+            FROM events
         """,
         "q_unpivot": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
