@@ -1208,6 +1208,24 @@ def q_token_count_bpe(spark, sf_dir):
     )
 
 
+def q_tfidf(spark, sf_dir):
+    """X4 TF-IDF: per-(doc, token) tf·ln(N/df) — two aggregations (the
+    second over the already-aggregated tf table) + a broadcast idf join."""
+    from databricks_flight_etl_spark.operators.text import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf(docs, "text", "doc_id")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """X4 chunking: overlapping 64-token windows with stride 48 —
+    per-row array windows + one explode, no shuffle, no Python."""
+    from databricks_flight_etl_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
 def q_udtf_sentences(spark, sf_dir):
     """Python UDTF (one row in → N rows out, per-row Python generator)
     applied via LATERAL join — certified against the equivalent
@@ -1347,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_surface": q_sql_surface,
         "q_value_freq_capped": q_value_freq_capped,
         "q_token_count_bpe": q_token_count_bpe,
+        "q_tfidf": q_tfidf,
+        "q_chunk_documents": q_chunk_documents,
         "q_udtf_sentences": q_udtf_sentences,
         "q_winnow": q_winnow,
         "q_embed_dup": q_embed_dup,
@@ -2022,6 +2042,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "q_tfidf": """
+            WITH pairs AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM pairs GROUP BY 1, 2),
+            d AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, tf.token, tf.tf, d.df,
+                   round(tf.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+            FROM tf JOIN d USING (token), n
+        """,
+        "q_chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, toks,
+                       greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1)
+                           AS n_win
+                FROM t
+            ),
+            c AS (
+                SELECT doc_id,
+                       list_transform(range(1, n_win + 1),
+                           i -> list_slice(toks, (i - 1) * 48 + 1,
+                                           (i - 1) * 48 + 64)) AS cs
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(cs, 1) - 1 AS INT) AS chunk_idx,
+                   array_to_string(unnest(cs), ' ') AS chunk_text,
+                   CAST(len(unnest(cs)) AS INT) AS n_chunk_tokens
+            FROM c
         """,
         "q_udtf_sentences": """
             WITH t AS (

@@ -27,6 +27,8 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "split_sentences",
+    "tf_idf",
+    "chunk_documents",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -149,6 +151,85 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col),
         F.substring(F.sha2(F.col(text_col), 256), 1, hex_chars).alias("fp"),
+    )
+
+
+def tf_idf(
+    df: DataFrame, text_col: str, id_col: str,
+    min_df: int = 1, decimals: int = 6,
+) -> DataFrame:
+    """TF-IDF per (document, token): tf · ln(N / df), smooth-free
+    classic form (SURVEY §2.11 X4; cf. PAPERS.md EDBT 2016).
+
+    Plan: one explode → (doc, token) counts (shuffle 1, on (doc,token))
+    → token document frequencies (shuffle 2, on token, from the
+    ALREADY-aggregated table) → broadcast-join idf back. N is computed
+    once (count of docs). ``min_df`` drops hapax noise before the join.
+    Output: (id, token, tf, df, tfidf).
+    """
+    n_docs = df.count()  # one tiny job; a literal thereafter
+    pairs = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = pairs.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(
+            F.col("__id").alias(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, decimals).alias("tfidf"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str, id_col: str,
+    chunk_tokens: int = 64, overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    training-data preprocessing staple. Output: (id, chunk_idx,
+    chunk_text, n_chunk_tokens); stride = chunk_tokens − overlap;
+    the final partial window is kept (so every token lands in ≥1
+    chunk); docs shorter than one chunk yield exactly one chunk.
+
+    Pure per-row array math (tokens → sequence of window starts →
+    slice + join-back) then one explode — a narrow map, no shuffle,
+    no Python.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # number of windows: ceil(max(n - overlap, 1) / stride)
+    n_win = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1),
+    )
+    starts = F.sequence(F.lit(0), n_win - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("__toks"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.array_join(F.col("__c.__toks"), " ").alias("chunk_text"),
+        F.size(F.col("__c.__toks")).alias("n_chunk_tokens"),
     )
 
 

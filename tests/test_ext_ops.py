@@ -286,3 +286,46 @@ def test_split_sentences_udtf(spark):
         for r in text.split_sentences(df, "text", "doc_id").collect()
     )
     assert got == [(0, 0, "hi there"), (0, 1, "bye"), (1, 0, "no periods")]
+
+
+def test_chunk_documents_windows(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, words), (1, "short doc")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in text.chunk_documents(
+            df, "text", "doc_id", chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    # doc 0: 10 tokens, stride 2 → ceil((10-2)/2)=4 windows
+    assert out[(0, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(0, 1)] == ("w2 w3 w4 w5", 4)
+    assert out[(0, 3)] == ("w6 w7 w8 w9", 4)
+    assert (0, 4) not in out
+    # short doc: single (partial) chunk
+    assert out[(1, 0)] == ("short doc", 2)
+    # every token covered
+    covered = set()
+    for (d, _), (txt, _) in out.items():
+        if d == 0:
+            covered |= set(txt.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_tf_idf_values(spark):
+    import math
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["df"], r["tfidf"])
+           for r in text.tf_idf(df, "text", "doc_id").collect()}
+    assert got[(0, "a")] == (2, 2, 0.0)            # in every doc → idf 0
+    assert got[(0, "b")][0] == 1
+    assert got[(0, "b")][2] == round(math.log(2.0), 6)
+    assert got[(1, "c")][2] == round(math.log(2.0), 6)
