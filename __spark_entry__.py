@@ -984,6 +984,351 @@ def q_tpch_q21_shape(spark, sf_dir):
     """)
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): 6-way join where
+    customer and supplier must share a nation (c_nationkey =
+    s_nationkey as an extra join predicate), revenue per nation over
+    one region and one order-date year. nation/region are broadcast;
+    the date and region filters push to the scans."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the nation
+    dimension joins TWICE under different roles (supplier vs customer
+    nation), a disjunctive cross-side predicate keeps the two directed
+    pairs, revenue grouped by (supp_nation, cust_nation, ship year)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns (l_returnflag = 'R') per customer over one order quarter,
+    4-way join with broadcast nation, top-20 by revenue with a key
+    tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    return relational.top_k(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority classes): lineitem⋈orders
+    with a ship-date window, conditional counts per line status — the
+    testdata has no l_shipmode, so the CASE classifies order priority
+    (URGENT/HIGH vs rest), preserving Q12's join + CASE-sum shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    with an extra ON-clause filter (non-urgent orders only — filter
+    must live in the join condition, not WHERE, to keep orderless
+    customers), per-customer count, then a second aggregation over the
+    counts. Two shuffles, both on shrinking data."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): CTE revenue view + scalar MAX
+    subquery equality — exact DECIMAL revenue so the max-equality is
+    engine-stable; Catalyst plans the scalar subquery as a broadcast
+    of one row."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q15_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")
+    return spark.sql("""
+        WITH r AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS __rev
+            FROM __q15_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(__rev AS DOUBLE) AS total_rev
+        FROM __q15_supplier JOIN r ON s_suppkey = l_suppkey
+        WHERE __rev = (SELECT max(__rev) FROM r)
+        ORDER BY s_suppkey
+    """)
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): HAVING-filtered
+    aggregation (orders whose total quantity exceeds 150) joined back
+    to orders and customer, top-100 by (o_totalprice desc, o_orderkey).
+    The big lineitem agg shrinks before either join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("__ok"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = (
+        big.join(o, F.col("__ok") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    out = joined.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_totalprice",
+        "total_qty",
+    )
+    return relational.top_k(
+        out, [F.desc("o_totalprice"), F.asc("o_orderkey")], 100
+    )
+
+
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG subquery
+    + NOT EXISTS anti-join — wealthy customers (balance above the
+    positive-balance average) with no recent orders, grouped by nation
+    key. The average-threshold compare is division-free
+    (bal × count > total, exact DECIMAL) so the boundary set is
+    identical across engines."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q22_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q22_orders")
+    return spark.sql("""
+        WITH pos AS (
+            SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS __tot,
+                   count(*) AS __cnt
+            FROM __q22_customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM __q22_customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * __cnt > __tot
+          AND NOT EXISTS (
+              SELECT 1 FROM __q22_orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """)
+
+
+def q_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    subquery — for each small part, the supplier(s) whose minimum
+    observed sale price equals the part-wide minimum. Prices go through
+    exact DECIMAL so MIN-equality is engine-stable; Catalyst
+    decorrelates the subquery into an aggregate + join."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q2_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q2_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q2_supplier")
+    return spark.sql("""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(l_extendedprice AS DECIMAL(12,2))) AS __cost
+            FROM __q2_lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, s_suppkey, s_name,
+               CAST(__cost AS DOUBLE) AS supply_cost
+        FROM __q2_part
+        JOIN cost ON p_partkey = l_partkey
+        JOIN __q2_supplier ON s_suppkey = l_suppkey
+        WHERE p_size <= 5
+          AND __cost = (
+              SELECT min(__cost) FROM cost c2
+              WHERE c2.l_partkey = p_partkey
+          )
+        ORDER BY p_partkey, s_suppkey
+    """)
+
+
+def q_tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): grouped value per supplier
+    filtered by a scalar fraction-of-total subquery (HAVING value >
+    0.2% of the grand total) — both sides exact DECIMAL, so the
+    threshold cut is engine-stable."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q11_lineitem")
+    return spark.sql("""
+        WITH v AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS __val
+            FROM __q11_lineitem
+            GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, CAST(__val AS DOUBLE) AS supp_value
+        FROM v
+        WHERE __val > (SELECT sum(__val) * 0.002 FROM v)
+        ORDER BY supp_value DESC, l_suppkey
+    """)
+
+
+def q_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-part relationship): NOT-IN subquery
+    (suppliers in bad standing excluded) + COUNT(DISTINCT) per
+    part attribute group — distinct-aggregate after an anti-join
+    rewrite of the NOT IN."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q16_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q16_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q16_supplier")
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM __q16_lineitem JOIN __q16_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM __q16_supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+
+
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): IN-subquery nesting
+    two deep — suppliers who shipped a meaningful volume (HAVING) of
+    PROMO parts (inner IN) in one year. Each IN becomes a left-semi
+    join; the innermost part filter prunes first."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q20_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q20_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q20_supplier")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM __q20_supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM __q20_lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM __q20_part WHERE p_type = 'PROMO'
+            )
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 50
+        )
+        ORDER BY s_suppkey
+    """)
+
+
 def q_unpivot(spark, sf_dir):
     """Unpivot (wide→long, the inverse of q_pivot): three measure
     columns melt into (metric, value) rows via the native unpivot —
@@ -1354,6 +1699,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q17": q_tpch_q17,
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q21_shape": q_tpch_q21_shape,
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q12_shape": q_tpch_q12_shape,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q22_shape": q_tpch_q22_shape,
+        "q_tpch_q2_shape": q_tpch_q2_shape,
+        "q_tpch_q11_shape": q_tpch_q11_shape,
+        "q_tpch_q16_shape": q_tpch_q16_shape,
+        "q_tpch_q20_shape": q_tpch_q20_shape,
         "q_event_gaps": q_event_gaps,
         "q_date_funcs": q_date_funcs,
         "q_unpivot": q_unpivot,
@@ -1908,6 +2265,196 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate < o_orderdate + INTERVAL 5 DAY
               )
             GROUP BY o_orderpriority
+        """,
+        "q_tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "q_tpch_q7": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q_tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q_tpch_q12_shape": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "q_tpch_q13": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                                AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q_tpch_q15": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS __rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(__rev AS DOUBLE) AS total_rev
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE __rev = (SELECT max(__rev) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "q_tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey AS ok, sum(l_quantity) AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 150
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+                   o_totalprice, total_qty
+            FROM big
+            JOIN orders   ON ok = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q_tpch_q22_shape": """
+            WITH pos AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS __tot,
+                       count(*) AS __cnt
+                FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey,
+                   count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer, pos
+            WHERE CAST(c_acctbal AS DECIMAL(12,2)) * __cnt > __tot
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01'
+              )
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
+        """,
+        "q_tpch_q2_shape": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS __cost
+                FROM lineitem
+                GROUP BY l_partkey, l_suppkey
+            )
+            SELECT p_partkey, s_suppkey, s_name,
+                   CAST(__cost AS DOUBLE) AS supply_cost
+            FROM part
+            JOIN cost ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_size <= 5
+              AND __cost = (
+                  SELECT min(__cost) FROM cost c2
+                  WHERE c2.l_partkey = p_partkey
+              )
+            ORDER BY p_partkey, s_suppkey
+        """,
+        "q_tpch_q11_shape": """
+            WITH v AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS __val
+                FROM lineitem
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, CAST(__val AS DOUBLE) AS supp_value
+            FROM v
+            WHERE __val > (SELECT sum(__val) * 0.002 FROM v)
+            ORDER BY supp_value DESC, l_suppkey
+        """,
+        "q_tpch_q16_shape": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT IN ('PROMO', 'ECONOMY')
+              AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q_tpch_q20_shape": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+                )
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 50
+            )
+            ORDER BY s_suppkey
         """,
         "q_date_funcs": """
             SELECT event_id,
