@@ -101,10 +101,27 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     return _shingles_of(normalize_text(col), k)
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle) long table — the unit of all candidate generation.
+def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, array<string> shingles) — one row per doc, no explode.
     Normalizes through a materializing projection FIRST so the regexp
-    runs once per doc, not once per shingle position."""
+    runs once per doc, not once per shingle position. Null texts are
+    dropped (matching what explode-based plans did implicitly) — the
+    null filter is on the RAW column so it pushes to the scan; a
+    ``where`` on the computed array re-evaluates the whole shingle
+    expression inside the pushed filter (measured 15× slower)."""
+    norm = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t")
+    )
+    return norm.select(
+        "__id", _shingles_of(F.col("__t"), k).alias("__shs")
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) long table — the unit of inverted-index candidate
+    generation. The shingle expression is inlined in the explode (NOT
+    projected first): a Generate over an aliased array column runs
+    markedly slower than the inline generator."""
     norm = df.select(
         F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t")
     )
@@ -124,7 +141,15 @@ def minhash_signatures(
 
     Permutation family: seeded xxhash64(shingle, j) — one groupBy over
     the exploded shingle table computing all mins in a single
-    HashAggregate (shuffle key = doc id, payload = num_perm longs).
+    HashAggregate (shuffle key = doc id, payload = num_perm longs; the
+    map-side partial agg shrinks the shuffle to one row per doc).
+
+    Measured alternative (rejected): computing the signature per row as
+    ``array_min(transform(shingles, s -> xxhash64(s, j)))`` avoids the
+    shuffle but runs ~2× slower — Spark evaluates higher-order-function
+    lambdas interpreted per element, while explode + hash-agg stays in
+    whole-stage codegen. The shuffle it saves is already tiny (partial
+    agg emits num_perm longs per doc).
     """
     sh = _shingle_table(df, text_col, id_col, shingle_k)
     aggs = [
@@ -197,8 +222,10 @@ def _jaccard_verified(
         .distinct()
     )
     docs = df.join(ids, id_col, "left_semi")  # AQE broadcasts when small
-    sh = _pin(_shingle_table(docs, text_col, id_col, shingle_k), persist)
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    arrs = _pin(_shingle_arrays(docs, text_col, id_col, shingle_k), persist)
+    # per-row set size — no groupBy over the exploded table needed
+    sizes = arrs.select("__id", F.size("__shs").alias("__sz"))
+    sh = arrs.select("__id", F.explode("__shs").alias("__sh"))
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh"))
     shared = (
