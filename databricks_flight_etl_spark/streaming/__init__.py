@@ -13,6 +13,7 @@ from .jobs import (
     streaming_day_counts,
     streaming_dedup,
     streaming_running_counts,
+    streaming_running_counts_tws,
     streaming_sessionize,
     streaming_upsert_parquet,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "streaming_day_counts",
     "streaming_dedup",
     "streaming_running_counts",
+    "streaming_running_counts_tws",
     "streaming_sessionize",
     "streaming_upsert_parquet",
     "run_stream_to_memory",
