@@ -1329,6 +1329,79 @@ def q_tpch_q20_shape(spark, sf_dir):
     """)
 
 
+def q_window_funcs(spark, sf_dir):
+    """Ranking/navigation window battery: row_number + ntile +
+    first/last_value over a TOTAL per-user time order, and rank /
+    dense_rank / percent_rank / cume_dist over a tie-heavy order
+    (event_type) — ANSI semantics identical in DuckDB; last_value gets
+    the explicit unbounded frame (default frame stops at CURRENT ROW
+    in both engines)."""
+    from pyspark.sql.window import Window
+
+    ev = _events_us(spark, sf_dir).where(F.col("user_id") < 20)
+    w1 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w1_full = w1.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w2 = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w1).alias("rn"),
+        F.ntile(4).over(w1).alias("nt4"),
+        F.first("value").over(w1).alias("first_val"),
+        F.last("value").over(w1_full).alias("last_val"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.percent_rank().over(w2).alias("pr"),
+        F.cume_dist().over(w2).alias("cd"),
+    )
+
+
+def q_latest_per_key(spark, sf_dir):
+    """Current-snapshot-per-entity (the QUALIFY rn=1 shape): each
+    user's latest event under a total (ts, event_id) order — one
+    shuffle on the key, streaming rank, no self-join."""
+    ev = _events_us(spark, sf_dir).select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    return relational.latest_per_key(
+        ev, ["user_id"], [F.desc("ts_us"), F.desc("event_id")]
+    )
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation: per return flag, the sorted distinct
+    line statuses joined into one string (collect_set → array_sort →
+    array_join ≙ DuckDB string_agg ORDER BY over a DISTINCT subquery)
+    plus a distinct count. collect_set order is shuffle-dependent —
+    the explicit array_sort is what makes the result deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+def q_stat_aggs(spark, sf_dir):
+    """Bivariate statistical aggregates per group: sample/population
+    covariance and the OLS regression family (slope, intercept, r²,
+    count) of extended price on quantity — rounded to absorb the
+    engines' differing accumulation orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.covar_samp(y, x), 2).alias("cov_s"),
+        F.round(F.covar_pop(y, x), 2).alias("cov_p"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
 def q_unpivot(spark, sf_dir):
     """Unpivot (wide→long, the inverse of q_pivot): three measure
     columns melt into (metric, value) rows via the native unpivot —
@@ -1711,6 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11_shape": q_tpch_q11_shape,
         "q_tpch_q16_shape": q_tpch_q16_shape,
         "q_tpch_q20_shape": q_tpch_q20_shape,
+        "q_window_funcs": q_window_funcs,
+        "q_latest_per_key": q_latest_per_key,
+        "q_string_agg": q_string_agg,
+        "q_stat_aggs": q_stat_aggs,
         "q_event_gaps": q_event_gaps,
         "q_date_funcs": q_date_funcs,
         "q_unpivot": q_unpivot,
@@ -2455,6 +2532,55 @@ def oracle_sql() -> dict[str, str]:
                 HAVING sum(l_quantity) > 50
             )
             ORDER BY s_suppkey
+        """,
+        "q_window_funcs": """
+            SELECT event_id, user_id,
+                   row_number() OVER w1 AS rn,
+                   ntile(4) OVER w1 AS nt4,
+                   first_value(value) OVER w1 AS first_val,
+                   last_value(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS last_val,
+                   rank() OVER w2 AS rnk,
+                   dense_rank() OVER w2 AS drnk,
+                   percent_rank() OVER w2 AS pr,
+                   cume_dist() OVER w2 AS cd
+            FROM events
+            WHERE user_id < 20
+            WINDOW w1 AS (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id),
+                   w2 AS (PARTITION BY user_id ORDER BY event_type)
+        """,
+        "q_latest_per_key": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                   event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        """,
+        "q_string_agg": """
+            WITH d AS (
+                SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            )
+            SELECT l_returnflag,
+                   string_agg(l_linestatus, ','
+                              ORDER BY l_linestatus) AS statuses,
+                   count(*) AS n_statuses
+            FROM d
+            GROUP BY l_returnflag
+        """,
+        "q_stat_aggs": """
+            SELECT l_returnflag,
+                   round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s,
+                   round(covar_pop(l_extendedprice, l_quantity), 2) AS cov_p,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 2)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   regr_count(l_extendedprice, l_quantity) AS n_pairs
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q_date_funcs": """
             SELECT event_id,

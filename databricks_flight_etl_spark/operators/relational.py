@@ -17,6 +17,7 @@ __all__ = [
     "top_k_per_group",
     "salted_join",
     "salted_count",
+    "latest_per_key",
     "deterministic_sample",
 ]
 
@@ -88,6 +89,22 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     return partial.groupBy(*keys).agg(F.sum("__n").alias("count"))
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Current-snapshot-per-entity: keep exactly the first row per key
+    group under ``order_cols`` (pass descending columns for "latest").
+    The QUALIFY row_number()=1 pattern — one hash shuffle on the keys,
+    rank computed streaming per partition; at scale prefer this over
+    groupBy(max)+self-join (one shuffle instead of two)."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def deterministic_sample(

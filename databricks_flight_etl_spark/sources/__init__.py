@@ -20,6 +20,10 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_orc",
+    "read_text",
+    "read_avro",
+    "write_orc",
     "load_table",
     "load_tables",
     "write_parquet",
@@ -66,6 +70,38 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (reference NB:445) — columnar; Catalyst pushes
     filters and prunes columns into the scan."""
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (built into Spark; no extra package)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    """Line-per-row (or file-per-row) text scan — the raw-corpus entry
+    point for the text/dedup operators: one string column ``value``."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the external spark-avro package
+    (org.apache.spark:spark-avro; not bundled with Spark and not
+    installed in this container). Gated: raises a clear error instead
+    of a deep AnalysisException."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: failed to find source
+        raise ImportError(
+            "avro source requires the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13)"
+        ) from exc
 
 
 # Testdata columns stored as parquet TIMESTAMP(NANOS), which Spark lacks;

@@ -355,6 +355,38 @@ def test_streaming_upsert_parquet_idempotent(spark, tmp_path):
     assert counts == {1: 1, 2: 1, 3: 1}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink + scan: schema and values survive; filter pushdown
+    works on the read side (built-in source, no package)."""
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.5) for i in range(100)],
+        "k long, s string, v double",
+    )
+    path = str(tmp_path / "t.orc")
+    sources.write_orc(df, path)
+    back = sources.read_orc(spark, path)
+    assert back.schema == df.schema
+    assert back.count() == 100
+    assert back.where(F.col("k") >= 90).count() == 10
+
+
+def test_read_text_lines(spark, tmp_path):
+    p = tmp_path / "docs.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = sources.read_text(spark, str(p))
+    assert df.columns == ["value"]
+    assert sorted(r["value"] for r in df.collect()) == [
+        "alpha", "beta", "gamma",
+    ]
+    whole = sources.read_text(spark, str(p), wholetext=True)
+    assert whole.count() == 1
+
+
+def test_read_avro_gated(spark, tmp_path):
+    with pytest.raises(ImportError, match="spark-avro"):
+        sources.read_avro(spark, str(tmp_path / "x.avro"))
+
+
 def test_read_csv_bz2_native(spark, tmp_path):
     """S2: the reference shells out to bzip2 before reading; Spark's
     codec support makes that a no-op — a .csv.bz2 reads directly."""

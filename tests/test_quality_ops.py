@@ -187,6 +187,24 @@ def test_salted_count_equals_groupby_count(spark):
     assert plain == salted
 
 
+def test_latest_per_key(spark):
+    from databricks_flight_etl_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (1, 20, "c"),
+         (2, 5, "d"), (3, 7, "e"), (3, 7, "f")],
+        "k long, ver long, payload string",
+    )
+    got = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in relational.latest_per_key(
+            df, ["k"], [F.desc("ver"), F.desc("payload")]
+        ).collect()
+    }
+    # exactly one row per key; ties broken by the full order spec
+    assert got == {1: (30, "b"), 2: (5, "d"), 3: (7, "f")}
+
+
 def test_deterministic_sample_stable_across_partitioning(spark):
     from databricks_flight_etl_spark.operators import relational
 
