@@ -1683,6 +1683,22 @@ def q_embed_dup_lsh(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.35, block_col=None)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Iterative algorithm, oracle-certified: connected components
+    (min-label propagation, driver loop + localCheckpoint) over the
+    embedding near-dup pair list — the transitive-closure step that
+    turns pairwise matches into dedup clusters. DuckDB oracle computes
+    the same closure with a recursive CTE over the identical edge
+    SQL."""
+    from databricks_flight_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def q_parquet_roundtrip(spark, sf_dir):
     """S6/S8: size-targeted parquet sink + read-back (the reference's
     SizeEstimator→coalesce→write, NB:416–437, on supported APIs).
@@ -1804,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_sentences": q_udtf_sentences,
         "q_winnow": q_winnow,
         "q_embed_dup": q_embed_dup,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_embed_dup_lsh": q_embed_dup_lsh,
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_decode_features": q_decode_features,
@@ -2784,6 +2801,34 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.ve, b.ve) / (a.n * b.n), 6) AS cosine
             FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+        """,
+        "q_dedup_clusters": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node, min(r) AS component
+            FROM reach
+            GROUP BY node
         """,
         "q_multimodal_meta": """
             SELECT doc_id,

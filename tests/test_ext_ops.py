@@ -70,6 +70,40 @@ def test_ngram_jaccard(spark, docs):
     assert all(3 not in k for k in got)
 
 
+def test_connected_components_and_survivors(spark):
+    from databricks_flight_etl_spark.operators import graph
+
+    # components: {1,2,3,4} (a chain — needs >1 propagation round),
+    # {10,11}, isolated pair member 20-21; node 99 in no pair
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["component"]
+          for r in graph.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in graph.dedup_survivors(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one per cluster + the unpaired row
+
+
+def test_connected_components_unconverged_raises(spark):
+    from databricks_flight_etl_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(chain, max_iter=2)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
