@@ -1402,6 +1402,49 @@ def q_stat_aggs(spark, sf_dir):
     )
 
 
+def q_agg_filter(spark, sf_dir):
+    """Aggregate modifier battery: FILTER clauses on count/sum,
+    bool_or/bool_and, and max_by/min_by (arg-max/arg-min) over a
+    UNIQUE ordering key (l_orderkey*100 + l_linenumber) so the picked
+    row is deterministic in both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__af_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    FILTER (WHERE l_discount >= 0.05) AS DOUBLE)
+                   AS discounted_rev,
+               bool_or(l_tax > 0.07) AS any_high_tax,
+               bool_and(l_quantity >= 1) AS all_positive_qty,
+               max_by(l_extendedprice,
+                      l_orderkey * 100 + l_linenumber) AS last_price,
+               min_by(l_extendedprice,
+                      l_orderkey * 100 + l_linenumber) AS first_price
+        FROM __af_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+def q_scalar_subquery_select(spark, sf_dir):
+    """Correlated scalar subqueries in the SELECT list (every prior
+    subquery shape here is WHERE-clause): per nation, its customer
+    count and best account balance — Catalyst decorrelates each into
+    an aggregate + left outer join."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__ss_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__ss_customer")
+    return spark.sql("""
+        SELECT n_nationkey, n_name,
+               (SELECT count(*) FROM __ss_customer
+                WHERE c_nationkey = n_nationkey) AS n_cust,
+               (SELECT max(c_acctbal) FROM __ss_customer
+                WHERE c_nationkey = n_nationkey) AS best_bal
+        FROM __ss_nation
+        ORDER BY n_nationkey
+    """)
+
+
 def q_unpivot(spark, sf_dir):
     """Unpivot (wide→long, the inverse of q_pivot): three measure
     columns melt into (metric, value) rows via the native unpivot —
@@ -1683,6 +1726,43 @@ def q_embed_dup_lsh(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.35, block_col=None)
 
 
+def q_array_funcs(spark, sf_dir):
+    """Higher-order/array-function battery over the embedding vectors:
+    slice, min/max, left-fold sum (aggregate ≙ list_reduce), transform,
+    filter, zip_with self-reversed dot product, argmax position — all
+    JVM-side expressions, zero shuffle, and fold order fixed
+    left-to-right so doubles match the oracle bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = F.col("embedding").cast("array<double>")
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    return emb.select(
+        "vec_id",
+        F.size(a).alias("n"),
+        F.slice(a, 1, 4).alias("head4"),
+        F.array_max(a).alias("mx"),
+        F.array_min(a).alias("mn"),
+        fold_sum(a).alias("folded"),
+        F.element_at(F.transform(a, lambda x: x * 2.0), 1).alias("t1"),
+        F.size(F.filter(a, lambda x: x > 0.0)).alias("n_pos"),
+        fold_sum(
+            F.zip_with(a, F.reverse(a), lambda x, y: x * y)
+        ).alias("dot_rev"),
+        F.array_position(a, F.array_max(a)).alias("argmax1"),
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """X4 relevance scoring: Okapi BM25 of every document against a
+    3-term query — per-term partials summed as exact DECIMAL so the
+    score is engine-order-independent."""
+    from databricks_flight_etl_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, "text", "doc_id", ["hash", "join", "vector"])
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Iterative algorithm, oracle-certified: connected components
     (min-label propagation, driver loop + localCheckpoint) over the
@@ -1801,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q16_shape": q_tpch_q16_shape,
         "q_tpch_q20_shape": q_tpch_q20_shape,
         "q_window_funcs": q_window_funcs,
+        "q_agg_filter": q_agg_filter,
+        "q_scalar_subquery_select": q_scalar_subquery_select,
         "q_latest_per_key": q_latest_per_key,
         "q_string_agg": q_string_agg,
         "q_stat_aggs": q_stat_aggs,
@@ -1821,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_embed_dup": q_embed_dup,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_bm25": q_bm25,
+        "q_array_funcs": q_array_funcs,
         "q_embed_dup_lsh": q_embed_dup_lsh,
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_decode_features": q_decode_features,
@@ -2550,6 +2634,32 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY s_suppkey
         """,
+        "q_agg_filter": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        FILTER (WHERE l_discount >= 0.05) AS DOUBLE)
+                       AS discounted_rev,
+                   bool_or(l_tax > 0.07) AS any_high_tax,
+                   bool_and(l_quantity >= 1) AS all_positive_qty,
+                   arg_max(l_extendedprice,
+                           l_orderkey * 100 + l_linenumber) AS last_price,
+                   arg_min(l_extendedprice,
+                           l_orderkey * 100 + l_linenumber) AS first_price
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "q_scalar_subquery_select": """
+            SELECT n_nationkey, n_name,
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey = n_nationkey) AS n_cust,
+                   (SELECT max(c_acctbal) FROM customer
+                    WHERE c_nationkey = n_nationkey) AS best_bal
+            FROM nation
+            ORDER BY n_nationkey
+        """,
         "q_window_funcs": """
             SELECT event_id, user_id,
                    row_number() OVER w1 AS rn,
@@ -2801,6 +2911,56 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.ve, b.ve) / (a.n * b.n), 6) AS cosine
             FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+        """,
+        "q_array_funcs": """
+            SELECT vec_id,
+                   len(e) AS n,
+                   list_slice(e, 1, 4) AS head4,
+                   list_max(e) AS mx,
+                   list_min(e) AS mn,
+                   list_reduce(e, (a, b) -> a + b) AS folded,
+                   list_transform(e, x -> x * 2.0)[1] AS t1,
+                   len(list_filter(e, x -> x > 0.0)) AS n_pos,
+                   list_dot_product(e, list_reverse(e)) AS dot_rev,
+                   list_position(e, list_max(e)) AS argmax1
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings)
+        """,
+        "q_bm25": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS tks
+                FROM documents
+            ),
+            lens AS (SELECT doc_id, len(tks) AS dl FROM toks),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM lens
+            ),
+            pairs AS (
+                SELECT doc_id, unnest(tks) AS token FROM toks
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM pairs
+                WHERE token IN ('hash', 'join', 'vector')
+                GROUP BY doc_id, token
+            ),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+            SELECT tf.doc_id,
+                   round(CAST(sum(CAST(round(
+                       ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                       9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score,
+                   count(*) AS n_terms_hit
+            FROM tf
+            JOIN dfreq USING (token)
+            JOIN lens ON tf.doc_id = lens.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE v AS (

@@ -190,6 +190,61 @@ def tf_idf(
     )
 
 
+def bm25_scores(
+    df: DataFrame, text_col: str, id_col: str, query_terms: list[str],
+    k1: float = 1.2, b: float = 0.75, decimals: int = 6,
+) -> DataFrame:
+    """Okapi BM25 score of each document against a fixed term set
+    (Robertson's +1 idf variant):
+
+        Σ_t ln((N - df + .5)/(df + .5) + 1)
+            · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))
+
+    Plan: doc lengths per row (no shuffle) → explode filtered to the
+    query terms (the filter folds into the generator, so only query-term
+    rows ever materialize) → (doc, term) tf (shuffle 1) → term df from
+    the aggregated tf table (tiny, broadcast back). Per-term partials
+    are rounded then summed as exact DECIMAL so the per-doc total is
+    independent of Spark's/any engine's float summation order.
+    Output: (id, score, n_terms_hit).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    lens = toks.select("__id", F.size("__toks").alias("__dl"))
+    tot = lens.agg(
+        F.sum("__dl").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    n_docs, avgdl = tot["c"], tot["s"] / tot["c"]
+    pairs = toks.select(
+        "__id", F.explode("__toks").alias("token")
+    ).where(F.col("token").isin(list(query_terms)))
+    tf = pairs.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "__id")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.round(per_term, 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("__raw"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.round("__raw", decimals).alias("score"),
+            "n_terms_hit",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame, text_col: str, id_col: str,
     chunk_tokens: int = 64, overlap: int = 16,
