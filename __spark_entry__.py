@@ -1806,6 +1806,192 @@ def q_decode_features(spark, sf_dir):
     return multimodal.decode_features(docs, "payload", "doc_id", n_features=8)
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): 8-way join (nation twice
+    — customer-side restricts the region, supplier-side names the
+    nation), then a conditional-aggregate ratio per order year. Both
+    sums are exact decimals cast to double before the division, so the
+    quotient is bit-identical across engines. Region+part filters push
+    into broadcast dims; lineitem joins are the only shuffles."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__cn_key"),
+        F.col("n_regionkey").alias("__cn_region"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__sn_key"),
+        F.col("n_name").alias("nation"),
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__cn_key"))
+        .join(F.broadcast(r), F.col("__cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", vol).otherwise(
+                        F.lit(0).cast("decimal(4,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): the testdata has no
+    partsupp table, so supply cost is modeled as 60% of the part's
+    retail price — the plan shape (part-name LIKE filter, 6-way join,
+    profit = revenue − cost as exact decimal, group by supplier nation
+    × order year, year DESC) is Q9's. All money math stays in decimal
+    until the final double cast."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.lit("0.6").cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    ) * F.col("l_quantity").cast("decimal(12,2)")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """Map-function battery: create_map from columns, then size,
+    map_keys (sorted), element_at lookup, map_filter, transform_values,
+    map_concat + map_values — all JVM-side map expressions. The oracle
+    states the same values directly from the source columns (the map is
+    built from known keys, so every output has a closed form)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "type").alias("v_type"),
+        F.size(
+            F.map_filter(m, lambda k, v: F.length(v) > F.lit(4))
+        ).alias("n_long_vals"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "type"
+        ).alias("v_type_upper"),
+        F.array_join(
+            F.map_values(
+                F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+            ),
+            "|",
+        ).alias("vals_all"),
+    )
+
+
+def q_posexplode_sequence(spark, sf_dir):
+    """Row-generating lateral: sequence() builds a per-row 1..n array
+    (n from the row), posexplode emits (0-based pos, val) rows — the
+    generate/unnest-with-ordinality surface. Oracle unnests
+    range(1, n+1) and derives pos = val-1."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    n = (F.col("o_orderkey") % 5 + 1).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.posexplode(F.sequence(F.lit(1), n)).alias("pos", "val"),
+    )
+
+
+def q_conditional_funcs(spark, sf_dir):
+    """Conditional-expression battery: CASE/WHEN chains, coalesce,
+    nullif, nvl2-style branching, least/greatest, null-safe equality
+    (<=>) — scalar control flow that must stay inside whole-stage
+    codegen."""
+    o = _t(spark, sf_dir, "orders")
+    price_band = (
+        F.when(F.col("o_totalprice") < 1000, "low")
+        .when(F.col("o_totalprice") < 10000, "mid")
+        .otherwise("high")
+    )
+    return o.select(
+        "o_orderkey",
+        price_band.alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_or_open"),
+        F.least(
+            F.col("o_orderkey") % 97, F.col("o_custkey") % 89
+        ).alias("least_mod"),
+        F.greatest(
+            F.col("o_orderkey") % 97, F.col("o_custkey") % 89
+        ).alias("greatest_mod"),
+        (F.col("o_orderstatus").eqNullSafe(F.lit("F"))).alias("is_final"),
+        F.when(F.col("o_orderpriority").isNull(), F.lit(-1))
+        .otherwise(F.length("o_orderpriority"))
+        .alias("prio_len"),
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-resilient salted join, oracle-certified: events.user_id has
+    only ~15 distinct values over the whole fact table (extreme hot
+    keys), so the plain shuffle join would put each key on one task.
+    salted_join spreads every key over 8 salts (left hashed, right
+    replicated 8×); the oracle is the PLAIN join — salting must be
+    invisible in the result. Doubles are floor(value*100)-bucketed
+    before summing so the aggregate is exact integer math."""
+    from databricks_flight_etl_spark.operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        F.floor(F.col("value") * 100).alias("value_c"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cust, ["c_custkey"], n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_c").alias("sum_value_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1908,6 +2094,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_dup_lsh": q_embed_dup_lsh,
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_decode_features": q_decode_features,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9_shape": q_tpch_q9_shape,
+        "q_map_funcs": q_map_funcs,
+        "q_posexplode_sequence": q_posexplode_sequence,
+        "q_conditional_funcs": q_conditional_funcs,
+        "q_salted_join": q_salted_join,
     }
 
 
@@ -2998,5 +3190,97 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "q_tpch_q8": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                 ELSE CAST(0 AS DECIMAL(4,2)) END)
+                        AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                          AS DOUBLE) AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "q_tpch_q9_shape": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                            - CAST(0.6 AS DECIMAL(2,1))
+                              * CAST(p_retailprice AS DECIMAL(12,2))
+                              * CAST(l_quantity AS DECIMAL(12,2)))
+                        AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "q_map_funcs": """
+            SELECT event_id,
+                   CAST(2 AS INTEGER) AS n_entries,
+                   'type,user' AS keys_sorted,
+                   event_type AS v_type,
+                   CAST((CASE WHEN strlen(event_type) > 4 THEN 1 ELSE 0 END)
+                        + (CASE WHEN strlen(CAST(user_id AS VARCHAR)) > 4
+                                THEN 1 ELSE 0 END) AS INTEGER) AS n_long_vals,
+                   upper(event_type) AS v_type_upper,
+                   event_type || '|' || CAST(user_id AS VARCHAR)
+                       || '|' || 'events' AS vals_all
+            FROM events
+        """,
+        "q_posexplode_sequence": """
+            SELECT o_orderkey,
+                   CAST(u - 1 AS INTEGER) AS pos,
+                   CAST(u AS INTEGER) AS val
+            FROM (
+                SELECT o_orderkey,
+                       unnest(range(1, (o_orderkey % 5) + 2)) AS u
+                FROM orders
+                WHERE o_orderkey % 7 = 0
+            )
+        """,
+        "q_conditional_funcs": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice < 1000 THEN 'low'
+                        WHEN o_totalprice < 10000 THEN 'mid'
+                        ELSE 'high' END AS price_band,
+                   coalesce(nullif(o_orderstatus, 'O'), 'open')
+                       AS status_or_open,
+                   least(o_orderkey % 97, o_custkey % 89) AS least_mod,
+                   greatest(o_orderkey % 97, o_custkey % 89) AS greatest_mod,
+                   o_orderstatus IS NOT DISTINCT FROM 'F' AS is_final,
+                   CAST(CASE WHEN o_orderpriority IS NULL THEN -1
+                             ELSE strlen(o_orderpriority)
+                        END AS INTEGER) AS prio_len
+            FROM orders
+        """,
+        "q_salted_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100) AS BIGINT))
+                       AS sum_value_cents
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
     }
