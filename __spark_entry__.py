@@ -1992,6 +1992,120 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+def q_struct_funcs(spark, sf_dir):
+    """Struct-expression battery: build a named struct from columns,
+    access fields, serialize with to_json, round-trip through
+    from_json, and order an array of structs (struct comparison is
+    field-order lexicographic) — all row-level, no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    js = F.to_json(s)
+    arr = F.array(
+        F.struct(
+            (F.col("o_orderkey") % 7).alias("r"),
+            F.lit("a").alias("tag"),
+        ),
+        F.struct(
+            (F.col("o_custkey") % 7).alias("r"),
+            F.lit("b").alias("tag"),
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        js.alias("js"),
+        s.getField("st").alias("st_field"),
+        F.from_json(js, "k bigint, st string").getField("k").alias(
+            "k_roundtrip"
+        ),
+        F.sort_array(arr).getItem(0).getField("tag").alias("min_tag"),
+    )
+
+
+def q_try_arith(spark, sf_dir):
+    """Error-safe arithmetic battery: try_divide (null on /0),
+    try_cast (null on bad parse), try_element_at (null out of bounds),
+    try_add at bigint overflow — null-on-error semantics that stay
+    stable whether the session runs ANSI on or off, so a 100 TB batch
+    can enable ANSI without job-killing exceptions on the hot path."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 3)).alias(
+            "div3"
+        ),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_int"),
+        F.try_element_at(
+            F.sequence(F.lit(1), F.lit(3)), F.lit(99)
+        ).alias("oob"),
+        F.when(
+            F.col("o_orderkey") > 0,
+            F.try_add(F.lit(9223372036854775807), F.col("o_orderkey")),
+        )
+        .otherwise(F.lit(9223372036854775807))
+        .alias("overflow_null"),
+    )
+
+
+def q_bitwise(spark, sf_dir):
+    """Bitwise battery: per-row shifts/AND/XOR summed, plus the
+    bit_and/bit_or/bit_xor aggregates per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("band"),
+            F.bit_or("user_id").alias("bor"),
+            F.bit_xor("user_id").alias("bxor"),
+            F.sum(F.shiftleft(F.col("user_id"), 2)).alias("sum_shl"),
+            F.sum(F.col("user_id").bitwiseAND(F.lit(15))).alias("sum_and15"),
+            F.sum(F.col("user_id").bitwiseXOR(F.lit(255))).alias("sum_x255"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_median_group(spark, sf_dir):
+    """Exact median per group (both engines interpolate the midpoint of
+    the two central values on even counts; rounded to 6 to absorb the
+    final-average ulp)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 6).alias("med_value"),
+            F.round(F.median(F.col("user_id").cast("double")), 6).alias(
+                "med_user"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style time_bucket rollup: fixed 15-minute epoch
+    buckets (pure integer arithmetic — no calendar), per-bucket count /
+    exact cents sum / min-max event time. The continuous-aggregate
+    primitive: at 100 TB this is the first materialization layer and
+    partial-aggregates fully map-side before one shuffle on the bucket
+    key."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bucket = (us - us % F.lit(900_000_000)).alias("bucket_us")
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_cents"),
+            F.min(us).alias("first_us"),
+            F.max(us).alias("last_us"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2100,6 +2214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_posexplode_sequence": q_posexplode_sequence,
         "q_conditional_funcs": q_conditional_funcs,
         "q_salted_join": q_salted_join,
+        "q_struct_funcs": q_struct_funcs,
+        "q_try_arith": q_try_arith,
+        "q_bitwise": q_bitwise,
+        "q_median_group": q_median_group,
+        "q_time_bucket_rollup": q_time_bucket_rollup,
     }
 
 
@@ -3282,5 +3401,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "q_struct_funcs": """
+            SELECT o_orderkey,
+                   to_json(struct_pack(k := o_orderkey,
+                                       st := o_orderstatus)) AS js,
+                   o_orderstatus AS st_field,
+                   o_orderkey AS k_roundtrip,
+                   CASE WHEN o_orderkey % 7 < o_custkey % 7 THEN 'a'
+                        WHEN o_custkey % 7 < o_orderkey % 7 THEN 'b'
+                        ELSE 'a' END AS min_tag
+            FROM orders
+        """,
+        "q_try_arith": """
+            SELECT o_orderkey,
+                   o_totalprice / nullif(o_orderkey % 3, 0) AS div3,
+                   TRY_CAST(o_orderstatus AS INTEGER) AS status_int,
+                   CAST(NULL AS INTEGER) AS oob,
+                   CASE WHEN o_orderkey > 0 THEN CAST(NULL AS BIGINT)
+                        ELSE 9223372036854775807 END AS overflow_null
+            FROM orders
+        """,
+        "q_bitwise": """
+            SELECT event_type,
+                   bit_and(user_id) AS band,
+                   bit_or(user_id) AS bor,
+                   bit_xor(user_id) AS bxor,
+                   sum(user_id << 2) AS sum_shl,
+                   sum(user_id & 15) AS sum_and15,
+                   sum(xor(user_id, 255)) AS sum_x255
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "q_median_group": """
+            SELECT event_type,
+                   round(median(value), 6) AS med_value,
+                   round(median(CAST(user_id AS DOUBLE)), 6) AS med_user
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "q_time_bucket_rollup": """
+            SELECT bucket_us,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+                   min(us) AS first_us,
+                   max(us) AS last_us
+            FROM (
+                SELECT epoch_us(ts) AS us,
+                       epoch_us(ts) - (epoch_us(ts) % 900000000)
+                           AS bucket_us,
+                       value
+                FROM events
+            )
+            GROUP BY bucket_us
+            ORDER BY bucket_us
         """,
     }
