@@ -251,7 +251,10 @@ def _jaccard_verified(
     arrs = _pin(_shingle_arrays(docs, text_col, id_col, shingle_k), persist)
     # per-row set size — no groupBy over the exploded table needed
     sizes = arrs.select("__id", F.size("__shs").alias("__sz"))
-    sh = arrs.select("__id", F.explode("__shs").alias("__sh"))
+    # join key is the shingle HASH — 8 fixed bytes through the shuffle
+    sh = arrs.select("__id", F.explode("__shs").alias("__sh")).select(
+        "__id", F.xxhash64("__sh").alias("__sh")
+    )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh"))
     shared = (
@@ -388,8 +391,16 @@ def ngram_jaccard_pairs(
     before the self-join — without it one ubiquitous shingle creates a
     quadratic candidate blowup at scale. Dropping them can only lower
     measured similarity for pathological texts; set None for exactness.
+
+    The self-join keys on xxhash64(shingle), not the shingle string:
+    the shuffled key is a fixed 8 bytes instead of a variable-width
+    UTF8String (measured 1.5× end-to-end at sf0.1), at the cost of a
+    ~n²·2⁻⁶⁴ chance per doc-pair of one colliding shingle inflating
+    the intersection count by 1.
     """
-    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    sh = _shingle_table(df, text_col, id_col, shingle_k).select(
+        "__id", F.xxhash64("__sh").alias("__sh")
+    )
     if max_df is not None:
         rare = (
             sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
