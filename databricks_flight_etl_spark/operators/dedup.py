@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..partitioning import spread
+
 
 def _pin(df: DataFrame, persist: bool) -> DataFrame:
     """Persist a subplan that downstream code references more than once.
@@ -101,6 +103,16 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     return _shingles_of(normalize_text(col), k)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition the pruned (id, raw text) projection by id when
+    the scan arrives under-parallel (small single-row-group file → one
+    split → the whole normalize+shingle+hash map side on one core). The
+    id partitioning already satisfies the groupBy(id) distribution of
+    the signature aggregates, so the plan keeps exactly one Exchange.
+    See ``partitioning.spread``."""
+    return spread(df, "__id")
+
+
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, array<string> shingles) — one row per doc, no explode.
     Normalizes through a materializing projection FIRST so the regexp
@@ -109,9 +121,12 @@ def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     null filter is on the RAW column so it pushes to the scan; a
     ``where`` on the computed array re-evaluates the whole shingle
     expression inside the pushed filter (measured 15× slower)."""
-    norm = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t")
+    raw = _spread(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")
+        )
     )
+    norm = raw.select("__id", normalize_text("__raw").alias("__t"))
     return norm.select(
         "__id", _shingles_of(F.col("__t"), k).alias("__shs")
     )
@@ -122,9 +137,10 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     generation. The shingle expression is inlined in the explode (NOT
     projected first): a Generate over an aliased array column runs
     markedly slower than the inline generator."""
-    norm = df.select(
-        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t")
+    raw = _spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__raw"))
     )
+    norm = raw.select("__id", normalize_text("__raw").alias("__t"))
     return norm.select(
         "__id", F.explode(_shingles_of(F.col("__t"), k)).alias("__sh")
     )

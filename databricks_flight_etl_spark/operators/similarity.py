@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
+
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "cosine_topk_pandas",
            "hyperplane_bucket", "ann_topk_lsh", "cosine_near_dup_pairs",
@@ -64,9 +66,10 @@ def cosine_topk(
     probe = df.filter(F.col(id_col) == probe_id).select(
         _as_double(vec_col).alias("__pv")
     )
-    joined = df.select(F.col(id_col), _as_double(vec_col).alias("__v")).crossJoin(
-        F.broadcast(probe)
-    )
+    # spread the corpus before scoring: the fold-based dot is the hot
+    # map work and must not run on a single under-split scan task
+    corpus = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
+    joined = corpus.crossJoin(F.broadcast(probe))
     cos = cosine(F.col("__v"), F.col("__pv"))
     return (
         joined.select(F.col(id_col), cos.alias("__cos"))
@@ -99,10 +102,12 @@ def cosine_near_dup_pairs(
     Norms are computed once per side before the join; float32 input is
     cast to double before any arithmetic.
     """
-    v = df.select(
-        F.col(id_col),
-        _as_double(vec_col).alias("__v"),
-        *([F.col(block_col).alias("__blk")] if block_col else []),
+    v = spread(
+        df.select(
+            F.col(id_col),
+            _as_double(vec_col).alias("__v"),
+            *([F.col(block_col).alias("__blk")] if block_col else []),
+        )
     )
     if block_col is None:
         first = df.select(vec_col).first()
@@ -154,7 +159,7 @@ def cosine_topk_batch(
     probes = df.filter(F.col(id_col).isin(*probe_ids)).select(
         F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("__pv")
     )
-    corpus = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    corpus = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
     scored = corpus.crossJoin(F.broadcast(probes)).select(
         "probe_id",
         F.col(id_col),
@@ -206,9 +211,11 @@ def cosine_topk_pandas(
     pv = np.asarray(probe["__pv"], dtype=np.float64)
     pn = np.sqrt(pv @ pv)
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("__id"),
-        _as_double(vec_col).alias("__v"),
+    src = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            _as_double(vec_col).alias("__v"),
+        )
     )
     out_schema = T.StructType(
         [
@@ -284,7 +291,7 @@ def ivf_centroids(
         .collect()
     )
     cents = [_unit(list(r["__v"])) for r in seeds]
-    vecs = df.select(_as_double(vec_col).alias("__v"))
+    vecs = spread(df.select(_as_double(vec_col).alias("__v")))
     for _ in range(iters):
         assigned = vecs.withColumn("__list", _nearest_list(F.col("__v"), cents))
         means = (
@@ -348,9 +355,13 @@ def ann_topk_ivf(
         key=lambda i: -sum(a * b for a, b in zip(pu, cents[i])),
     )
     lists = ranked[:n_probe]
-    assigned = ivf_assign(df, cents, vec_col, "__list")
+    # prune to (id, vec) and spread BEFORE the 16-dot assignment expr —
+    # in production the assignment is a stored partition column and this
+    # whole step is a pruned scan instead
+    pruned = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
+    assigned = ivf_assign(pruned, cents, "__v", "__list")
     cand = assigned.filter(F.col("__list").isin(*lists)).select(
-        F.col(id_col), _as_double(vec_col).alias("__v")
+        F.col(id_col), F.col("__v")
     )
     cos = cosine(F.col("__v"), _lit_vec(probe_vec))
     return (
@@ -397,7 +408,7 @@ def ann_topk_lsh(
     one.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    vecs = df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    vecs = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
     bucketed = vecs.withColumn("__b", hyperplane_bucket(F.col("__v"), planes))
     probe = (
         bucketed.filter(F.col(id_col) == probe_id)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
+
 __all__ = [
     "EN_STOPWORDS",
     "STOPWORD_SETS",
@@ -87,7 +89,9 @@ def token_top_k(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     TakeOrderedAndProject — the only shuffle is on the token key, and
     map-side partial aggregation collapses the heavy hitters before it.
     """
-    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    toks = spread(df.select(F.col(text_col))).select(
+        F.explode(tokens(text_col)).alias("token")
+    )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 
@@ -168,9 +172,13 @@ def tf_idf(
     Output: (id, token, tf, df, tfidf).
     """
     n_docs = df.count()  # one tiny job; a literal thereafter
-    pairs = df.select(
-        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
-    )
+    # spread by id: parallelizes the explode AND pre-satisfies the
+    # groupBy(__id, token) clustering (id is a subset of the grouping
+    # keys), so the tf aggregate needs no exchange of exploded rows
+    pairs = spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")),
+        "__id",
+    ).select("__id", F.explode(tokens("__raw")).alias("token"))
     tf = pairs.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         tf.groupBy("token")
@@ -208,9 +216,10 @@ def bm25_scores(
     independent of Spark's/any engine's float summation order.
     Output: (id, score, n_terms_hit).
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    )
+    toks = spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")),
+        "__id",
+    ).select("__id", tokens("__raw").alias("__toks"))
     lens = toks.select("__id", F.size("__toks").alias("__dl"))
     tot = lens.agg(
         F.sum("__dl").alias("s"), F.count(F.lit(1)).alias("c")
@@ -339,9 +348,12 @@ def winnow_fingerprints(
     """
     from .dedup import normalize_text  # local import: avoid module cycle
 
-    norm = df.select(
-        F.col(id_col), normalize_text(text_col).alias("__t")
-    )
+    # spread by id: parallelizes the per-position hashing and
+    # pre-satisfies the final distinct's (id, fp) clustering, so the
+    # whole selection runs with a single (tiny, pre-normalize) exchange
+    norm = spread(
+        df.select(F.col(id_col), F.col(text_col).alias("__raw")), id_col
+    ).select(F.col(id_col), normalize_text("__raw").alias("__t"))
     t = F.col("__t")
     # ordered (non-distinct!) k-gram hash sequence; short texts hash whole
     grams = F.when(
