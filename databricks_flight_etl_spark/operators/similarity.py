@@ -291,23 +291,21 @@ def ivf_centroids(
         .collect()
     )
     cents = [_unit(list(r["__v"])) for r in seeds]
+    dim = len(cents[0])
     vecs = spread(df.select(_as_double(vec_col).alias("__v")))
     for _ in range(iters):
         assigned = vecs.withColumn("__list", _nearest_list(F.col("__v"), cents))
+        # per-list elementwise mean as ``dim`` scalar avg aggregates in
+        # ONE hash agg — no posexplode (dim× row blowup through the
+        # shuffle) and no collect_list/array_sort regroup
         means = (
-            assigned.select("__list", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("__list", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("__list")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select("__list", F.transform("pm", lambda s: s["m"]).alias("c"))
+            assigned.groupBy("__list")
+            .agg(*[F.avg(F.col("__v")[i]).alias(f"m_{i}") for i in range(dim)])
             .collect()
         )
-        by_list = {r["__list"]: _unit(list(r["c"])) for r in means}
+        by_list = {
+            r["__list"]: _unit([r[f"m_{i}"] for i in range(dim)]) for r in means
+        }
         # empty lists keep their previous centroid
         cents = [by_list.get(i, cents[i]) for i in range(n_lists)]
     return cents
