@@ -751,6 +751,19 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """X2 ANN, multi-probe variant (Lv et al. VLDB'07): probe the exact
+    LSH bucket plus all buckets ≤1 signature bit away — recall recovery
+    without extra hash tables; candidate generation stays a broadcast
+    equi-join on the bucket key."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        ann_topk_lsh_multiprobe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh_multiprobe(emb, probe_id=0, k=10, dim=64, n_flip=1)
+
+
 def q_streaming_day_counts(spark, sf_dir):
     """Structured Streaming, certified against the BATCH oracle: the
     events parquet replayed through a file-source stream → watermarked
@@ -776,16 +789,24 @@ def q_streaming_day_counts(spark, sf_dir):
     out = streaming_day_counts(
         ns_long_to_timestamp(stream, ["ts"]), "ts", watermark="2 days"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("harness_stream_days")
-        .outputMode("update")
-        .start()
-    )
+    # one state store per shuffle partition: size to the open-window
+    # cardinality (~30 day windows), not the batch default — 32 stores
+    # for 30 keys is pure per-batch bookkeeping overhead
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            out.writeStream.format("memory")
+            .queryName("harness_stream_days")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("harness_stream_days").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n"
     )
@@ -2157,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,

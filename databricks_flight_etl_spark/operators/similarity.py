@@ -25,7 +25,8 @@ from ..partitioning import spread
 
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "cosine_topk_pandas",
-           "hyperplane_bucket", "ann_topk_lsh", "cosine_near_dup_pairs",
+           "hyperplane_bucket", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
+           "cosine_near_dup_pairs",
            "ivf_centroids", "ivf_assign", "ann_topk_ivf"]
 
 
@@ -414,6 +415,62 @@ def ann_topk_lsh(
     )
     cands = bucketed.join(
         F.broadcast(probe), bucketed["__b"] == probe["__pb"], "inner"
+    )
+    cos = cosine(F.col("__v"), F.col("__pv"))
+    return (
+        cands.select(F.col(id_col), cos.alias("__cos"))
+        .orderBy(F.desc("__cos"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
+    )
+
+
+def ann_topk_lsh_multiprobe(
+    df: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_flip: int = 1,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): scan the probe's
+    bucket PLUS every bucket whose signature differs in ≤ ``n_flip``
+    bits, exact cosine re-rank over the union.
+
+    A true neighbor lands in a different bucket only when some v·hᵢ
+    signs differ — almost always by ONE borderline plane — so probing
+    Hamming-adjacent buckets recovers most single-table LSH misses
+    without building extra hash tables (the classic recall/tables
+    trade). Spark shape: the probe row is exploded into its
+    C(n_planes,≤n_flip)+1 candidate signatures and broadcast; candidate
+    generation stays an equi-join on the bucket key, so at 100 TB it is
+    still a partition-prunable match on a stored bucket column — just
+    n_probe partitions instead of one. Superset-of-single-probe by
+    construction.
+    """
+    masks = [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= n_flip
+    ]
+    planes = _hyperplanes(dim, n_planes, seed)
+    vecs = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
+    bucketed = vecs.withColumn("__b", hyperplane_bucket(F.col("__v"), planes))
+    probe = bucketed.filter(F.col(id_col) == probe_id).select(
+        F.col("__v").alias("__pv"), F.col("__b").alias("__pb0")
+    )
+    # one probe row → one row per candidate signature (XOR flips stay
+    # engine-side: no collect of the bucket to the driver)
+    probe_buckets = probe.select(
+        "__pv",
+        F.explode(
+            F.array(*[F.col("__pb0").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("__pb"),
+    )
+    cands = bucketed.join(
+        F.broadcast(probe_buckets), bucketed["__b"] == probe_buckets["__pb"]
     )
     cos = cosine(F.col("__v"), F.col("__pv"))
     return (

@@ -132,6 +132,25 @@ def test_ann_lsh_contains_probe_bucket(spark, vectors):
     assert 3 not in ids         # opposite vector lands in another bucket
 
 
+def test_ann_lsh_multiprobe_superset(spark, vectors):
+    single = similarity.ann_topk_lsh(
+        vectors, probe_id=0, k=5, dim=3, n_planes=4
+    ).collect()
+    multi = similarity.ann_topk_lsh_multiprobe(
+        vectors, probe_id=0, k=5, dim=3, n_planes=4, n_flip=1
+    ).collect()
+    # probing Hamming-adjacent buckets can only ADD candidates, so the
+    # single-probe hits are a subset of the multi-probe hits
+    assert {r["vec_id"] for r in single} <= {r["vec_id"] for r in multi}
+    assert multi[0]["vec_id"] == 0
+    # flipping ALL planes reaches every bucket → equals brute force
+    brute = similarity.cosine_topk(vectors, probe_id=0, k=5).collect()
+    full = similarity.ann_topk_lsh_multiprobe(
+        vectors, probe_id=0, k=5, dim=3, n_planes=4, n_flip=4
+    ).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+
+
 def test_token_ops(spark, docs):
     top = text.token_top_k(docs, "text", k=3).collect()
     assert top[0]["token"] == "the"
