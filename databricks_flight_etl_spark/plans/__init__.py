@@ -9,6 +9,7 @@ partition" semantics (SURVEY §4.3).
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame
 
@@ -88,16 +89,27 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 def count_operator(df: DataFrame, op: str) -> int:
     """Occurrences of a physical operator (e.g. 'BroadcastHashJoin',
-    'Exchange', 'HashAggregate') in the formatted plan's tree section."""
-    n = 0
+    'Exchange', 'HashAggregate') in the formatted plan's tree section.
+
+    Counts UNIQUE operator ids: the plan is a DAG, and a persisted
+    subtree referenced from several points (pinned signatures/pairs in
+    the dedup pipeline) is printed once per reference but EXECUTES once
+    — naive line counting inflated such plans ~30× (993 KB string for
+    q_minhash_pairs). Lines without an id fall back to per-line counts."""
+    ids: set[str] = set()
+    n_no_id = 0
     for line in explain_str(df).splitlines():
         # tree lines look like '+- BroadcastHashJoin Inner BuildRight (16)'
         # or detail headers '(16) BroadcastHashJoin'; count tree lines only.
         s = line.strip()
         if (s.startswith(("+-", ":-", "*", ":  +-")) or s[:1].isalnum()) and op in s:
             if not s.startswith("("):
-                n += 1
-    return n
+                m = re.search(re.escape(op) + r"[^\n(]*\((\d+)\)", s)
+                if m:
+                    ids.add(m.group(1))
+                else:
+                    n_no_id += 1
+    return len(ids) + n_no_id
 
 
 def has_operator(df: DataFrame, op: str) -> bool:
