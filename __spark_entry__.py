@@ -751,6 +751,29 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_textprep_pipeline(spark, sf_dir):
+    """End-to-end LLM training-data prep over the documents table:
+    quality filter → language filter → exact dedup → MinHash near-dup
+    clustering (min-id survivor) → overlapping token-window chunking.
+    Returns (doc_id, n_chunks) per surviving doc — deterministic (fixed
+    hash seeds) but not SQL-oracle-expressible end-to-end (the LSH
+    candidate step), so rows-only; every stage is separately certified
+    (q_text_quality, q_lang_id, q_dedup_exact, q_dedup_clusters,
+    q_chunk_documents)."""
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = run_textprep_pipeline(
+        docs, min_tokens=10, near_dup_threshold=0.8, shingle_k=7,
+        chunk_tokens=64, overlap=16,
+    )
+    return (
+        rep.chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_lsh_multiprobe(spark, sf_dir):
     """X2 ANN, multi-probe variant (Lv et al. VLDB'07): probe the exact
     LSH bucket plus all buckets ≤1 signature bit away — recall recovery
@@ -2179,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "q_textprep_pipeline": q_textprep_pipeline,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,

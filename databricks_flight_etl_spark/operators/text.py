@@ -97,28 +97,37 @@ def token_top_k(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
 
 
 def text_quality(df: DataFrame, text_col: str, id_col: str,
-                 decimals: int = 6) -> DataFrame:
+                 decimals: int = 6, append: bool = False) -> DataFrame:
     """Per-document quality metrics: (id, n_tokens, avg_token_len,
     stopword_ratio) — the length/stopword-ratio heuristics of an LLM
-    training-data quality filter. Pure per-row array math: no shuffle."""
+    training-data quality filter. Pure per-row array math: no shuffle.
+
+    ``append=True`` keeps every input column and appends the metrics —
+    the pipeline form: a quality FILTER is then a plain ``where`` on the
+    same frame, no join-back by id (which would add a shuffle)."""
     toks = tokens(text_col)
     n = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    return df.select(
-        F.col(id_col),
+    metrics = [
         n.alias("n_tokens"),
         F.round(sum_len / n, decimals).alias("avg_token_len"),
         F.round(n_stop / n, decimals).alias("stopword_ratio"),
-    )
+    ]
+    if append:
+        return df.select(F.col("*"), *metrics)
+    return df.select(F.col(id_col), *metrics)
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lang_id(df: DataFrame, text_col: str, id_col: str,
+            append: bool = False) -> DataFrame:
     """Language guess via stopword-set overlap, deterministic argmax with
     the STOPWORD_SETS precedence (en > es > de > fr on ties). Output:
-    (id, s_en, s_es, s_de, s_fr, lang_guess). Per-row only — no shuffle."""
+    (id, s_en, s_es, s_de, s_fr, lang_guess). Per-row only — no shuffle.
+    ``append=True`` keeps every input column and appends ``lang_guess``
+    (the pipeline-filter form — see text_quality)."""
     toks = tokens(text_col)
 
     def _score(words: tuple[str, ...]):
@@ -138,6 +147,8 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .when(scores["de"] >= scores["fr"], "de")
         .otherwise("fr")
     )
+    if append:
+        return df.select(F.col("*"), guess.alias("lang_guess"))
     return df.select(
         F.col(id_col),
         scores["en"].alias("s_en"),

@@ -26,7 +26,8 @@ from .operators import (
 )
 from .sources import write_parquet
 
-__all__ = ["QualityReport", "run_flight_pipeline"]
+__all__ = ["QualityReport", "run_flight_pipeline",
+           "TextPrepReport", "run_textprep_pipeline"]
 
 
 @dataclass
@@ -90,3 +91,82 @@ def run_flight_pipeline(
     if output_path is not None:
         report.output_partitions = write_parquet(cleaned, output_path)
     return report
+
+
+@dataclass
+class TextPrepReport:
+    """Stage outputs of the training-data text-prep pipeline, all lazy.
+
+    Each stage is the frame AFTER that stage's filter, so
+    ``count()``-ing consecutive stages yields the funnel (input → kept
+    by quality → kept by language → exact-unique → near-dup survivors →
+    chunks)."""
+
+    scored: DataFrame          # input + quality metrics + lang_guess
+    quality_kept: DataFrame
+    lang_kept: DataFrame
+    exact_unique: DataFrame
+    survivors: DataFrame       # after near-dup clustering
+    chunks: DataFrame          # (id, chunk_idx, chunk_text, n_chunk_tokens)
+
+
+def run_textprep_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 0.9,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.8,
+    shingle_k: int = 7,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    persist: bool = True,
+) -> TextPrepReport:
+    """LLM training-data preprocessing over a documents table: quality
+    filter → language filter → exact dedup → near-dup dedup (MinHash
+    LSH candidates, exact-Jaccard verify, connected-component clusters,
+    min-id survivor) → overlapping token-window chunking.
+
+    Composition is shuffle-frugal by construction: the quality and
+    language stages are per-row column appends + ``where`` (no
+    join-back by id); dedup shuffles digests and 8-byte shingle hashes,
+    never document text; the survivor selections are left-anti/semi
+    joins on ids. The near-dup input is persisted because the pair
+    pipeline and the survivor anti-join both consume it.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators import dedup, graph, text
+
+    scored = text.text_quality(df, text_col, id_col, append=True)
+    scored = text.lang_id(scored, text_col, id_col, append=True)
+    quality_kept = scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+    lang_kept = quality_kept.where(F.col("lang_guess").isin(*langs))
+
+    exact_unique = dedup.exact_dedup(lang_kept, text_col, id_col)
+    if persist:
+        exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = dedup.minhash_dedup_pairs(
+        exact_unique, text_col, id_col,
+        threshold=near_dup_threshold, shingle_k=shingle_k, persist=persist,
+    )
+    survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
+    chunks = text.chunk_documents(
+        survivors, text_col, id_col,
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    )
+    return TextPrepReport(
+        scored=scored,
+        quality_kept=quality_kept,
+        lang_kept=lang_kept,
+        exact_unique=exact_unique,
+        survivors=survivors,
+        chunks=chunks,
+    )

@@ -382,3 +382,40 @@ def test_tf_idf_values(spark):
     assert got[(0, "b")][0] == 1
     assert got[(0, "b")][2] == round(math.log(2.0), 6)
     assert got[(1, "c")][2] == round(math.log(2.0), 6)
+
+
+def test_textprep_pipeline(spark):
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    rows = [
+        (0, BASE),                               # survivor of the dup cluster
+        (1, BASE),                               # exact dup of 0 → dropped
+        (2, BASE.replace("lazy", "sleepy")),     # near dup of 0 → dropped
+        (3, "too short"),                        # fails min_tokens
+        (4, "el la de y en es los por con del el la de y en es los por "
+            "con del el la de y en es"),         # spanish → dropped by lang
+        (5, "a genuinely different english document about the design of "
+            "distributed query engines and the cost of a shuffle in the "
+            "presence of skewed keys and the benefits of broadcast joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = run_textprep_pipeline(
+        docs, min_tokens=5, near_dup_threshold=0.6, shingle_k=5,
+        chunk_tokens=8, overlap=2,
+    )
+    assert {r["doc_id"] for r in rep.quality_kept.select("doc_id").collect()} \
+        == {0, 1, 2, 4, 5}
+    assert {r["doc_id"] for r in rep.lang_kept.select("doc_id").collect()} \
+        == {0, 1, 2, 5}
+    assert {r["doc_id"] for r in rep.exact_unique.select("doc_id").collect()} \
+        == {0, 2, 5}
+    assert {r["doc_id"] for r in rep.survivors.select("doc_id").collect()} \
+        == {0, 5}
+    chunks = rep.chunks.collect()
+    assert {r["doc_id"] for r in chunks} == {0, 5}
+    # stride = chunk_tokens - overlap = 6; every token covered, in order
+    doc0 = sorted(
+        (r for r in chunks if r["doc_id"] == 0), key=lambda r: r["chunk_idx"]
+    )
+    assert doc0[0]["chunk_text"].startswith("the quick brown fox")
+    assert all(r["n_chunk_tokens"] <= 8 for r in doc0)
