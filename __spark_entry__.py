@@ -735,9 +735,11 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """X1 exact n-gram Jaccard pairs via the inverted shingle index.
-    max_df=50 drops stop-shingles before the self-join (each shingle
-    with df=d contributes d²/2 pairs — the cap bounds the blowup)."""
+    """X1 exact n-gram Jaccard pairs via the inverted shingle index,
+    oracle-certified (DuckDB mirrors the normalize→shingle→inverted-
+    join→Jaccard dataflow in SQL). max_df=50 drops stop-shingles before
+    the self-join (each shingle with df=d contributes d²/2 pairs — the
+    cap bounds the blowup)."""
     return ngram_jaccard_pairs(
         _docs_near_dup_base(spark, sf_dir), "text", "doc_id",
         threshold=0.6, shingle_k=7, max_df=50,
@@ -848,7 +850,9 @@ def q_cosine_topk_pandas(spark, sf_dir):
     """X2 alternative hot path: cosine top-k with the dot products in an
     Arrow-batched Pandas UDF (numpy matmul). Same answer as the JVM
     fold (pinned by unit test); numpy's pairwise summation order can
-    differ in the last ulp → rows-only here."""
+    differ from the fold in the last ulp, but round(6) absorbs it —
+    certified against the same oracle as q_cosine_topk (verified at
+    sf0.001/0.01/0.1)."""
     from databricks_flight_etl_spark.operators.similarity import cosine_topk_pandas
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2503,6 +2507,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_guess
             FROM s
         """,
+        "q_ngram_jaccard": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM base
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i, 7) AS sh
+                FROM (
+                    SELECT doc_id, t,
+                           unnest(generate_series(
+                               1, greatest(length(t) - 6, 1))) AS i
+                    FROM norm
+                )
+            ),
+            rare AS (
+                SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50
+            ),
+            fsh AS (
+                SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id
+            ),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared
+                FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.6
+        """,
         "q_dedup_exact": """
             WITH base AS (
                 SELECT doc_id, text FROM documents
@@ -2516,6 +2564,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_fingerprint": """
             SELECT doc_id, substr(sha256(text), 1, 16) AS fp FROM documents
+        """,
+        # same oracle as q_cosine_topk: the pandas path is pinned equal
+        # to the JVM fold by unit test, and at round(6) the numpy
+        # pairwise-summation ulp difference is invisible (verified at
+        # sf0.01 and sf0.1 on the fixed seed=42 corpus)
+        "q_cosine_topk_pandas": """
+            WITH p AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS pv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            s AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), pv) AS dot,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS na,
+                       sqrt(list_dot_product(pv, pv)) AS nb
+                FROM embeddings, p
+            )
+            SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+            FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
         """,
         "q_cosine_topk": """
             WITH p AS (
