@@ -753,6 +753,20 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_ann_ivf_batch(spark, sf_dir):
+    """X2 batched IVF ANN: 4 probes share one pruned corpus pass — each
+    probe's nearest n_probe inverted lists ranked engine-side
+    (array_sort over (−dot, idx)), exploded + broadcast, equi-joined on
+    list_id. Approximate by construction → rows-only; pinned equal to
+    per-probe ann_topk_ivf by unit test."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        ann_topk_ivf_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf_batch(emb, probe_ids=[0, 1, 2, 3], k=5)
+
+
 def q_textprep_pipeline(spark, sf_dir):
     """End-to-end LLM training-data prep over the documents table:
     quality filter → language filter → exact dedup → MinHash near-dup
@@ -2207,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "q_textprep_pipeline": q_textprep_pipeline,
+        "q_ann_ivf_batch": q_ann_ivf_batch,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,

@@ -27,7 +27,8 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "cosine_topk_pandas",
            "hyperplane_bucket", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
            "cosine_near_dup_pairs",
-           "ivf_centroids", "ivf_assign", "ann_topk_ivf"]
+           "ivf_centroids", "ivf_assign", "ann_topk_ivf",
+           "ann_topk_ivf_batch"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -368,6 +369,84 @@ def ann_topk_ivf(
         .orderBy(F.desc("__cos"), F.asc(id_col))
         .limit(k)
         .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
+    )
+
+
+def ann_topk_ivf_batch(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF ANN for MANY probes in one job: each probe scans only its
+    ``n_probe`` nearest inverted lists; one corpus pass serves the whole
+    batch. Output (probe_id, vec_id, rank, cosine), total order per
+    probe — the batched twin of ann_topk_ivf, the way retrieval actually
+    runs in production (per-query jobs waste a scan per probe).
+
+    All per-probe work stays engine-side: the probe's centroid ranking
+    is an array_sort over (−dot, idx) structs, exploded into
+    (probe, list) rows and broadcast, so candidate generation is an
+    equi-join on list_id against the assigned corpus — at 100 TB with
+    the corpus stored partitioned by list_id, that is a partition-
+    prunable scan of the union of the probes' lists.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(df, id_col, vec_col, n_lists, iters)
+    pruned = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
+    assigned = ivf_assign(pruned, cents, "__v", "__list")
+
+    # probes come from the RAW df, not the spread corpus: the isin
+    # filter pushes to the scan, instead of paying the corpus-wide
+    # repartition just to extract a handful of probe rows
+    probes = df.filter(F.col(id_col).isin(*probe_ids)).select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("__pv")
+    )
+    # rank centroids per probe: sort (−dot, idx) structs ascending —
+    # centroids are unit vectors, so argmax dot == argmax cosine
+    ranked = F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(*[
+                    F.struct(
+                        (-dot(F.col("__pv"), _lit_vec(c))).alias("negdot"),
+                        F.lit(i).alias("idx"),
+                    )
+                    for i, c in enumerate(cents)
+                ])
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["idx"],
+    )
+    probe_lists = probes.select(
+        "probe_id", "__pv", F.explode(ranked).alias("__list")
+    )
+    cands = assigned.join(F.broadcast(probe_lists), "__list")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("__cos"), F.asc(id_col)
+    )
+    return (
+        cands.select(
+            "probe_id",
+            F.col(id_col),
+            cosine(F.col("__v"), F.col("__pv")).alias("__cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            id_col,
+            "rank",
+            F.round("__cos", decimals).alias("cosine"),
+        )
     )
 
 

@@ -419,3 +419,24 @@ def test_textprep_pipeline(spark):
     )
     assert doc0[0]["chunk_text"].startswith("the quick brown fox")
     assert all(r["n_chunk_tokens"] <= 8 for r in doc0)
+
+
+def test_ann_ivf_batch_matches_single(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=5, n_lists=4, n_probe=2, iters=1)
+    batch = similarity.ann_topk_ivf_batch(df, probe_ids=[3, 17], **kw).collect()
+    for pid in (3, 17):
+        single = similarity.ann_topk_ivf(df, probe_id=pid, **kw).collect()
+        got = sorted(
+            (r for r in batch if r["probe_id"] == pid), key=lambda r: r["rank"]
+        )
+        # same centroids (deterministic seeding) → identical hit lists
+        assert [(r["vec_id"], r["cosine"]) for r in got] == [
+            (r["vec_id"], r["cosine"]) for r in single
+        ]
