@@ -753,6 +753,24 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling by content hash — the corpus-
+    mixing knob of a training-data pipeline (keep all of one source,
+    10% of another). A row keeps iff substr(md5(doc_id), 1, 12) sorts
+    below its stratum's hex threshold: rerun-stable, partitioning-
+    independent, engine-portable (the oracle runs the same predicate in
+    DuckDB), and a narrow pushable filter — no RNG, no shuffle."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source", "doc_id", {"src1": 1.0, "src2": 0.1}, default=0.5
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_ann_ivf_batch(spark, sf_dir):
     """X2 batched IVF ANN: 4 probes share one pruned corpus pass — each
     probe's nearest n_probe inverted lists ranked engine-side
@@ -2222,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "q_textprep_pipeline": q_textprep_pipeline,
         "q_ann_ivf_batch": q_ann_ivf_batch,
+        "q_stratified_sample": q_stratified_sample,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,
@@ -2521,6 +2540,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_de >= s_fr THEN 'de'
                         ELSE 'fr' END AS lang_guess
             FROM s
+        """,
+        # thresholds are hex(round(f * 16^12)): 1.0 → 'g' (above every
+        # hex string), 0.1 → 19999999999a, 0.5 → 800000000000
+        "q_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+                  CASE source
+                      WHEN 'src1' THEN 'g'
+                      WHEN 'src2' THEN '19999999999a'
+                      ELSE '800000000000'
+                  END
+            ORDER BY doc_id
         """,
         "q_ngram_jaccard": """
             WITH base AS (

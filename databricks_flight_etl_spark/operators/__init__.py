@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    sampling,
     sessions,
     similarity,
     temporal,

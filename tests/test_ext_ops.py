@@ -440,3 +440,42 @@ def test_ann_ivf_batch_matches_single(spark):
         assert [(r["vec_id"], r["cosine"]) for r in got] == [
             (r["vec_id"], r["cosine"]) for r in single
         ]
+
+
+def test_deterministic_sample(spark):
+    from databricks_flight_etl_spark.operators import sampling
+
+    df = spark.range(5000).selectExpr("id AS k")
+    half = sampling.deterministic_sample(df, "k", 0.5)
+    n = half.count()
+    assert abs(n / 5000 - 0.5) < 0.03
+    # rerun-stable: same rows both times
+    again = {r["k"] for r in sampling.deterministic_sample(df, "k", 0.5).collect()}
+    assert {r["k"] for r in half.collect()} == again
+    # nested property: a smaller fraction is a SUBSET of a larger one
+    fifth = {r["k"] for r in sampling.deterministic_sample(df, "k", 0.2).collect()}
+    assert fifth <= again
+    # independent draw under a different salt
+    other = {r["k"] for r in
+             sampling.deterministic_sample(df, "k", 0.5, salt="v2").collect()}
+    assert other != again
+    # boundary fractions
+    assert sampling.deterministic_sample(df, "k", 0.0).count() == 0
+    assert sampling.deterministic_sample(df, "k", 1.0).count() == 5000
+
+
+def test_stratified_sample(spark):
+    from databricks_flight_etl_spark.operators import sampling
+
+    df = spark.range(6000).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN 'wiki' WHEN id % 3 = 1 "
+        "THEN 'crawl' ELSE 'code' END AS src"
+    )
+    out = sampling.stratified_sample(
+        df, "src", "k", {"wiki": 1.0, "crawl": 0.1}
+    )
+    rates = {r["src"]: r["n"] for r in
+             out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert rates["wiki"] == 2000                  # keep all
+    assert abs(rates.get("crawl", 0) / 2000 - 0.1) < 0.03
+    assert "code" not in rates                    # default 0.0 drops
