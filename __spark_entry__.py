@@ -753,6 +753,26 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_textprep_exact(spark, sf_dir):
+    """The SQL-expressible subset of the text-prep funnel, oracle-
+    certified end-to-end: quality filter → language filter → exact
+    dedup → chunk counts. Same composition as q_textprep_pipeline with
+    the MinHash near-dup stage off (near_dup=False); the oracle mirrors
+    every stage — token arrays, stopword ratio, the lang argmax CASE,
+    md5 exact dedup, and the chunk-window arithmetic — in DuckDB."""
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = run_textprep_pipeline(
+        docs, min_tokens=10, chunk_tokens=64, overlap=16, near_dup=False,
+    )
+    return (
+        rep.chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling by content hash — the corpus-
     mixing knob of a training-data pipeline (keep all of one source,
@@ -2241,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textprep_pipeline": q_textprep_pipeline,
         "q_ann_ivf_batch": q_ann_ivf_batch,
         "q_stratified_sample": q_stratified_sample,
+        "q_textprep_exact": q_textprep_exact,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,
@@ -2540,6 +2561,57 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_de >= s_fr THEN 'de'
                         ELSE 'fr' END AS lang_guess
             FROM s
+        """,
+        "q_textprep_exact": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, text, len(tk) AS n_tokens,
+                       round(CASE WHEN len(tk) > 0 THEN
+                           len(list_filter(tk, t -> list_contains(
+                               ['the','a','of','and','to','in','is','on',
+                                'for','with'], t))) * 1.0 / len(tk)
+                       END, 6) AS stop_ratio,
+                       len(list_filter(tk, t -> list_contains(
+                           ['the','a','of','and','to','in','is','on','for',
+                            'with'], t))) AS s_en,
+                       len(list_filter(tk, t -> list_contains(
+                           ['el','la','de','y','en','es','los','por','con',
+                            'del'], t))) AS s_es,
+                       len(list_filter(tk, t -> list_contains(
+                           ['der','die','das','und','ist','von','mit','den',
+                            'im','ein'], t))) AS s_de,
+                       len(list_filter(tk, t -> list_contains(
+                           ['le','la','de','et','est','les','un','une',
+                            'dans','pour'], t))) AS s_fr
+                FROM toks
+            ),
+            kept AS (
+                SELECT doc_id, text, n_tokens FROM m
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND stop_ratio <= 0.9
+                  AND (CASE
+                       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                           THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de'
+                       ELSE 'fr' END) = 'en'
+            ),
+            uniq AS (
+                SELECT doc_id, n_tokens FROM kept
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM kept
+                    GROUP BY md5(lower(trim(text)))
+                )
+            )
+            SELECT doc_id,
+                   greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
+                            1) AS n_chunks
+            FROM uniq ORDER BY doc_id
         """,
         # thresholds are hex(round(f * 16^12)): 1.0 → 'g' (above every
         # hex string), 0.1 → 19999999999a, 0.5 → 800000000000

@@ -119,9 +119,10 @@ def run_textprep_pipeline(
     max_stopword_ratio: float = 0.9,
     langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.8,
-    shingle_k: int = 7,
+    shingle_k: int = 7,  # near-dup knobs, unused when near_dup=False
     chunk_tokens: int = 64,
     overlap: int = 16,
+    near_dup: bool = True,
     persist: bool = True,
 ) -> TextPrepReport:
     """LLM training-data preprocessing over a documents table: quality
@@ -150,14 +151,18 @@ def run_textprep_pipeline(
     lang_kept = quality_kept.where(F.col("lang_guess").isin(*langs))
 
     exact_unique = dedup.exact_dedup(lang_kept, text_col, id_col)
-    if persist:
-        exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
-
-    pairs = dedup.minhash_dedup_pairs(
-        exact_unique, text_col, id_col,
-        threshold=near_dup_threshold, shingle_k=shingle_k, persist=persist,
-    )
-    survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
+    if near_dup:
+        if persist:
+            exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = dedup.minhash_dedup_pairs(
+            exact_unique, text_col, id_col,
+            threshold=near_dup_threshold, shingle_k=shingle_k, persist=persist,
+        )
+        survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
+    else:
+        # the SQL-oracle-expressible subset of the funnel (near-dup
+        # clustering needs MinHash, which no oracle can mirror)
+        survivors = exact_unique
     chunks = text.chunk_documents(
         survivors, text_col, id_col,
         chunk_tokens=chunk_tokens, overlap=overlap,
