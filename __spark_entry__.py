@@ -3277,7 +3277,8 @@ def oracle_sql() -> dict[str, str]:
         "q_deterministic_sample": """
             SELECT event_id, user_id, event_type, value
             FROM events
-            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 6) < '19999a'
+            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+                  < '19999999999a'
         """,
         "q_string_funcs": """
             SELECT DISTINCT event_type,

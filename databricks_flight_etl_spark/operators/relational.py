@@ -108,7 +108,7 @@ def latest_per_key(
 
 
 def deterministic_sample(
-    df: DataFrame, key_col: str, fraction: float, hex_digits: int = 6
+    df: DataFrame, key_col: str, fraction: float
 ) -> DataFrame:
     """Stable ~``fraction`` sample keyed on ``key_col``: keep rows whose
     md5(key) hex prefix falls below the fraction threshold.
@@ -117,12 +117,15 @@ def deterministic_sample(
     SAME keys on every engine, run, and partitioning — the property
     experiment holdouts and cross-system comparisons need. md5's hex is
     uniform, so selectivity ≈ fraction (exact only in expectation);
-    same-key rows are kept or dropped together."""
-    thr = format(int(fraction * 16 ** hex_digits), f"0{hex_digits}x")
-    prefix = F.substring(
-        F.md5(F.col(key_col).cast("string")), 1, hex_digits
-    )
-    return df.where(prefix < F.lit(thr))
+    same-key rows are kept or dropped together.
+
+    Delegates to :mod:`..sampling` (12-hex-char threshold, round-half
+    — an earlier 6-digit variant here truncated the threshold, putting
+    the boundary bucket one off from a naively-written oracle); see
+    sampling.stratified_sample for per-stratum rates and salts."""
+    from .sampling import deterministic_sample as _ds
+
+    return _ds(df, key_col, fraction)
 
 
 def top_k_per_group(
