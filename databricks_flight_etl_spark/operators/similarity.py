@@ -88,6 +88,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     decimals: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold and id_a < id_b.
@@ -122,6 +123,12 @@ def cosine_near_dup_pairs(
         planes = _hyperplanes(len(first[0]), 8, seed=42)
         v = v.withColumn("__blk", hyperplane_bucket(F.col("__v"), planes))
     v = v.withColumn("__n", l2_norm(F.col("__v")))
+    if persist:
+        # both self-join sides read v: pin it so the spread exchange,
+        # the 8-plane bucket dots, and the norm compute ONCE
+        from pyspark.storagelevel import StorageLevel
+
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
     a = v.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "__blk",
