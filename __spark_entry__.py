@@ -753,6 +753,30 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame — the frame kind q_moving_avg's
+    ROWS frame can't express: per-user trailing-hour statistics where
+    the frame is bounded by the ORDER-BY VALUE (ts_us within 3.6e9 µs),
+    not a row count, so gaps and ties change the frame size. Peers (tied
+    ts) are included in both engines by RANGE semantics. Aggregates are
+    order-independent (count/min/max) so the result is bit-stable."""
+    from pyspark.sql.window import Window
+
+    ev = _events_us(spark, sf_dir).where(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.min("value").over(w).alias("min_last_hour"),
+        F.max("value").over(w).alias("max_last_hour"),
+    )
+
+
 def q_textprep_exact(spark, sf_dir):
     """The SQL-expressible subset of the text-prep funnel, oracle-
     certified end-to-end: quality filter → language filter → exact
@@ -2262,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_batch": q_ann_ivf_batch,
         "q_stratified_sample": q_stratified_sample,
         "q_textprep_exact": q_textprep_exact,
+        "q_range_frame": q_range_frame,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,
@@ -2561,6 +2586,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_de >= s_fr THEN 'de'
                         ELSE 'fr' END AS lang_guess
             FROM s
+        """,
+        "q_range_frame": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_last_hour,
+                   min(value) OVER w AS min_last_hour,
+                   max(value) OVER w AS max_last_hour
+            FROM events
+            WHERE user_id < 50
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         "q_textprep_exact": """
             WITH toks AS (

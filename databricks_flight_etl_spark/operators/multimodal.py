@@ -22,6 +22,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..partitioning import spread
 from pyspark.sql import types as T
 
 __all__ = [
@@ -107,8 +109,14 @@ def decode_features(
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    # spread the pruned (id, payload) projection: a real decode is
+    # CPU-bound per item, and a small single-split scan would otherwise
+    # feed ONE Python worker (see partitioning.spread — no-op at scale)
+    src = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(payload_col).alias("payload"),
+        )
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,8 +154,14 @@ def resize_media(
             T.StructField("height", T.IntegerType()),
         ]
     )
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    # spread the pruned (id, payload) projection: a real decode is
+    # CPU-bound per item, and a small single-split scan would otherwise
+    # feed ONE Python worker (see partitioning.spread — no-op at scale)
+    src = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(payload_col).alias("payload"),
+        )
     )
     n_out = target_w * target_h
 
@@ -195,7 +209,8 @@ def sample_frames(
         payload, F.col("frame_idx") * every_n_bytes + 1, every_n_bytes
     )
     return (
-        df.select(F.col(id_col), payload, idx)
+        spread(df.select(F.col(id_col), payload))
+        .select(F.col(id_col), F.col(payload_col), idx)
         .select(
             F.col(id_col),
             F.col("frame_idx"),
