@@ -84,3 +84,25 @@ def test_exists_decorrelates_to_semi_anti(spark):
     assert "LeftSemi" in p4, p4
     p21 = plans.explain_str(entrymod.q_tpch_q21_shape(spark, SF))
     assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+
+
+def test_spread_satisfies_downstream_clustering(spark):
+    """The spread repartition (keyed by doc id) must be the ONLY
+    exchange in winnowing: HashPartitioning(id) satisfies the final
+    distinct's ClusteredDistribution(id, fp), so Catalyst must not add
+    a second shuffle. Guards the partitioning-reuse property the text
+    pipeline's shuffle budget relies on."""
+    df = entrymod.q_winnow(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_shuffles"] == 1, audit
+
+
+def test_tfidf_spread_reuses_partitioning(spark):
+    """tf-idf: spread-by-id + groupBy(id, token) reuse (no exchange of
+    the exploded token table) + one token-df shuffle of the already-
+    aggregated tf table = exactly 2 non-broadcast exchanges. The df
+    join back must broadcast."""
+    df = entrymod.q_tfidf(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_shuffles"] == 2, audit
+    assert audit["n_broadcast_joins"] >= 1, audit
