@@ -27,8 +27,8 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "cosine_topk_pandas",
            "hyperplane_bucket", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
            "cosine_near_dup_pairs",
-           "ivf_centroids", "ivf_assign", "ann_topk_ivf",
-           "ann_topk_ivf_batch"]
+           "ivf_centroids", "ivf_assign", "ivf_assign_pandas",
+           "ann_topk_ivf", "ann_topk_ivf_batch"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -377,6 +377,45 @@ def ann_topk_ivf(
         .limit(k)
         .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
     )
+
+
+def ivf_assign_pandas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """``ivf_assign`` with the argmax computed by numpy in an Arrow
+    batch (one (batch × dim) @ (dim × n_lists) matmul per batch)
+    instead of the JVM literal-expression fold.
+
+    The trade (mirrors cosine_topk_pandas): the expression form compiles
+    n_lists·dim literals into whole-stage codegen — ~seconds of one-time
+    janino work that dominates small interactive jobs — while this path
+    is compile-free but pays Arrow transfer per row. Same assignments
+    (pinned by test: argmax of the same dot products; ties go to the
+    lower index in both, numpy argmax returns the first maximum).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_lists)
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.IntegerType())])
+    cols = [f.name for f in fields]
+
+    def kernel(batches):
+        for pdf in batches:
+            m = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            lists = (m @ cmat).argmax(axis=1).astype("int32")
+            out = pdf[cols].copy()
+            out[out_col] = lists
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def ann_topk_ivf_batch(

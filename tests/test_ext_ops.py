@@ -479,3 +479,17 @@ def test_stratified_sample(spark):
     assert rates["wiki"] == 2000                  # keep all
     assert abs(rates.get("crawl", 0) / 2000 - 0.1) < 0.03
     assert "code" not in rates                    # default 0.0 drops
+
+
+def test_ivf_assign_pandas_matches_expression(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(df, n_lists=5, iters=1)
+    jvm = {r["vec_id"]: r["list_id"] for r in
+           similarity.ivf_assign(df, cents).collect()}
+    py = {r["vec_id"]: r["list_id"] for r in
+          similarity.ivf_assign_pandas(df, cents).collect()}
+    assert jvm == py
