@@ -753,6 +753,45 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, probe_id=0, k=10, dim=64)
 
 
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equi-JOIN (eqNullSafe / IS NOT DISTINCT FROM): the NULL
+    group must MATCH across sides — a plain equi-join silently drops it
+    (NULL = NULL is NULL). Spark plans this as a hash join on the
+    null-coalesced key, so it stays an equi-join, not a nested loop.
+    The nullable key is derived with nullif on a frequent value."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click")).alias("k")
+    a = (
+        ev.where(F.col("user_id") % 2 == 0).select(k)
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        ev.where(F.col("user_id") % 2 == 1).select(k)
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_even", "n_odd"
+    )
+
+
+def q_regexp_funcs(spark, sf_dir):
+    """Scalar regexp battery: extract (group ref), boolean match, match
+    count, split_part, global replace — each 1:1 with a DuckDB function
+    of identical semantics on plain-ASCII patterns (Java regex and RE2
+    agree there; Spark's regexp_replace is global by default, DuckDB
+    needs the 'g' flag)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
+        t.rlike("ipsum").cast("int").alias("has_ipsum"),
+        F.regexp_count(t, F.lit("or")).alias("n_or"),
+        F.split_part(t, F.lit(" "), F.lit(2)).alias("second_token"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).alias("len_novowels"),
+    )
+
+
 def q_range_frame(spark, sf_dir):
     """Value-based (RANGE) window frame — the frame kind q_moving_avg's
     ROWS frame can't express: per-user trailing-hour statistics where
@@ -2287,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_textprep_exact": q_textprep_exact,
         "q_range_frame": q_range_frame,
+        "q_null_safe_join": q_null_safe_join,
+        "q_regexp_funcs": q_regexp_funcs,
         "q_ann_ivf": q_ann_ivf,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_cosine_topk_batch": q_cosine_topk_batch,
@@ -2586,6 +2627,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_de >= s_fr THEN 'de'
                         ELSE 'fr' END AS lang_guess
             FROM s
+        """,
+        "q_null_safe_join": """
+            WITH a AS (
+                SELECT nullif(event_type, 'click') AS k,
+                       count(*) AS n_even
+                FROM events WHERE user_id % 2 = 0 GROUP BY 1
+            ),
+            b AS (
+                SELECT nullif(event_type, 'click') AS k,
+                       count(*) AS n_odd
+                FROM events WHERE user_id % 2 = 1 GROUP BY 1
+            )
+            SELECT a.k, n_even, n_odd
+            FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        """,
+        "q_regexp_funcs": """
+            SELECT doc_id,
+                   regexp_extract(text, '([a-z]+)', 1) AS first_word,
+                   CAST(regexp_matches(text, 'ipsum') AS INT) AS has_ipsum,
+                   CAST(len(regexp_extract_all(text, 'or')) AS INT) AS n_or,
+                   split_part(text, ' ', 2) AS second_token,
+                   length(regexp_replace(text, '[aeiou]', '', 'g'))
+                       AS len_novowels
+            FROM documents
         """,
         "q_range_frame": """
             SELECT event_id, user_id,
