@@ -1,0 +1,118 @@
+"""Empirical scaling probe: do the heavy operators scale ~linearly?
+
+Synthesizes a deterministic corpus at 1x and Nx the sf0.1 document/
+embedding count (in /tmp, never touching the read-only testdata), runs
+the heavy dedup/ANN/text operators at both sizes, and prints the
+observed time ratio next to the size ratio. A ratio far above the size
+ratio exposes super-linear behavior (candidate-pair blowup, missing
+stop-shingle cap, accidental cartesian) that small fixed SFs hide.
+
+Usage: python tools/scale_probe.py [factor=10]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def synth_docs(spark, n, words=120):
+    """n lorem-ish docs, deterministic, ~5% planted near-dups."""
+    from pyspark.sql import functions as F
+
+    vocab = F.array(*[F.lit(w) for w in (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua enim "
+        "minim veniam quis nostrud exercitation ullamco laboris nisi"
+    ).split()])
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words)),
+                lambda i: F.element_at(
+                    vocab,
+                    ((F.xxhash64(F.col("id"), i) % 24 + 24) % 24 + 1)
+                    .cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    clones = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" cloned tail")).alias("text"),
+    )
+    return base.unionByName(clones)
+
+
+def synth_embeddings(spark, n, dim=64):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                ((F.xxhash64(F.col("id"), i) % 1000) + 1000) % 1000
+            ).cast("double") / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from databricks_flight_etl_spark.session import get_spark
+    from databricks_flight_etl_spark.operators import dedup, similarity, text
+
+    spark = get_spark("scale-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    base_docs, base_vecs = 5000, 2000
+
+    ops = {
+        "minhash_pairs": lambda d, v: dedup.minhash_dedup_pairs(
+            d, "text", "doc_id", threshold=0.8, shingle_k=7
+        ).count(),
+        "simhash_pairs": lambda d, v: dedup.simhash_near_dup_pairs(
+            d, "text", "doc_id", max_hamming=3
+        ).count(),
+        "ngram_jaccard": lambda d, v: dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", threshold=0.6, shingle_k=7, max_df=50
+        ).count(),
+        "winnow": lambda d, v: text.winnow_fingerprints(
+            d, "text", "doc_id"
+        ).count(),
+        "embed_near_dup": lambda d, v: similarity.cosine_near_dup_pairs(
+            v, threshold=0.35
+        ).count(),
+        "cosine_topk_batch": lambda d, v: similarity.cosine_topk_batch(
+            v, probe_ids=[0, 1, 2, 3], k=10
+        ).count(),
+    }
+
+    results = {}
+    for scale, label in ((1, "1x"), (factor, f"{factor}x")):
+        docs = synth_docs(spark, base_docs * scale).persist()
+        vecs = synth_embeddings(spark, base_vecs * scale).persist()
+        docs.count(), vecs.count()
+        for name, fn in ops.items():
+            t0 = time.time()
+            n = fn(docs, vecs)
+            dt = time.time() - t0
+            results.setdefault(name, {})[label] = (dt, n)
+            print(f"{label:>4} {name:>18}: {dt:6.2f}s ({n} rows)",
+                  file=sys.stderr)
+        docs.unpersist(), vecs.unpersist()
+        spark.catalog.clearCache()
+
+    print(f"\n== scaling at {factor}x input (ratio ~{factor} = linear) ==")
+    for name, r in results.items():
+        t1, _ = r["1x"]
+        tn, _ = r[f"{factor}x"]
+        print(f"{name:>18}: {tn / max(t1, 1e-9):5.1f}x time for {factor}x data")
+
+
+if __name__ == "__main__":
+    main()
