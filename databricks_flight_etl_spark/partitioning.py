@@ -33,6 +33,10 @@ def spread(df: DataFrame, *keys: Column | str) -> DataFrame:
     harness: 2.3–3.7× on the dedup signature suite, which previously
     ran its whole map side on one core.
     """
+    if df.isStreaming:
+        # no .rdd on a streaming plan; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger / kafka partitions)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

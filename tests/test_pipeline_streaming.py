@@ -404,3 +404,38 @@ def test_read_csv_bz2_native(spark, tmp_path):
     )
     assert df.count() == 3
     assert df.agg(F.sum("a")).first()[0] == 6
+
+
+def test_spread_is_noop_on_streams(spark, tmp_path):
+    """Operators built on partitioning.spread (text metrics, dedup
+    shingles) must stay applicable to streaming frames — spread cannot
+    probe .rdd there and must pass the plan through untouched."""
+    import pyspark.sql.types as T
+
+    from databricks_flight_etl_spark.operators import text
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # winnow_fingerprints goes through partitioning.spread; its final
+    # distinct becomes streaming dropDuplicates (append mode)
+    out = run_stream_to_memory(
+        spark, src, schema,
+        lambda s: text.winnow_fingerprints(s, "text", "doc_id"),
+        query_name="spread_stream_check", output_mode="append",
+    )
+    assert out.count() > 0
+    # and the per-row metric ops stay streaming-applicable too
+    out2 = run_stream_to_memory(
+        spark, src, schema,
+        lambda s: text.text_quality(s, "text", "doc_id", append=True),
+        query_name="spread_stream_check2", output_mode="append",
+    )
+    row = out2.select("doc_id", "n_tokens").collect()[0]
+    assert (row["doc_id"], row["n_tokens"]) == (0, 9)
