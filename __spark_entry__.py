@@ -1567,9 +1567,11 @@ def q_stat_aggs(spark, sf_dir):
 
 def q_agg_filter(spark, sf_dir):
     """Aggregate modifier battery: FILTER clauses on count/sum,
-    bool_or/bool_and, and max_by/min_by (arg-max/arg-min) over a
-    UNIQUE ordering key (l_orderkey*100 + l_linenumber) so the picked
-    row is deterministic in both engines."""
+    bool_or/bool_and, and max_by/min_by (arg-max/arg-min) over a TOTAL
+    ordering key — (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic testdata, so the price itself is folded into the key
+    (cents in the low 8 digits) to break ties identically in both
+    engines."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__af_lineitem")
     return spark.sql("""
         SELECT l_returnflag,
@@ -1581,9 +1583,11 @@ def q_agg_filter(spark, sf_dir):
                bool_or(l_tax > 0.07) AS any_high_tax,
                bool_and(l_quantity >= 1) AS all_positive_qty,
                max_by(l_extendedprice,
-                      l_orderkey * 100 + l_linenumber) AS last_price,
+                      (l_orderkey * 100 + l_linenumber) * 100000000
+                      + CAST(round(l_extendedprice * 100) AS BIGINT)) AS last_price,
                min_by(l_extendedprice,
-                      l_orderkey * 100 + l_linenumber) AS first_price
+                      (l_orderkey * 100 + l_linenumber) * 100000000
+                      + CAST(round(l_extendedprice * 100) AS BIGINT)) AS first_price
         FROM __af_lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -2410,9 +2414,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value, event_type FROM events
             ORDER BY value DESC, event_id ASC LIMIT 5
         """,
+        # CAST ... AS BIGINT on every integer sum: DuckDB integer sum()
+        # returns HUGEINT, which pandas materializes as float64 and the
+        # driver's value hash flags (5.0 vs 5) even when values agree.
         "q_nonnull_counts": """
             SELECT """ + ", ".join(
-            f"sum(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS {c}_nn"
+            f"CAST(sum(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nn"
             for c in _LINEITEM_COLS
         ) + """ FROM lineitem
         """,
@@ -2423,13 +2430,13 @@ def oracle_sql() -> dict[str, str]:
                    round(n_null / (SELECT total FROM tot), 6) AS null_ratio
             FROM (
                 SELECT 'event_id' AS column_name,
-                       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null FROM t
+                       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM t
                 UNION ALL
-                SELECT 'value_n', sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) FROM t
+                SELECT 'value_n', CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t
                 UNION ALL
-                SELECT 'type_n', sum(CASE WHEN type_n IS NULL THEN 1 ELSE 0 END) FROM t
+                SELECT 'type_n', CAST(sum(CASE WHEN type_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t
                 UNION ALL
-                SELECT 'user_n', sum(CASE WHEN user_n IS NULL THEN 1 ELSE 0 END) FROM t
+                SELECT 'user_n', CAST(sum(CASE WHEN user_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t
             )
         """,
         "q_drop_allnull_cols": """
@@ -2535,16 +2542,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             w AS (
                 SELECT
-                  sum(CASE WHEN NOT (year(ts) < 2026) THEN 1 ELSE 0 END) AS r01,
-                  sum(CASE WHEN NOT (month(ts) >= 1 AND month(ts) <= 12) THEN 1 ELSE 0 END) AS r02,
-                  sum(CASE WHEN NOT (day(ts) >= 1 AND day(ts) <= 31) THEN 1 ELSE 0 END) AS r03,
-                  sum(CASE WHEN NOT (dayofweek(ts) + 1 >= 1 AND dayofweek(ts) + 1 <= 7) THEN 1 ELSE 0 END) AS r04,
-                  sum(CASE WHEN NOT (hour(ts) * 100 + minute(ts) >= 0 AND hour(ts) * 100 + minute(ts) <= 2400) THEN 1 ELSE 0 END) AS r05,
-                  sum(CASE WHEN NOT (value <= 300.0) THEN 1 ELSE 0 END) AS r06,
-                  sum(CASE WHEN NOT (value_n >= 1.0) THEN 1 ELSE 0 END) AS r07,
-                  sum(CASE WHEN NOT (user_id >= 1) THEN 1 ELSE 0 END) AS r08,
-                  sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','error')) THEN 1 ELSE 0 END) AS r09,
-                  sum(CASE WHEN NOT (length(props) > 0) THEN 1 ELSE 0 END) AS r10
+                  CAST(sum(CASE WHEN NOT (year(ts) < 2026) THEN 1 ELSE 0 END) AS BIGINT) AS r01,
+                  CAST(sum(CASE WHEN NOT (month(ts) >= 1 AND month(ts) <= 12) THEN 1 ELSE 0 END) AS BIGINT) AS r02,
+                  CAST(sum(CASE WHEN NOT (day(ts) >= 1 AND day(ts) <= 31) THEN 1 ELSE 0 END) AS BIGINT) AS r03,
+                  CAST(sum(CASE WHEN NOT (dayofweek(ts) + 1 >= 1 AND dayofweek(ts) + 1 <= 7) THEN 1 ELSE 0 END) AS BIGINT) AS r04,
+                  CAST(sum(CASE WHEN NOT (hour(ts) * 100 + minute(ts) >= 0 AND hour(ts) * 100 + minute(ts) <= 2400) THEN 1 ELSE 0 END) AS BIGINT) AS r05,
+                  CAST(sum(CASE WHEN NOT (value <= 300.0) THEN 1 ELSE 0 END) AS BIGINT) AS r06,
+                  CAST(sum(CASE WHEN NOT (value_n >= 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS r07,
+                  CAST(sum(CASE WHEN NOT (user_id >= 1) THEN 1 ELSE 0 END) AS BIGINT) AS r08,
+                  CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','error')) THEN 1 ELSE 0 END) AS BIGINT) AS r09,
+                  CAST(sum(CASE WHEN NOT (length(props) > 0) THEN 1 ELSE 0 END) AS BIGINT) AS r10
                 FROM t
             )
             SELECT 'r01_year_lt_2026' AS rule, r01 AS n_fail FROM w
@@ -3145,10 +3152,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q12_shape": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3289,9 +3296,11 @@ def oracle_sql() -> dict[str, str]:
                    bool_or(l_tax > 0.07) AS any_high_tax,
                    bool_and(l_quantity >= 1) AS all_positive_qty,
                    arg_max(l_extendedprice,
-                           l_orderkey * 100 + l_linenumber) AS last_price,
+                           (l_orderkey * 100 + l_linenumber) * 100000000
+                           + CAST(round(l_extendedprice * 100) AS BIGINT)) AS last_price,
                    arg_min(l_extendedprice,
-                           l_orderkey * 100 + l_linenumber) AS first_price
+                           (l_orderkey * 100 + l_linenumber) * 100000000
+                           + CAST(round(l_extendedprice * 100) AS BIGINT)) AS first_price
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
@@ -3730,7 +3739,7 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_join": """
             SELECT c_mktsegment,
                    count(*) AS n,
-                   sum(CAST(floor(value * 100) AS BIGINT))
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events
             JOIN customer ON user_id = c_custkey
@@ -3762,9 +3771,9 @@ def oracle_sql() -> dict[str, str]:
                    bit_and(user_id) AS band,
                    bit_or(user_id) AS bor,
                    bit_xor(user_id) AS bxor,
-                   sum(user_id << 2) AS sum_shl,
-                   sum(user_id & 15) AS sum_and15,
-                   sum(xor(user_id, 255)) AS sum_x255
+                   CAST(sum(user_id << 2) AS BIGINT) AS sum_shl,
+                   CAST(sum(user_id & 15) AS BIGINT) AS sum_and15,
+                   CAST(sum(xor(user_id, 255)) AS BIGINT) AS sum_x255
             FROM events
             GROUP BY event_type
             ORDER BY event_type
@@ -3780,7 +3789,7 @@ def oracle_sql() -> dict[str, str]:
         "q_time_bucket_rollup": """
             SELECT bucket_us,
                    count(*) AS n,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                    min(us) AS first_us,
                    max(us) AS last_us
             FROM (

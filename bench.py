@@ -38,30 +38,42 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
+    # Fault-isolated per query: one broken query must never zero the
+    # round's whole bench signal (round-1 lesson — the JSON line always
+    # prints, failures are recorded, the summary stays comparable).
     for name, fn in entrymod.queries().items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution without driver-side transfer
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        # operators pin shared intermediates (see operators.dedup._pin);
-        # caches are per-query — drop them so a 68-query run stays flat
-        spark.catalog.clearCache()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution without driver transfer
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        else:
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        finally:
+            # operators pin shared intermediates (see operators.dedup._pin);
+            # caches are per-query — drop so a 100+-query run stays flat
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "harness_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "harness_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -23,11 +23,10 @@ RUNTIME_CONF = {
     # (NULL-on-error casts, non-erroring div-by-zero) which the quality
     # operators' three-valued-logic behavior assumes.
     "spark.sql.ansi.enabled": "false",
-    # Spark has no TIMESTAMP(NANOS) type; read nanos parquet columns as
-    # epoch-nanos longs (sources.ns_long_to_timestamp converts, flooring
-    # to micros exactly like engines with native ns→µs truncation).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+# NOTE: timestamp normalization is dtype-adaptive in sources.normalize_timestamp
+# (Spark 4.1.2 reads non-UTC-adjusted parquet TIMESTAMP as TIMESTAMP_NTZ and
+# ignores spark.sql.legacy.parquet.nanosAsLong) — no session conf involved.
 
 
 def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:

@@ -104,27 +104,45 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ) from exc
 
 
-# Testdata columns stored as parquet TIMESTAMP(NANOS), which Spark lacks;
-# read as epoch-nanos longs (session conf nanosAsLong) and convert.
-_NS_TIMESTAMP_COLS = {"events": ["ts"]}
+# Testdata timestamp columns that must land as session-TZ TimestampType
+# regardless of how the parquet writer encoded them (TESTDATA.md).
+_NORMALIZE_TS_COLS = {"events": ["ts"]}
 
 
-def ns_long_to_timestamp(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Epoch-nanos long → TimestampType, flooring to microseconds via
-    integer division (`div`, not `/` — float division loses precision
-    above 2^53 ns). Matches the ns→µs truncation engines with native
-    ns timestamps perform."""
+def normalize_timestamp(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize a timestamp-ish column to TimestampType, adapting to the
+    dtype Spark actually materialized for the parquet column:
+
+    - ``LongType`` (epoch nanos, e.g. via ``parquet.nanosAsLong`` on
+      Sparks that honor it): floor-divide to micros with integer ``div``
+      (not ``/`` — float division loses precision above 2^53 ns), exactly
+      the ns→µs truncation engines with native ns timestamps perform.
+    - ``TimestampNTZType`` (how Spark 4.x reads non-UTC-adjusted parquet
+      TIMESTAMP): cast to TimestampType. The session TZ is pinned UTC
+      (session.RUNTIME_CONF), so the wall-clock reinterpretation
+      preserves the instant and ``unix_micros``/date functions agree
+      with DuckDB's UTC-naive TIMESTAMP.
+    - ``TimestampType``: already right; no-op.
+    """
     for c in cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
+
+
+# Backwards-compatible alias (pre-round-2 name).
+ns_long_to_timestamp = normalize_timestamp
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md), normalizing
-    nanos-timestamp columns to TimestampType."""
+    timestamp columns to session-TZ TimestampType."""
     df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
-    ns_cols = [c for c in _NS_TIMESTAMP_COLS.get(name, []) if c in df.columns]
-    return ns_long_to_timestamp(df, ns_cols) if ns_cols else df
+    ts_cols = [c for c in _NORMALIZE_TS_COLS.get(name, []) if c in df.columns]
+    return normalize_timestamp(df, ts_cols) if ts_cols else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names) -> dict[str, DataFrame]:

@@ -10,11 +10,18 @@ the same parquet), then compares:
   stringified tuple, exact string compare — stricter than a hash, so a
   pass here implies a hash match)
 
+Both sides are fetched THROUGH PANDAS (Spark ``toPandas``, DuckDB
+``.df()``) to reproduce the driver's type sensitivity: e.g. DuckDB
+HUGEINT (any integer ``sum``) arrives as float64 — ``5.0`` vs Spark's
+``5`` — which the driver's value hash flags even though a raw
+``fetchall`` compare would not (round-1 q_nonnull_counts lesson).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 import traceback
@@ -33,7 +40,19 @@ def canon(value) -> str:
     if value is None:
         return "<NULL>"
     if isinstance(value, float):
+        if math.isnan(value):
+            return "<NULL>"
         return repr(value)
+    if hasattr(value, "tolist"):  # numpy array / scalar cells
+        return str(value.tolist())
+    if isinstance(value, (list, tuple)):
+        return str(list(value))
+    try:
+        # pandas NaT / NA scalars are not self-equal
+        if value != value:  # noqa: PLR0124
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
     return str(value)
 
 
@@ -67,7 +86,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
             spark.catalog.clearCache()  # per-query pins (dedup._pin)
         except Exception:
             failures.append(name)
@@ -80,7 +100,8 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
-            drows = rel.fetchall()
+            dpdf = rel.df()
+            drows = [tuple(r) for r in dpdf.itertuples(index=False)]
         except Exception:
             failures.append(name)
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
