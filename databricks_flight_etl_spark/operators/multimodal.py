@@ -9,16 +9,19 @@ Arrow-batched ``mapInPandas`` so each Python worker sees columnar
 batches, never single rows.
 
 The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
-environment, so the decode kernel is a clearly marked deterministic
-stub behind the real Spark plumbing (schema, batching, partitioning are
-real and tested); swap ``_decode_stub`` for a real decoder in
-production.
+environment. The decode kernel is therefore codec-free but REAL:
+deterministic per-chunk byte statistics (``_byte_stat_features``),
+oracle-certified cross-engine. Resize/frame-sample kernels remain
+clearly marked stand-ins behind real Spark plumbing (schema, batching,
+partitioning are real and tested); swap the kernels for real decoders
+in production.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,19 +78,34 @@ def attach_binary_metadata(
     )
 
 
-def _decode_stub(payload: bytes, n_features: int) -> list[float]:
-    """Deterministic FAKE decode: derives pseudo-features from content
-    bytes. STUB — replace with a real codec (PIL/librosa/ffmpeg) in
-    production; this environment ships no media libraries."""
-    if payload is None:
+def _byte_stat_features(payload: bytes, n_features: int) -> list[float]:
+    """Codec-free feature kernel: per-chunk mean byte value.
+
+    The payload is split into ``n_features`` contiguous chunks (byte j
+    belongs to chunk ``j*n // L``) and each feature is the chunk's mean
+    byte value normalized to [0, 1], quantized to ppm via EXACT integer
+    arithmetic (``sum*1_000_000 // (count*255)``) so any engine —
+    including a SQL oracle — reproduces it bit-for-bit. A real media
+    codec (PIL/librosa/ffmpeg; not shipped in this environment) would
+    replace this kernel; the Spark plumbing around it is unchanged."""
+    if payload is None or len(payload) == 0:
         return [0.0] * n_features
-    acc, out = 2166136261, []
-    for i, b in enumerate(payload[: 4 * n_features]):
-        acc = (acc ^ b) * 16777619 % (1 << 32)
-        if i % 4 == 3:
-            out.append((acc % 10_000) / 10_000.0)
-    out += [0.0] * (n_features - len(out))
-    return out[:n_features]
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    chunks = (np.arange(n) * n_features) // n
+    sums = np.bincount(chunks, weights=arr, minlength=n_features).astype(np.int64)
+    counts = np.bincount(chunks, minlength=n_features).astype(np.int64)
+    out = []
+    for k in range(n_features):
+        if counts[k] == 0:
+            out.append(0.0)
+        else:
+            out.append((int(sums[k]) * 1_000_000 // (int(counts[k]) * 255)) / 1e6)
+    return out
+
+
+# Backwards-compatible alias (pre-round-2 the kernel was a hash stub).
+_decode_stub = _byte_stat_features
 
 
 def decode_features(
@@ -98,7 +116,8 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction: (id, features array<double>).
 
-    Real plumbing, stub kernel (see module docstring). mapInPandas
+    Real plumbing, codec-free byte-statistics kernel (see module
+    docstring). mapInPandas
     iterates columnar batches — the payload bytes stream through Arrow
     without per-row pickling; partition counts carry over from the
     input, so repartition upstream to size Python workers' batches.
@@ -125,7 +144,8 @@ def decode_features(
                 {
                     "id": pdf["id"],
                     "features": [
-                        _decode_stub(p, n_features) for p in pdf["payload"]
+                        _byte_stat_features(p, n_features)
+                        for p in pdf["payload"]
                     ],
                 }
             )

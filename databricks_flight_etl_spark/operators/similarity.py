@@ -16,6 +16,7 @@ top-k similarity EDBT 2020) for the distributed top-k pattern.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -97,13 +98,22 @@ def cosine_near_dup_pairs(
     shard, or precomputed LSH bucket — see ``hyperplane_bucket``), never
     a full cross join: per-block pairs are quadratic only in the block
     size, and the join shuffles (id, vector, norm) co-located by block.
-    With ``block_col=None`` an 8-plane LSH bucket is derived from the
-    vectors themselves (approximate: cross-bucket pairs are missed —
-    acceptable for near-DUPLICATE hunting where cosine≈1 pairs almost
-    always share a bucket).
 
-    Norms are computed once per side before the join; float32 input is
-    cast to double before any arithmetic.
+    With ``block_col=None`` BANDED hyperplane LSH is derived from the
+    vectors themselves, sized for the corpus (a fixed plane count would
+    make per-bucket pair work (N/2^p)² — quadratic at scale):
+
+    - planes per band ``r = clamp(ceil(log2(N / 128)), 8, 20)`` keeps
+      expected bucket occupancy ≈128, so per-band candidate work stays
+      ~128·N — LINEAR in N at any scale;
+    - band count ``b = clamp(ceil(ln(10) / q^r), 1, 16)`` with
+      ``q = 1 − arccos(threshold)/π`` (the per-plane collision
+      probability) targets ~90% recall: a pair is a candidate if ANY
+      band agrees, P = 1 − (1 − q^r)^b.
+
+    Approximate by construction (cross-band misses survive); exact
+    within candidates. Norms are computed once per side before the
+    banding explode; float32 input is cast to double first.
     """
     v = spread(
         df.select(
@@ -112,6 +122,7 @@ def cosine_near_dup_pairs(
             *([F.col(block_col).alias("__blk")] if block_col else []),
         )
     )
+    banded = False
     if block_col is None:
         first = df.select(vec_col).first()
         if first is None:  # empty corpus → empty result, not a crash
@@ -120,12 +131,34 @@ def cosine_near_dup_pairs(
                 F.col(id_col).alias("id_b"),
                 F.lit(0.0).alias("cosine"),
             ).limit(0)
-        planes = _hyperplanes(len(first[0]), 8, seed=42)
-        v = v.withColumn("__blk", hyperplane_bucket(F.col("__v"), planes))
-    v = v.withColumn("__n", l2_norm(F.col("__v")))
+        dim = len(first[0])
+        n_rows = df.count()  # one bounded count over the pruned scan
+        r = max(8, min(20, math.ceil(math.log2(max(n_rows, 2) / 128.0))))
+        q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        n_bands = max(1, min(16, math.ceil(math.log(10.0) / max(q**r, 1e-12))))
+        banded = n_bands > 1
+        planes = _hyperplanes(dim, r * n_bands, seed=42)
+        v = v.withColumn("__n", l2_norm(F.col("__v"))).withColumn(
+            "__blk",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            hyperplane_bucket(
+                                F.col("__v"), planes[k * r : (k + 1) * r]
+                            ).alias("bucket"),
+                        )
+                        for k in range(n_bands)
+                    ]
+                )
+            ),
+        )
+    else:
+        v = v.withColumn("__n", l2_norm(F.col("__v")))
     if persist:
         # both self-join sides read v: pin it so the spread exchange,
-        # the 8-plane bucket dots, and the norm compute ONCE
+        # the banding dots, and the norm compute ONCE
         from pyspark.storagelevel import StorageLevel
 
         v = v.persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,13 +171,19 @@ def cosine_near_dup_pairs(
         F.col("__n").alias("__nb"), "__blk",
     )
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-    return (
+    out = (
         a.join(b, "__blk")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("__cos"))
         .where(F.col("__cos") >= threshold)
         .select("id_a", "id_b", F.round("__cos", decimals).alias("cosine"))
     )
+    if banded:
+        # a pair colliding in several bands appears once per band; the
+        # dedup shuffle runs AFTER the threshold filter, so it moves
+        # only surviving (id, id, cosine) triples, not vectors
+        out = out.distinct()
+    return out
 
 
 def cosine_topk_batch(

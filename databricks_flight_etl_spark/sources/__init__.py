@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 from ..plans import estimate_bytes, partitions_for_target
 
 __all__ = [
+    "list_dir",
     "read_csv",
     "read_json",
     "read_parquet",
@@ -30,6 +31,44 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
 ]
+
+
+def list_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory listing as a DataFrame — the ``dbutils.fs.ls`` surface
+    (reference NB:52,68,441 lists the landing dir before/after ingest).
+
+    Goes through the Hadoop FileSystem API, so any Spark-supported
+    scheme works (file://, hdfs://, s3a://, ...), not just the local
+    disk. The listing itself is driver-side (one RPC per directory —
+    same cost profile as dbutils); the result is a small bounded table:
+    (path, name, size, is_dir, mod_time).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    rows = []
+    for st in fs.listStatus(hpath):
+        p = st.getPath()
+        rows.append(
+            (
+                p.toString(),
+                p.getName(),
+                int(st.getLen()),
+                bool(st.isDirectory()),
+                int(st.getModificationTime()),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("size", T.LongType(), False),
+            T.StructField("is_dir", T.BooleanType(), False),
+            T.StructField("mod_time_ms", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def read_csv(

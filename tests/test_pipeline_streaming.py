@@ -86,6 +86,19 @@ def test_read_csv_with_schema(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_list_dir(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x\n1\n")
+    (tmp_path / "b.csv").write_text("x\n1\n2\n")
+    (tmp_path / "sub").mkdir()
+    df = sources.list_dir(spark, str(tmp_path))
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"a.csv", "b.csv", "sub"}
+    assert rows["sub"]["is_dir"] is True
+    assert rows["b.csv"]["size"] == len("x\n1\n2\n")
+    assert rows["a.csv"]["path"].endswith("a.csv")
+    assert rows["a.csv"]["mod_time_ms"] > 0
+
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
