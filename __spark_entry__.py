@@ -40,6 +40,9 @@ from databricks_flight_etl_spark.operators import (
 )
 from databricks_flight_etl_spark.operators.text import (
     EN_STOPWORDS,
+    PII_EMAIL,
+    PII_IP,
+    PII_PHONE,
     lang_id,
     text_quality,
     token_counts,
@@ -1930,6 +1933,119 @@ def q_bm25(spark, sf_dir):
     return bm25_scores(docs, "text", "doc_id", ["hash", "join", "vector"])
 
 
+def _docs_with_pii(spark, sf_dir):
+    """documents with deterministically injected PII (the raw synthetic
+    text has none) — doc_id-keyed email/IP/phone suffixes."""
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" contact bob@example.com now"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" server at 10.0.0.1 up"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567 or +4915112345678"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+
+
+_DOCS_PII_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact bob@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' server at 10.0.0.1 up' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 or +4915112345678' ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """X4 PII scrubbing (standard LLM training-data pass): email → IP →
+    phone regex redaction chain with per-stage match counts, certified
+    cross-engine (ASCII-class patterns mean the same under Java regex
+    and RE2)."""
+    from databricks_flight_etl_spark.operators.text import pii_redact
+
+    return pii_redact(_docs_with_pii(spark, sf_dir), "text", "doc_id")
+
+
+def q_quality_signals(spark, sf_dir):
+    """X4 Gopher/C4-style quality heuristics: char-class ratios,
+    repetition (dup-word fraction), common-word sanity check — the
+    published filter family re-expressed as per-row column math."""
+    from databricks_flight_etl_spark.operators.text import quality_signals
+
+    return quality_signals(_docs_with_pii(spark, sf_dir), "text", "doc_id")
+
+
+def q_contamination(spark, sf_dir):
+    """X4/X1 benchmark-contamination scan: 5-gram overlap of every
+    document against a probe set (every 29th doc stands in for a
+    benchmark), hashed-shingle broadcast join — corpus side never
+    shuffles. Certified against a string-join DuckDB oracle."""
+    from databricks_flight_etl_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    return contamination_overlap(
+        docs, probes, "text", "doc_id", n=5, min_overlap=2
+    )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Structured Streaming dedup, certified against the batch DISTINCT
+    oracle: the events parquet staged TWICE into a file-source stream →
+    dropDuplicatesWithinWatermark(event_id) → memory sink. Every row
+    arrives duplicated; the sink must hold each event exactly once."""
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import normalize_timestamp
+    from databricks_flight_etl_spark.streaming import streaming_dedup
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="flight_etl_stream_dedup_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events_b.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    )
+    deduped = streaming_dedup(
+        normalize_timestamp(stream, ["ts"]), ["event_id"], "ts",
+        watermark="2 days",
+    ).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("harness_stream_dedup")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table("harness_stream_dedup")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Iterative algorithm, oracle-certified: connected components
     (min-label propagation, driver loop + localCheckpoint) over the
@@ -2344,6 +2460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_day_counts": q_streaming_day_counts,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
+        "q_pii_redact": q_pii_redact,
+        "q_quality_signals": q_quality_signals,
+        "q_contamination": q_contamination,
+        "q_streaming_dedup": q_streaming_dedup,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3693,6 +3813,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id,
                    list(CAST(q AS DOUBLE) / 1000000.0 ORDER BY chunk) AS features
             FROM c GROUP BY 1
+        """,
+        # Same three-stage redaction chain as pii_redact, with per-stage
+        # counts; DuckDB regexp_replace needs the explicit 'g' flag
+        # (Spark's is global by default). Patterns injected verbatim
+        # from operators.text so both engines compile the same regex.
+        "q_pii_redact": """
+            WITH t AS (""" + _DOCS_PII_SQL + """),
+            s1 AS (
+                SELECT doc_id, text AS t0,
+                       regexp_replace(text, '""" + PII_EMAIL + """', '[EMAIL]', 'g') AS t1
+                FROM t
+            ),
+            s2 AS (
+                SELECT doc_id, t0, t1,
+                       regexp_replace(t1, '""" + PII_IP + """', '[IP]', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '""" + PII_PHONE + """', '[PHONE]', 'g') AS clean,
+                   CAST(len(regexp_extract_all(t0, '""" + PII_EMAIL + """')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1, '""" + PII_IP + """')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2, '""" + PII_PHONE + """')) AS INT) AS n_phones
+            FROM s2
+        """,
+        "q_quality_signals": """
+            WITH t AS (""" + _DOCS_PII_SQL + """),
+            w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(toks) AS INT) AS n_words,
+                   round(list_sum(list_transform(toks, x -> length(x)))
+                         / len(toks), 6) AS mean_word_len,
+                   round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         / length(text), 6) AS symbol_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / length(text), 6) AS digit_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / length(text), 6) AS upper_ratio,
+                   round(1 - len(list_distinct(toks)) / len(toks), 6)
+                       AS dup_word_ratio,
+                   len(list_filter(toks, x -> x IN (""" + ", ".join(
+                       f"'{w}'" for w in EN_STOPWORDS
+                   ) + """))) >= 2 AS has_stopword
+            FROM w
+        """,
+        # String-keyed join stands in for Spark's xxhash64-keyed one
+        # (identical result barring 64-bit collisions); probe set =
+        # every 29th doc, 5-gram shingles distinct per document.
+        "q_contamination": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 4, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 4), ' ')
+                       ))) AS gram
+                FROM w
+            ),
+            p AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 29 = 0),
+            sz AS (SELECT probe_id, count(*) AS probe_ngrams FROM p GROUP BY 1),
+            hits AS (
+                SELECT g.doc_id, p.probe_id, count(*) AS n_overlap
+                FROM g JOIN p ON g.gram = p.gram
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT h.doc_id, h.probe_id, h.n_overlap, sz.probe_ngrams,
+                   round(h.n_overlap / sz.probe_ngrams, 6) AS overlap_ratio
+            FROM hits h JOIN sz USING (probe_id)
+        """,
+        # The stream replays every event twice; the dedup sink must hold
+        # each exactly once — the batch DISTINCT of a doubled input is
+        # just the input.
+        "q_streaming_dedup": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                   value, props
+            FROM events
         """,
         # n_partitions pins the ~200 MB sizing contract: events at the
         # driver's compare SF (0.01) estimates well under one target

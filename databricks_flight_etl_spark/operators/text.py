@@ -20,6 +20,9 @@ from ..partitioning import spread
 __all__ = [
     "EN_STOPWORDS",
     "STOPWORD_SETS",
+    "PII_EMAIL",
+    "PII_IP",
+    "PII_PHONE",
     "tokens",
     "bpe_ish_tokens",
     "token_counts",
@@ -31,6 +34,9 @@ __all__ = [
     "split_sentences",
     "tf_idf",
     "chunk_documents",
+    "pii_redact",
+    "quality_signals",
+    "contamination_overlap",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -166,6 +172,151 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str,
     return df.select(
         F.col(id_col),
         F.substring(F.sha2(F.col(text_col), 256), 1, hex_chars).alias("fp"),
+    )
+
+
+# PII patterns shared by the redactor and its oracle. Plain ASCII
+# classes only, so each pattern means the same thing under Java regex
+# (Spark) and RE2 (DuckDB and most other engines).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}\b|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing — a standard pass in LLM training-data pipelines:
+    emails, IPv4 addresses, then phone numbers are replaced with typed
+    placeholders, in that fixed order (an IP never hides inside an
+    already-redacted email, and the chain is reproducible by any engine
+    applying the same three global replaces in sequence).
+
+    Output: (id, clean, n_emails, n_ips, n_phones) where each count is
+    taken on the text AS THE STAGE SAW IT. Pure per-row regex — JVM
+    codegen, no shuffle, linear at any corpus size.
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    t2 = F.regexp_replace(t1, PII_IP, "[IP]")
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return df.select(
+        F.col(id_col),
+        t3.alias("clean"),
+        F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(PII_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0)).alias("n_phones"),
+    )
+
+
+def quality_signals(
+    df: DataFrame, text_col: str, id_col: str, decimals: int = 6
+) -> DataFrame:
+    """Gopher/C4-style document quality signals (cf. Rae et al. 2021
+    §A1.1, Raffel et al. 2020 §2.2 — published heuristics, re-expressed
+    as Spark column math):
+
+    (id, n_chars, n_words, mean_word_len, symbol_ratio, digit_ratio,
+     upper_ratio, dup_word_ratio, has_stopword)
+
+    - ``symbol_ratio``/``digit_ratio``/``upper_ratio``: character-class
+      share of all characters (C4 drops pages with too much junk);
+    - ``dup_word_ratio``: 1 − distinct/total words — the repetition
+      signal (Gopher's duplicate-fraction family);
+    - ``has_stopword``: ≥2 common-English-word hits (C4's "contains a
+      common word" sanity check).
+
+    Pure per-row expressions: no shuffle, no UDF; a quality FILTER is a
+    plain ``where`` downstream.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    def _class_count(pattern: str):
+        # chars REMAINING after deleting the class's complement
+        return F.length(F.regexp_replace(t, pattern, ""))
+    n_sym = _class_count(r"[A-Za-z0-9 ]")
+    n_digit = _class_count(r"[^0-9]")
+    n_upper = _class_count(r"[^A-Z]")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, decimals).alias("mean_word_len"),
+        F.round(n_sym / n_chars, decimals).alias("symbol_ratio"),
+        F.round(n_digit / n_chars, decimals).alias("digit_ratio"),
+        F.round(n_upper / n_chars, decimals).alias("upper_ratio"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / n_words, decimals
+        ).alias("dup_word_ratio"),
+        (n_stop >= 2).alias("has_stopword"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_text_col: str = "probe_text",
+    probe_id_col: str = "probe_id",
+    n: int = 5,
+    min_overlap: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Benchmark-contamination check: word n-gram overlap between every
+    corpus document and a (small) probe/benchmark set — the standard
+    train/test leakage scan before an LLM training run.
+
+    Plan shape for 100 TB: both sides shingle to DISTINCT n-grams
+    (explode is narrow; distinct-per-row is array math, not a shuffle),
+    n-grams are joined AS 64-bit xxhash64 keys (8-byte shuffle/broadcast
+    rows, never strings), and the probe side — benchmarks are MBs, not
+    TBs — is broadcast, so the corpus never shuffles at all: scan →
+    explode → broadcast-hash-join → partial/final agg on doc id.
+
+    Output: (id, probe_id, n_overlap, probe_ngrams, overlap_ratio) for
+    pairs with ``n_overlap ≥ min_overlap``; ratio is overlap over the
+    probe's n-gram count (≥ threshold ⇒ contaminated).
+    """
+    def _shingles(col: str):
+        toks_ = tokens(col)
+        k = F.size(toks_) - n + 1
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(toks_, i, n), " ")
+                ),
+            )
+        )
+
+    d = spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(_shingles(text_col)).alias("__g")
+    )
+    p = probes.select(F.col(probe_id_col), F.col(probe_text_col)).select(
+        F.col(probe_id_col), F.explode(_shingles(probe_text_col)).alias("__g")
+    )
+    probe_sizes = p.groupBy(probe_id_col).agg(
+        F.count(F.lit(1)).alias("probe_ngrams")
+    )
+    hits = (
+        d.join(F.broadcast(p), "__g")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.join(F.broadcast(probe_sizes), probe_id_col).select(
+        F.col(id_col),
+        F.col(probe_id_col),
+        "n_overlap",
+        "probe_ngrams",
+        F.round(F.col("n_overlap") / F.col("probe_ngrams"), decimals).alias(
+            "overlap_ratio"
+        ),
     )
 
 

@@ -493,3 +493,71 @@ def test_ivf_assign_pandas_matches_expression(spark):
     py = {r["vec_id"]: r["list_id"] for r in
           similarity.ivf_assign_pandas(df, cents).collect()}
     assert jvm == py
+
+
+def test_pii_redact(spark):
+    from databricks_flight_etl_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and c@y.co.uk, ip 10.0.0.1, tel 555-123-4567"),
+            (2, "clean text only"),
+            (3, "v2.0 is not 1.2.3.4.5 pii but 1.2.3.4 is"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["n_ips"] == 1
+    assert out[1]["n_phones"] == 1
+    assert out[1]["clean"] == "mail [EMAIL] and [EMAIL], ip [IP], tel [PHONE]"
+    assert out[2]["clean"] == "clean text only"
+    assert out[2]["n_emails"] == out[2]["n_ips"] == out[2]["n_phones"] == 0
+    # 1.2.3.4.5 contains a \b-delimited 1.2.3.4 prefix match — documented
+    # RE2/Java-regex behavior, identical in both engines
+    assert out[3]["n_ips"] == 2
+
+
+def test_quality_signals(spark):
+    from databricks_flight_etl_spark.operators.text import quality_signals
+
+    df = spark.createDataFrame(
+        [(1, "the cat the cat ATE 99 fish!!")], "doc_id long, text string"
+    )
+    r = quality_signals(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 7
+    assert r["n_chars"] == 29
+    assert r["has_stopword"] is True          # 'the' twice
+    assert abs(r["dup_word_ratio"] - (1 - 5 / 7)) < 1e-6
+    assert abs(r["digit_ratio"] - 2 / 29) < 1e-6
+    assert abs(r["upper_ratio"] - 3 / 29) < 1e-6
+    assert abs(r["symbol_ratio"] - 2 / 29) < 1e-6   # the two '!'
+
+
+def test_contamination_overlap(spark):
+    from databricks_flight_etl_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # contains the probe verbatim
+            (2, "x y z w v u t s"),          # disjoint
+            (3, "c d e f g q r s"),          # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "b c d e f g")], "probe_id long, probe_text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_overlap(
+            docs, probes, "text", "doc_id", n=5, min_overlap=1
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_overlap"] == 2           # both 5-grams of the probe
+    assert out[1]["probe_ngrams"] == 2
+    assert abs(out[1]["overlap_ratio"] - 1.0) < 1e-9
+    assert out[3]["n_overlap"] == 1           # 'c d e f g' only
