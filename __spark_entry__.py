@@ -1774,6 +1774,18 @@ def q_ann_ivf(spark, sf_dir):
     return ann_topk_ivf(emb, probe_id=0, k=10, n_lists=16, n_probe=4, iters=1)
 
 
+def q_ann_ivf_exhaustive(spark, sf_dir):
+    """X2 IVF with EVERY list probed (n_probe = n_lists): the pruning
+    becomes a no-op, so the index path must return exactly the
+    brute-force top-k — certifying the whole IVF machinery (centroid
+    training, assignment, candidate scan, re-rank) against the
+    q_cosine_topk oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, probe_id=0, k=10, n_lists=16, n_probe=16, iters=1
+    )
+
+
 def q_sql_surface(spark, sf_dir):
     """G4 (Entry 2): temp view + spark.sql — the reference's SQL entry
     path, running the Q7 HHMM decode as an inline SQL string (the exact
@@ -2464,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_signals": q_quality_signals,
         "q_contamination": q_contamination,
         "q_streaming_dedup": q_streaming_dedup,
+        "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -2951,6 +2964,24 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
         """,
         "q_cosine_topk": """
+            WITH p AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS pv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            s AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), pv) AS dot,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS na,
+                       sqrt(list_dot_product(pv, pv)) AS nb
+                FROM embeddings, p
+            )
+            SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+            FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
+        """,
+        # IVF with n_probe = n_lists degenerates to exact search: the
+        # index path must reproduce the brute-force top-k verbatim.
+        "q_ann_ivf_exhaustive": """
             WITH p AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS pv
                 FROM embeddings WHERE vec_id = 0
