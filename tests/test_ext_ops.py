@@ -561,3 +561,77 @@ def test_contamination_overlap(spark):
     assert out[1]["probe_ngrams"] == 2
     assert abs(out[1]["overlap_ratio"] - 1.0) < 1e-9
     assert out[3]["n_overlap"] == 1           # 'c d e f g' only
+
+
+def test_pii_redact_idempotent_and_bounded(spark):
+    """Property: redacting already-redacted text changes nothing, and
+    clean output never contains a raw PII match."""
+    import random
+
+    from databricks_flight_etl_spark.operators.text import pii_redact
+
+    rng = random.Random(7)
+    frag = ["hello", "a@b.io", "10.0.0.1", "x", "+491711234567",
+            "555-123-4567", "v1.2", "end."]
+    rows = [
+        (i, " ".join(rng.choice(frag) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = pii_redact(df, "text", "doc_id")
+    again = pii_redact(
+        once.select(F.col("doc_id"), F.col("clean").alias("text")),
+        "text", "doc_id",
+    )
+    resid = again.where(
+        (F.col("n_emails") > 0) | (F.col("n_ips") > 0) | (F.col("n_phones") > 0)
+    ).count()
+    assert resid == 0
+    pairs = once.alias("a").join(
+        again.alias("b"), "doc_id"
+    ).where(F.col("a.clean") != F.col("b.clean")).count()
+    assert pairs == 0
+
+
+def test_quality_signals_bounded(spark):
+    """Property: every ratio lands in [0, 1] over seeded random ASCII."""
+    import random
+
+    from databricks_flight_etl_spark.operators.text import quality_signals
+
+    rng = random.Random(13)
+    chars = "abcXYZ019 .!?-"
+    rows = [
+        (i, "".join(rng.choice(chars) for _ in range(rng.randint(5, 80))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_signals(df, "text", "doc_id")
+    bad = out.where(
+        (F.col("symbol_ratio") < 0) | (F.col("symbol_ratio") > 1)
+        | (F.col("digit_ratio") < 0) | (F.col("digit_ratio") > 1)
+        | (F.col("upper_ratio") < 0) | (F.col("upper_ratio") > 1)
+        | (F.col("dup_word_ratio") < 0) | (F.col("dup_word_ratio") > 1)
+    ).count()
+    assert bad == 0
+    assert out.count() == 80
+
+
+def test_contamination_identical_doc_full_overlap(spark):
+    """Property: a document probed against itself overlaps 100%."""
+    from databricks_flight_etl_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    probes = docs.select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    r = contamination_overlap(
+        docs, probes, "text", "doc_id", n=5, min_overlap=1
+    ).collect()[0]
+    assert r["n_overlap"] == r["probe_ngrams"] == 6
+    assert abs(r["overlap_ratio"] - 1.0) < 1e-9
