@@ -1786,6 +1786,36 @@ def q_ann_ivf_exhaustive(spark, sf_dir):
     )
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """X1 survivor selection: near-dup pairs → connected components →
+    keep only each cluster's canonical (min-id) member plus all
+    untouched rows — the step that actually shrinks the corpus.
+    Certified against a recursive-CTE + anti-join oracle."""
+    from databricks_flight_etl_spark.operators.dedup import dedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    return dedup_survivors(emb, pairs, "vec_id").select("vec_id", "label")
+
+
+def q_pack_shards(spark, sf_dir):
+    """X6 token-budget shard packing via a distributed prefix sum
+    (range-bucket partials + broadcast offsets + per-bucket window) —
+    never a single-partition global window. Certified against DuckDB's
+    plain global running-sum window."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        pack_by_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .alias("n_tokens"),
+    )
+    return pack_by_token_budget(with_tokens, "doc_id", "n_tokens", budget=500)
+
+
 def q_sql_surface(spark, sf_dir):
     """G4 (Entry 2): temp view + spark.sql — the reference's SQL entry
     path, running the Q7 HHMM decode as an inline SQL string (the exact
@@ -2477,6 +2507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_streaming_dedup": q_streaming_dedup,
         "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_pack_shards": q_pack_shards,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3813,6 +3845,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(r) AS component
             FROM reach
             GROUP BY node
+        """,
+        # Same pairs + closure as q_dedup_clusters, then keep only each
+        # component's min-id member plus all unpaired rows.
+        "q_dedup_survivors": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            losers AS (SELECT node FROM comp WHERE node <> component)
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM losers)
+        """,
+        "q_pack_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, n_tokens, cum_tokens,
+                   (cum_tokens - n_tokens) // 500 AS shard
+            FROM c
         """,
         "q_multimodal_meta": """
             SELECT doc_id,

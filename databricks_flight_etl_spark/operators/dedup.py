@@ -43,6 +43,7 @@ __all__ = [
     "simhash64",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "dedup_survivors",
 ]
 
 
@@ -471,3 +472,32 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Survivor selection — the step after near-dup pair mining that
+    actually SHRINKS the corpus: collapse each connected component of
+    ``pairs`` to its canonical member (the minimum id — deterministic
+    and free, since the component label IS the component's min id) and
+    keep every row of ``df`` that is either untouched by any pair or
+    the canonical member of its cluster.
+
+    Plan shape: the component table is proportional to the number of
+    DUPLICATED docs (a small fraction of the corpus), so the final
+    filter is a left-anti join of the full corpus against a small
+    losers table — broadcastable in practice; the corpus itself never
+    shuffles.
+    """
+    from .graph import connected_components  # local import: no cycle
+
+    comps = connected_components(pairs, src, dst)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "stratified_sample"]
+__all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
+           "pack_by_token_budget"]
 
 _PREFIX_LEN = 12
 
@@ -74,3 +75,73 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_threshold_hex(frac))
         ).otherwise(thr)
     return df.where(hash_bucket(key, salt) < thr)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget shards in a deterministic
+    global order — the sharding step that turns a cleaned corpus into
+    training files of ~``budget`` tokens each.
+
+    Semantics: documents are laid out in ``id_col`` order; a document
+    whose first token lands in [k·budget, (k+1)·budget) gets shard k
+    (exact integer arithmetic end-to-end).
+
+    A naive global running sum is a single-partition window — a 1-task
+    bottleneck at any scale. This computes the classic DISTRIBUTED
+    PREFIX SUM instead: range-bucket the id domain into ``n_buckets``
+    splits, per-bucket partial sums (one tiny aggregate; ``n_buckets``
+    rows to the driver), exclusive bucket offsets broadcast back, then
+    a per-bucket window sum shifted by the bucket's offset. The only
+    full-data movement is one hash-range exchange for the window.
+
+    Output: (id, n_tokens, cum_tokens, shard); ``cum_tokens`` is the
+    INCLUSIVE running total.
+    """
+    from pyspark.sql import Window
+
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return df.select(
+            F.col(id_col),
+            F.col(n_tokens_col).alias("n_tokens"),
+            F.lit(0).cast("long").alias("cum_tokens"),
+            F.lit(0).cast("long").alias("shard"),
+        ).limit(0)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    bucket = ((F.col(id_col) - lo) * n_buckets / span).cast("int")
+    t = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        bucket.alias("__bkt"),
+    )
+    per_bucket = {
+        r["__bkt"]: r["s"]
+        for r in t.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += per_bucket.get(b, 0)
+    off = F.lit(0).cast("long")
+    for b, v in offsets.items():
+        off = F.when(F.col("__bkt") == b, F.lit(v).cast("long")).otherwise(off)
+    w = Window.partitionBy("__bkt").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (off + F.sum("n_tokens").over(w)).alias("cum_tokens")
+    return t.select(F.col(id_col), F.col("n_tokens"), cum).select(
+        F.col(id_col),
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"CAST((cum_tokens - n_tokens) DIV {int(budget)} AS BIGINT)")
+        .alias("shard"),
+    )

@@ -635,3 +635,44 @@ def test_contamination_identical_doc_full_overlap(spark):
     ).collect()[0]
     assert r["n_overlap"] == r["probe_ngrams"] == 6
     assert abs(r["overlap_ratio"] - 1.0) < 1e-9
+
+
+def test_dedup_survivors(spark):
+    from databricks_flight_etl_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    # clusters {1,2,5} and {3,7}; 0,4,6 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 1, 3, 4, 6]
+
+
+def test_pack_by_token_budget(spark):
+    from databricks_flight_etl_spark.operators.sampling import (
+        pack_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens int"
+    )
+    out = pack_by_token_budget(df, "doc_id", "n_tokens", budget=100,
+                               n_buckets=7)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 10 docs of 10 tokens per 100-token shard, in doc_id order
+    assert rows[0]["shard"] == 0 and rows[9]["shard"] == 0
+    assert rows[10]["shard"] == 1
+    assert rows[99]["shard"] == 9
+    assert rows[99]["cum_tokens"] == 1000
+    # empty input → empty output with the contract schema
+    empty = pack_by_token_budget(
+        df.limit(0), "doc_id", "n_tokens", budget=100
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_tokens", "cum_tokens", "shard"]
