@@ -82,6 +82,33 @@ def cosine_topk(
     )
 
 
+def _banded_buckets_pandas(planes: list[list[float]], r: int, n_bands: int):
+    """Arrow-batched banded-LSH bucketing: ONE numpy matmul per batch
+    ((batch × dim) @ (dim × r·n_bands)) instead of compiling r·n_bands·dim
+    plane literals into whole-stage codegen (which dominates wall time
+    once the plane count is corpus-scaled). Returns array<long> of one
+    bucket per band; bit j of a band's bucket is sign(v·plane_j), the
+    same layout as ``hyperplane_bucket``."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × (r·n_bands)
+    w = (1 << np.arange(r)).astype(np.int64)
+
+    # no type hints: under `from __future__ import annotations` they
+    # arrive as strings, which pandas_udf's signature inspection rejects
+    def _kernel(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy())              # batch × dim
+        bits = (m @ P) >= 0                      # batch × (r·n_bands)
+        bits = bits.reshape(len(m), n_bands, r)
+        b = (bits * w).sum(axis=2).astype(np.int64)  # batch × n_bands
+        return pd.Series(list(b))
+
+    return F.pandas_udf(_kernel, "array<long>")
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -138,21 +165,15 @@ def cosine_near_dup_pairs(
         n_bands = max(1, min(16, math.ceil(math.log(10.0) / max(q**r, 1e-12))))
         banded = n_bands > 1
         planes = _hyperplanes(dim, r * n_bands, seed=42)
-        v = v.withColumn("__n", l2_norm(F.col("__v"))).withColumn(
-            "__blk",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).alias("band"),
-                            hyperplane_bucket(
-                                F.col("__v"), planes[k * r : (k + 1) * r]
-                            ).alias("bucket"),
-                        )
-                        for k in range(n_bands)
-                    ]
-                )
-            ),
+        bucket_arr = _banded_buckets_pandas(planes, r, n_bands)(F.col("__v"))
+        v = (
+            v.withColumn("__n", l2_norm(F.col("__v")))
+            .select(
+                F.col(id_col), "__v", "__n",
+                F.posexplode(bucket_arr).alias("__band", "__bucket"),
+            )
+            .withColumn("__blk", F.struct("__band", "__bucket"))
+            .drop("__band", "__bucket")
         )
     else:
         v = v.withColumn("__n", l2_norm(F.col("__v")))
