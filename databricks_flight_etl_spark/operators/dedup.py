@@ -500,4 +500,6 @@ def dedup_survivors(
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    # explicit hint: losers is derived (no stats), and the whole point
+    # is that the full corpus anti-joins WITHOUT shuffling
+    return df.join(F.broadcast(losers), id_col, "left_anti")

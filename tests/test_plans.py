@@ -106,3 +106,25 @@ def test_tfidf_spread_reuses_partitioning(spark):
     audit = plans.plan_audit(df)
     assert audit["n_shuffles"] == 2, audit
     assert audit["n_broadcast_joins"] >= 1, audit
+
+
+def test_contamination_broadcasts_probe_side(spark):
+    df = entrymod.q_contamination(spark, SF)
+    p = plans.explain_str(df)
+    assert "BroadcastHashJoin" in p
+    # the corpus side must never sort-merge against the probe set
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_shards_never_single_partition(spark):
+    # THE distributed-prefix-sum property: a naive global running sum
+    # plans Exchange SinglePartition; the bucketed form must not
+    df = entrymod.q_pack_shards(spark, SF)
+    p = plans.explain_str(df)
+    assert "SinglePartition" not in p
+
+
+def test_dedup_survivors_broadcasts_losers(spark):
+    df = entrymod.q_dedup_survivors(spark, SF)
+    p = plans.explain_str(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
