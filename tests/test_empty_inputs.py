@@ -94,3 +94,25 @@ def test_ann_probe_errors_are_clear(spark):
         similarity.cosine_topk_pandas(vecs, probe_id=99)
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.cosine_near_dup_pairs(empty, block_col=None).count() == 0
+
+
+def test_round2_ops_empty_inputs(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+
+    assert text.pii_redact(docs, "text", "doc_id").count() == 0
+    assert text.quality_signals(docs, "text", "doc_id").count() == 0
+    assert text.contamination_overlap(
+        docs,
+        docs.select(
+            docs.doc_id.alias("probe_id"), docs.text.alias("probe_text")
+        ),
+        "text",
+        "doc_id",
+    ).count() == 0
+    assert dedup.dedup_survivors(docs, pairs, "doc_id").count() == 0
+    # empty pairs over a NON-empty corpus keeps everything
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    assert dedup.dedup_survivors(full, pairs, "doc_id").count() == 2
