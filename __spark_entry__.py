@@ -2104,6 +2104,20 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs, "id_a", "id_b")
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Connected components via large-star/small-star contraction
+    (Kiveris et al., SoCC'14) — the O(log n)-round alternative to
+    q_dedup_clusters' min-label loop for deep components; certified
+    against the identical recursive-CTE oracle."""
+    from databricks_flight_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    return connected_components_star(pairs, "id_a", "id_b")
+
+
 def q_parquet_roundtrip(spark, sf_dir):
     """S6/S8: size-targeted parquet sink + read-back (the reference's
     SizeEstimator→coalesce→write, NB:416–437, on supported APIs).
@@ -2509,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "q_dedup_survivors": q_dedup_survivors,
         "q_pack_shards": q_pack_shards,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3894,6 +3909,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, cum_tokens,
                    (cum_tokens - n_tokens) // 500 AS shard
             FROM c
+        """,
+        "q_dedup_clusters_star": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node, min(r) AS component
+            FROM reach
+            GROUP BY node
         """,
         "q_multimodal_meta": """
             SELECT doc_id,

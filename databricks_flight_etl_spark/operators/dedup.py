@@ -481,25 +481,9 @@ def dedup_survivors(
     src: str = "id_a",
     dst: str = "id_b",
 ) -> DataFrame:
-    """Survivor selection — the step after near-dup pair mining that
-    actually SHRINKS the corpus: collapse each connected component of
-    ``pairs`` to its canonical member (the minimum id — deterministic
-    and free, since the component label IS the component's min id) and
-    keep every row of ``df`` that is either untouched by any pair or
-    the canonical member of its cluster.
+    """Survivor selection — see ``operators.graph.dedup_survivors``
+    (canonical home; re-exported here because pair mining lives in this
+    module and callers compose mine → survive in one import)."""
+    from .graph import dedup_survivors as _impl  # local import: no cycle
 
-    Plan shape: the component table is proportional to the number of
-    DUPLICATED docs (a small fraction of the corpus), so the final
-    filter is a left-anti join of the full corpus against a small
-    losers table — broadcastable in practice; the corpus itself never
-    shuffles.
-    """
-    from .graph import connected_components  # local import: no cycle
-
-    comps = connected_components(pairs, src, dst)
-    losers = comps.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
-    # explicit hint: losers is derived (no stats), and the whole point
-    # is that the full corpus anti-joins WITHOUT shuffling
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return _impl(df, pairs, id_col, src, dst)

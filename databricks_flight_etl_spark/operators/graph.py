@@ -13,11 +13,16 @@ itself; each round every node takes the min label over itself and its
 neighbors; converges in O(component diameter) rounds — near-dup
 clusters are shallow (a hub duplicate links its copies), so typically
 3–6 rounds. Each round is one shuffle-join + one groupBy on the edge
-list. At 100 TB-scale graphs, swap in the large-star/small-star
-contraction (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) which converges in O(log n) rounds with shrinking
-edges; min-label keeps the edge set constant per round, which is the
-right trade at dedup-cluster shapes.
+list.
+
+For graphs whose components may be DEEP (long chains — where
+O(diameter) rounds is the bottleneck), ``connected_components_star``
+implements the large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14): O(log n)
+rounds with a SHRINKING edge set. Both forms share the output contract
+(component id = min node id) and are certified against the same
+recursive-CTE oracle; pick min-label for shallow dedup shapes (constant
+edge set, cheaper rounds) and star contraction at adversarial depth.
 """
 
 from __future__ import annotations
@@ -25,14 +30,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_survivors"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_survivors",
+]
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 64,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; the component id
     is the minimum node id in the component (deterministic).
@@ -86,4 +95,101 @@ def dedup_survivors(
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(drop, id_col, "left_anti")
+    # explicit hint: drop-list is derived (no stats) and proportional to
+    # the duplicated fraction only; the corpus side must not shuffle
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round form of
+    ``connected_components`` for graphs whose components may be DEEP
+    (long chains), where min-label's O(diameter) rounds is the
+    bottleneck. Same output contract: component id = min node id.
+
+    Per round both phases are one groupBy + one join on the current
+    edge list, and the edge list SHRINKS as stars contract:
+
+    - large-star(u): every neighbor v > u re-links to
+      m = min(N(u) ∪ {u});
+    - small-star(u): every neighbor v ≤ u (and u itself) links to m.
+
+    Converged when the edge multiset is fixed: every node then points
+    at its component root. Deterministic at every step (min over sets).
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical undirected form: a > b, self-loop-free — the invariant
+    # both phases preserve (every emitted edge points high → low)
+    e = (
+        raw.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        # neighborhoods are UNDIRECTED: re-symmetrize before grouping
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = sym.groupBy("a").agg(F.min("b").alias("__mnb")).select(
+            "a", F.least(F.col("a"), F.col("__mnb")).alias("m")
+        )
+        # every strictly-larger neighbor re-links to the local minimum;
+        # output is canonical by construction (b > a ≥ m)
+        return (
+            sym.join(m, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # input canonical (a > b): every neighbor of a is smaller, so
+        # min(Γ⁺(a)) is just min(b); a and each smaller neighbor re-link
+        m = cur.groupBy("a").agg(F.min("b").alias("__m"))
+        linked = (
+            cur.join(m, "a")
+            .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+            .unionByName(m.select("a", F.col("__m").alias("b")))
+        )
+        return linked.where(F.col("a") != F.col("b")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # converged edges form stars (member → root); roots map to themselves
+    members = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = nodes.join(
+        members.select(F.col("node").alias("n2")),
+        nodes.node == F.col("n2"),
+        "left_anti",
+    ).select("node", F.col("node").alias("component"))
+    return members.unionByName(roots)

@@ -676,3 +676,36 @@ def test_pack_by_token_budget(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "n_tokens", "cum_tokens", "shard"]
+
+
+def test_connected_components_star_matches_minlabel(spark):
+    """Star contraction and min-label must agree on every shape,
+    including the deep chain where min-label needs O(n) rounds."""
+    import random
+
+    from databricks_flight_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = []
+    # long chain 0-1-2-...-30 (worst case for min-label depth)
+    cases.append([(i, i + 1) for i in range(30)])
+    # two cliques + an isolate-free random graph, seeded
+    rng = random.Random(3)
+    cases.append(
+        [(a, b) for a in range(40, 46) for b in range(a + 1, 46)]
+        + [(rng.randint(100, 140), rng.randint(100, 140)) for _ in range(60)]
+    )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        ml = {
+            (r["node"], r["component"])
+            for r in connected_components(e).collect()
+        }
+        st = {
+            (r["node"], r["component"])
+            for r in connected_components_star(e).collect()
+        }
+        assert st == ml
