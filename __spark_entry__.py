@@ -839,6 +839,24 @@ def q_textprep_exact(spark, sf_dir):
     )
 
 
+def q_corpus_release(spark, sf_dir):
+    """X7 full corpus-release composition, oracle-certified end-to-end:
+    quality filter → language filter → exact dedup → PII redaction →
+    clean-token counts → token-budget shard packing, over documents
+    with injected PII. The oracle mirrors every stage in one SQL."""
+    from databricks_flight_etl_spark.pipeline import run_corpus_release
+
+    rel = run_corpus_release(
+        _docs_with_pii(spark, sf_dir),
+        min_tokens=10,
+        chunk_tokens=64,
+        overlap=16,
+        near_dup=False,
+        budget=512,
+    )
+    return rel.released
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling by content hash — the corpus-
     mixing knob of a training-data pipeline (keep all of one source,
@@ -2524,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_survivors": q_dedup_survivors,
         "q_pack_shards": q_pack_shards,
         "q_dedup_clusters_star": q_dedup_clusters_star,
+        "q_corpus_release": q_corpus_release,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -2919,6 +2938,82 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
                             1) AS n_chunks
             FROM uniq ORDER BY doc_id
+        """,
+        # Full release composition: textprep kept/uniq stages over the
+        # PII-injected corpus, then the redaction chain, clean-token
+        # counts, and the global running-sum shard assignment.
+        "q_corpus_release": """
+            WITH t AS (""" + _DOCS_PII_SQL + """),
+            toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS tk
+                FROM t
+            ),
+            m AS (
+                SELECT doc_id, text, len(tk) AS n_tokens,
+                       round(CASE WHEN len(tk) > 0 THEN
+                           len(list_filter(tk, x -> list_contains(
+                               ['the','a','of','and','to','in','is','on',
+                                'for','with'], x))) * 1.0 / len(tk)
+                       END, 6) AS stop_ratio,
+                       len(list_filter(tk, x -> list_contains(
+                           ['the','a','of','and','to','in','is','on','for',
+                            'with'], x))) AS s_en,
+                       len(list_filter(tk, x -> list_contains(
+                           ['el','la','de','y','en','es','los','por','con',
+                            'del'], x))) AS s_es,
+                       len(list_filter(tk, x -> list_contains(
+                           ['der','die','das','und','ist','von','mit','den',
+                            'im','ein'], x))) AS s_de,
+                       len(list_filter(tk, x -> list_contains(
+                           ['le','la','de','et','est','les','un','une',
+                            'dans','pour'], x))) AS s_fr
+                FROM toks
+            ),
+            kept AS (
+                SELECT doc_id, text FROM m
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND stop_ratio <= 0.9
+                  AND (CASE
+                       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                           THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de'
+                       ELSE 'fr' END) = 'en'
+            ),
+            uniq AS (
+                SELECT doc_id, text FROM kept
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM kept
+                    GROUP BY md5(lower(trim(text)))
+                )
+            ),
+            red AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '""" + PII_EMAIL + """', '[EMAIL]', 'g'),
+                           '""" + PII_IP + """', '[IP]', 'g'),
+                           '""" + PII_PHONE + """', '[PHONE]', 'g') AS clean
+                FROM uniq
+            ),
+            counted AS (
+                SELECT doc_id, clean,
+                       CAST(len(list_filter(string_split(clean, ' '),
+                                            x -> x <> '')) AS BIGINT)
+                           AS n_tokens
+                FROM red
+            ),
+            packed AS (
+                SELECT doc_id, clean, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS cum_tokens
+                FROM counted
+            )
+            SELECT doc_id, clean, n_tokens, cum_tokens,
+                   (cum_tokens - n_tokens) // 512 AS shard
+            FROM packed
         """,
         # thresholds are hex(round(f * 16^12)): 1.0 → 'g' (above every
         # hex string), 0.1 → 19999999999a, 0.5 → 800000000000

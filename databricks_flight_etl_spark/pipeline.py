@@ -27,7 +27,8 @@ from .operators import (
 from .sources import write_parquet
 
 __all__ = ["QualityReport", "run_flight_pipeline",
-           "TextPrepReport", "run_textprep_pipeline"]
+           "TextPrepReport", "run_textprep_pipeline",
+           "CorpusRelease", "run_corpus_release"]
 
 
 @dataclass
@@ -175,3 +176,50 @@ def run_textprep_pipeline(
         survivors=survivors,
         chunks=chunks,
     )
+
+
+@dataclass
+class CorpusRelease:
+    """The text-prep funnel plus release stages (lazy DataFrames)."""
+
+    report: TextPrepReport
+    redacted: DataFrame   # (id, clean, n_emails, n_ips, n_phones)
+    released: DataFrame   # (id, clean, n_tokens, cum_tokens, shard)
+
+
+def run_corpus_release(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    **textprep_kwargs,
+) -> CorpusRelease:
+    """The full corpus-release composition: text-prep funnel (quality →
+    language → dedup) → PII redaction of the survivors → token counts
+    of the CLEAN text → token-budget shard packing. ``released`` is the
+    artifact a training run consumes: one row per surviving document
+    with its redacted text and shard assignment.
+
+    Stage economics: everything before packing is per-row column math
+    or digest-keyed joins (see run_textprep_pipeline); redaction is a
+    pure projection; packing adds one bucketed window plus an id-keyed
+    join to re-attach the text — no stage ever shuffles document text
+    except that final join, which moves only the SURVIVING corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators import text
+    from .operators.sampling import pack_by_token_budget
+
+    rep = run_textprep_pipeline(df, text_col, id_col, **textprep_kwargs)
+    redacted = text.pii_redact(rep.survivors, text_col, id_col)
+    with_tokens = redacted.select(
+        F.col(id_col),
+        "clean",
+        F.size(text.tokens(F.col("clean"))).alias("n_tokens"),
+    )
+    packed = pack_by_token_budget(with_tokens, id_col, "n_tokens", budget)
+    released = packed.join(
+        with_tokens.select(F.col(id_col), "clean"), id_col
+    ).select(F.col(id_col), "clean", "n_tokens", "cum_tokens", "shard")
+    return CorpusRelease(report=rep, redacted=redacted, released=released)

@@ -709,3 +709,32 @@ def test_connected_components_star_matches_minlabel(spark):
             for r in connected_components_star(e).collect()
         }
         assert st == ml
+
+
+def test_corpus_release_composition(spark):
+    """Release artifact invariants: survivors only, PII-free clean
+    text, shard boundaries respect the budget order."""
+    from databricks_flight_etl_spark.pipeline import run_corpus_release
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat for the rat "
+                "mail me a.b@x.io today"),
+            (2, "the cat sat on the mat with a hat for the rat "
+                "mail me a.b@x.io today"),          # exact dup of 1
+            (3, "el la de y en es los por con del " * 3),   # non-en
+            (4, "the quick brown fox is on the hill of the dawn and "
+                "it is with the wind in a way"),
+        ],
+        "doc_id long, text string",
+    )
+    rel = run_corpus_release(
+        docs, min_tokens=5, near_dup=False, budget=20
+    )
+    rows = {r["doc_id"]: r for r in rel.released.collect()}
+    assert set(rows) == {1, 4}            # dup 2 dropped, non-en 3 dropped
+    assert "[EMAIL]" in rows[1]["clean"] and "@" not in rows[1]["clean"]
+    assert rows[1]["shard"] == 0
+    # doc 4 starts after doc 1's tokens → next shard at budget=20
+    assert rows[4]["cum_tokens"] == rows[1]["n_tokens"] + rows[4]["n_tokens"]
+    assert rows[4]["shard"] == rows[1]["n_tokens"] // 20
