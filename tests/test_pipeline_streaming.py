@@ -452,3 +452,37 @@ def test_spread_is_noop_on_streams(spark, tmp_path):
     )
     row = out2.select("doc_id", "n_tokens").collect()[0]
     assert (row["doc_id"], row["n_tokens"]) == (0, 9)
+
+
+def test_stateless_text_ops_compose_with_streams(spark, tmp_path):
+    """pii_redact / quality_signals are pure projections, so they apply
+    unchanged to a readStream — the streaming twin needs no new code."""
+    from databricks_flight_etl_spark.operators.text import (
+        pii_redact,
+        quality_signals,
+    )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "write to a.b@x.io now"), (2, "all clean here today")],
+        "doc_id long, text string",
+    ).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(d)
+    out = pii_redact(stream, "text", "doc_id")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: r for r in spark.table("pii_stream").collect()}
+    assert rows[1]["n_emails"] == 1 and "[EMAIL]" in rows[1]["clean"]
+    assert rows[2]["n_emails"] == 0
+    # quality_signals composes the same way (plan-only check)
+    assert quality_signals(stream, "text", "doc_id").isStreaming

@@ -62,6 +62,48 @@ def synth_embeddings(spark, n, dim=64):
     )
 
 
+def _contamination(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    probes = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text")
+    )
+    return contamination_overlap(docs, probes, "text", "doc_id", n=5,
+                                 min_overlap=2)
+
+
+def _pack(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sampling import (
+        pack_by_token_budget,
+    )
+
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return pack_by_token_budget(t, "doc_id", "n_tokens", budget=4096)
+
+
+def _cc_star(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # synthetic pair list ~5% of docs, chained in small runs
+    pairs = docs.select(F.col("doc_id").alias("id_a")).where(
+        F.col("id_a") % 20 == 0
+    ).select("id_a", (F.col("id_a") + 20).alias("id_b"))
+    return connected_components_star(pairs)
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from databricks_flight_etl_spark.session import get_spark
@@ -90,6 +132,9 @@ def main() -> None:
         "cosine_topk_batch": lambda d, v: similarity.cosine_topk_batch(
             v, probe_ids=[0, 1, 2, 3], k=10
         ).count(),
+        "contamination": lambda d, v: _contamination(d).count(),
+        "pack_shards": lambda d, v: _pack(d).count(),
+        "cc_star": lambda d, v: _cc_star(d).count(),
     }
 
     results = {}
