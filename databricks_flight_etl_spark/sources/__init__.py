@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 from ..plans import estimate_bytes, partitions_for_target
 
 __all__ = [
+    "compact_parquet",
     "list_dir",
     "read_csv",
     "read_json",
@@ -265,3 +266,22 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 200,
+    compression: str = "snappy",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into ~target_mb
+    files (the maintenance job every long-running ingest needs — file
+    listings and scan task counts degrade as small files accumulate).
+    Reads ``src``, writes ``dst`` (never in place — an in-place rewrite
+    that fails mid-way destroys the input). Returns the partition count
+    written."""
+    return write_parquet(
+        read_parquet(spark, src), dst,
+        target_mb=target_mb, compression=compression,
+    )

@@ -486,3 +486,34 @@ def test_stateless_text_ops_compose_with_streams(spark, tmp_path):
     assert rows[2]["n_emails"] == 0
     # quality_signals composes the same way (plan-only check)
     assert quality_signals(stream, "text", "doc_id").isStreaming
+
+
+def test_observe_quality_metrics_free_with_action(spark):
+    from databricks_flight_etl_spark import plans as P
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "id long, s string"
+    )
+    inst, obs = P.observe_quality(
+        df, "q",
+        {"n_rows": F.count(F.lit(1)),
+         "n_null_s": F.sum(F.col("s").isNull().cast("long"))},
+    )
+    assert inst.count() == 3          # the action that feeds the observation
+    assert obs.get == {"n_rows": 3, "n_null_s": 1}
+
+
+def test_compact_parquet(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    # fragment: 16 tiny files
+    spark.range(1000).repartition(16).write.parquet(src)
+    import os as _os
+
+    n_src = len([f for f in _os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 16
+    parts = sources.compact_parquet(spark, src, dst, target_mb=200)
+    assert parts == 1
+    n_dst = len([f for f in _os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == 1
+    assert spark.read.parquet(dst).count() == 1000
