@@ -839,6 +839,19 @@ def q_textprep_exact(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """X1/X4 span-level global dedup (the C4/Gopher repeated-line pass):
+    tumbling 10-word spans, first corpus-wide occurrence survives,
+    documents rebuilt from surviving spans. Certified cell-exact against
+    a DuckDB oracle doing the same split/first/rebuild."""
+    from databricks_flight_etl_spark.operators.text import (
+        dedup_repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_repeated_spans(docs, "text", "doc_id", span_words=10)
+
+
 def q_corpus_release(spark, sf_dir):
     """X7 full corpus-release composition, oracle-certified end-to-end:
     quality filter → language filter → exact dedup → PII redaction →
@@ -2543,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_shards": q_pack_shards,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_corpus_release": q_corpus_release,
+        "q_span_dedup": q_span_dedup,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -2938,6 +2952,45 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
                             1) AS n_chunks
             FROM uniq ORDER BY doc_id
+        """,
+        # Span dedup: first corpus-wide occurrence of each 10-word span
+        # survives (first = min doc_id*1e6+idx), docs rebuilt in span
+        # order. The oracle joins on span TEXT where Spark joins on its
+        # md5 digest — same result, digest-sized shuffle.
+        "q_span_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id, tk,
+                       unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS idx
+                FROM toks WHERE len(tk) > 0
+            ),
+            occ AS (
+                SELECT doc_id, idx,
+                       array_to_string(list_slice(tk,
+                           CAST(idx * 10 + 1 AS INT),
+                           CAST(idx * 10 + 10 AS INT)), ' ') AS span,
+                       doc_id * 1000000 + idx AS k
+                FROM sp
+            ),
+            firsts AS (SELECT span, min(k) AS mk FROM occ GROUP BY span),
+            kept AS (
+                SELECT o.doc_id, o.idx, o.span
+                FROM occ o JOIN firsts f ON o.span = f.span AND o.k = f.mk
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_spans FROM occ GROUP BY 1),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY idx) AS clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(r.clean, '') AS clean, t.n_spans,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM totals t LEFT JOIN reb r USING (doc_id)
         """,
         # Full release composition: textprep kept/uniq stages over the
         # PII-injected corpus, then the redaction chain, clean-token

@@ -37,6 +37,7 @@ __all__ = [
     "pii_redact",
     "quality_signals",
     "contamination_overlap",
+    "dedup_repeated_spans",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -317,6 +318,80 @@ def contamination_overlap(
         F.round(F.col("n_overlap") / F.col("probe_ngrams"), decimals).alias(
             "overlap_ratio"
         ),
+    )
+
+
+def dedup_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+) -> DataFrame:
+    """Span-level GLOBAL dedup (the C4/Gopher repeated-line pass, cf.
+    Raffel et al. 2020 §2.2 / Lee et al. 2022): split every document
+    into tumbling ``span_words``-word spans, keep only the FIRST
+    occurrence of each distinct span corpus-wide (first = smallest
+    (doc, position)), and rebuild documents from their surviving spans.
+    Catches boilerplate shared across documents that whole-document
+    dedup can never see.
+
+    Output: (id, clean, n_spans, n_kept); documents whose every span
+    was seen earlier elsewhere survive with ``clean = ''``.
+
+    Plan shape: explode is narrow; the first-occurrence group-by keys
+    on the md5 DIGEST of the span (16 bytes shuffled per span, never
+    the text); the rebuild groups by doc id. Two hash shuffles total,
+    both on bounded keys — linear at corpus scale.
+    """
+    toks = tokens(F.col("__raw"))
+    n_spans_c = F.ceil(F.size(toks) / span_words).cast("int")
+    span_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans_c - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")),
+        "__id",
+    ).select(
+        "__id", F.posexplode(span_arr).alias("__idx", "__span")
+    ).withColumn("__h", F.md5("__span")).withColumn(
+        "__k", F.col("__id") * 1_000_000 + F.col("__idx")
+    )
+    # rename the grouped key before the self-join: joining spans back to
+    # an aggregate OF ITSELF on the same column name makes Spark resolve
+    # the equality to one side (trivially true) — rename removes the
+    # ambiguity entirely
+    firsts = spans.groupBy("__h").agg(F.min("__k").alias("__mk")).select(
+        F.col("__h").alias("__fh"), "__mk"
+    )
+    kept = spans.join(
+        firsts,
+        (F.col("__h") == F.col("__fh")) & (F.col("__k") == F.col("__mk")),
+    ).select("__id", "__idx", "__span")
+    totals = spans.groupBy("__id").agg(F.count(F.lit(1)).alias("n_spans"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__span"))),
+                lambda s: s["__span"],
+            ),
+            " ",
+        ).alias("clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
     )
 
 

@@ -738,3 +738,26 @@ def test_corpus_release_composition(spark):
     # doc 4 starts after doc 1's tokens → next shard at budget=20
     assert rows[4]["cum_tokens"] == rows[1]["n_tokens"] + rows[4]["n_tokens"]
     assert rows[4]["shard"] == rows[1]["n_tokens"] // 20
+
+
+def test_dedup_repeated_spans(spark):
+    from databricks_flight_etl_spark.operators.text import (
+        dedup_repeated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),   # first span duplicates doc 1's
+            (3, "a b c d e f"),   # fully duplicated
+            (4, ""),              # empty doc: zero spans, still present
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_repeated_spans(df, "text", "doc_id", span_words=3).collect()}
+    assert out[1]["clean"] == "a b c d e f" and out[1]["n_kept"] == 2
+    assert out[2]["clean"] == "x y z" and out[2]["n_kept"] == 1
+    assert out[3]["clean"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_spans"] == 2
+    assert 4 not in out or out[4]["n_spans"] == 0
