@@ -852,6 +852,29 @@ def q_span_dedup(spark, sf_dir):
     return dedup_repeated_spans(docs, "text", "doc_id", span_words=10)
 
 
+def q_cms_sketch(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over all document
+    tokens — built in one pass, a few KB regardless of corpus size,
+    mergeable cell-wise. The md5-derived hash family is engine-portable,
+    so the DuckDB oracle rebuilds the identical sketch and the driver
+    compares point estimates cell-exactly."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("w")
+    )
+    sk = cms_build(words, "w", width=1024, depth=3)
+    return cms_estimate(
+        sk, ["data", "the", "spark", "joinless"], width=1024, depth=3
+    )
+
+
 def q_corpus_release(spark, sf_dir):
     """X7 full corpus-release composition, oracle-certified end-to-end:
     quality filter → language filter → exact dedup → PII redaction →
@@ -2557,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_corpus_release": q_corpus_release,
         "q_span_dedup": q_span_dedup,
+        "q_cms_sketch": q_cms_sketch,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -2952,6 +2976,36 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
                             1) AS n_chunks
             FROM uniq ORDER BY doc_id
+        """,
+        # Identical CMS rebuild: same md5 hash family, same grid, min
+        # over each probe term's 3 cells (0 when a cell is empty).
+        "q_cms_sketch": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            cells AS (
+                SELECT r.row,
+                       CAST(CAST('0x' || substring(md5(r.row || ':' || w), 1, 15)
+                                 AS BIGINT) % 1024 AS INT) AS col
+                FROM words, (SELECT unnest([0, 1, 2]) AS row) r
+            ),
+            grid AS (
+                SELECT row, col, count(*) AS n FROM cells GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT t.term, r.row,
+                       CAST(CAST('0x' || substring(md5(r.row || ':' || t.term), 1, 15)
+                                 AS BIGINT) % 1024 AS INT) AS col
+                FROM (SELECT unnest(['data', 'the', 'spark', 'joinless'])
+                          AS term) t,
+                     (SELECT unnest([0, 1, 2]) AS row) r
+            )
+            SELECT p.term, CAST(min(coalesce(g.n, 0)) AS BIGINT) AS est
+            FROM probes p
+            LEFT JOIN grid g ON p.row = g.row AND p.col = g.col
+            GROUP BY p.term
         """,
         # Span dedup: first corpus-wide occurrence of each 10-word span
         # survives (first = min doc_id*1e6+idx), docs rebuilt in span

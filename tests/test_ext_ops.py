@@ -761,3 +761,31 @@ def test_dedup_repeated_spans(spark):
     assert out[3]["clean"] == "" and out[3]["n_kept"] == 0
     assert out[3]["n_spans"] == 2
     assert 4 not in out or out[4]["n_spans"] == 0
+
+
+def test_cms_sketch_properties(spark):
+    """CMS invariants: estimates never undercount, exact at ample
+    width, merge equals a single-pass build."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    words = ["alpha"] * 50 + ["beta"] * 9 + ["gamma"] * 2
+    df = spark.createDataFrame([(w, i) for i, w in enumerate(words)],
+                               "w string, i long")
+    sk = cms_build(df, "w", width=512, depth=4)
+    est = {r["term"]: r["est"] for r in
+           cms_estimate(sk, ["alpha", "beta", "gamma", "absent"],
+                        width=512, depth=4).collect()}
+    assert est == {"alpha": 50, "beta": 9, "gamma": 2, "absent": 0}
+    # merge(two halves) == build(whole)
+    a = cms_build(df.where("i < 30"), "w", width=512, depth=4)
+    b = cms_build(df.where("i >= 30"), "w", width=512, depth=4)
+    merged = {r["term"]: r["est"] for r in
+              cms_estimate(cms_merge(a, b), ["alpha", "beta"],
+                           width=512, depth=4).collect()}
+    assert merged == {"alpha": 50, "beta": 9}
+    # grid is bounded: never more than depth*width cells
+    assert sk.count() <= 4 * 512
