@@ -77,3 +77,37 @@ def test_union_all_by_name(spark):
     b = spark.createDataFrame([("y", 2)], "v string, id int")
     rows = union_all([a, b]).collect()
     assert sorted((r["id"], r["v"]) for r in rows) == [(1, "x"), (2, "y")]
+
+
+def test_roundtrip_hypothesis(spark):
+    """Property-based (hypothesis) form of the round-trip: ANY valid
+    minute-truncated timestamp survives encode→decode except the
+    documented 24x-prefix quirk (SURVEY §5 item 4)."""
+    from hypothesis import given, settings, strategies as st
+
+    ts_strategy = st.datetimes(
+        min_value=dt.datetime(1990, 1, 1),
+        max_value=dt.datetime(2030, 12, 28, 23, 59),
+    ).map(lambda t: t.replace(second=0, microsecond=0))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(ts_strategy, min_size=1, max_size=64))
+    def run(stamps):
+        df = spark.createDataFrame([(t,) for t in stamps], "ts timestamp")
+        enc = df.select(
+            "ts",
+            hhmm_encode(F.col("ts")).alias("DepTime"),
+            F.year("ts").alias("Year"),
+            F.month("ts").alias("Month"),
+            F.dayofmonth("ts").alias("DayofMonth"),
+        )
+        out = derive_departure_timestamp(enc).select(
+            "ts", "DepTime", "DepTime_Timestamp"
+        )
+        for r in out.collect():
+            expect = r["ts"]
+            if 240 <= r["DepTime"] <= 249:  # the 24-prefix quirk
+                expect = expect.replace(hour=0)
+            assert r["DepTime_Timestamp"] == expect, r["DepTime"]
+
+    run()
