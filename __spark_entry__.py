@@ -1793,6 +1793,39 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_cogroup(spark, sf_dir):
+    """As-of join via cogroup().applyInPandas (the cogrouped-Arrow API
+    surface): same query and SAME oracle as q_asof_join — both sides
+    shuffle once on user_id, pd.merge_asof matches per key group."""
+    from databricks_flight_etl_spark.operators.temporal import (
+        asof_join_cogroup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purch_id"),
+            F.max("value").alias("purch_value"),
+        )
+    )
+    out = asof_join_cogroup(
+        clicks, purchases, keys=["user_id"],
+        left_ts="ts", right_ts="ts", how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purch_id",
+        "purch_value",
+        (F.unix_micros("ts") - F.unix_micros("__matched_ts")).alias("gap_us"),
+    )
+
+
 def q_range_join_time(spark, sf_dir):
     """Time-range join: (click, error) pairs of the same user within
     5 minutes — bucketed equi-join on (key, time cell) with neighbor
@@ -2581,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_release": q_corpus_release,
         "q_span_dedup": q_span_dedup,
         "q_cms_sketch": q_cms_sketch,
+        "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3835,6 +3869,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
         """,
         "q_asof_join": """
+            WITH purchases AS (
+                SELECT user_id, ts,
+                       max(event_id) AS purch_id,
+                       max(value) AS purch_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1, 2
+            )
+            SELECT a.event_id, a.user_id, b.purch_id, b.purch_value,
+                   epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') a
+            ASOF JOIN purchases b
+            ON a.user_id = b.user_id AND b.ts <= a.ts
+        """,
+        # same oracle as q_asof_join — the cogrouped-pandas variant must
+        # produce the identical certified result
+        "q_asof_join_cogroup": """
             WITH purchases AS (
                 SELECT user_id, ts,
                        max(event_id) AS purch_id,

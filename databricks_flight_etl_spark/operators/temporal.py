@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_time"]
+__all__ = ["asof_join", "asof_join_cogroup", "range_join_time"]
 
 
 def asof_join(
@@ -138,3 +138,81 @@ def range_join_time(
         <= F.lit(cell_us)
     )
     return joined.where(within).drop("__cell")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """``asof_join`` via ``cogroup().applyInPandas`` — the cogrouped-
+    Arrow API surface: both sides shuffle once on ``keys``, then each
+    key's (left, right) pair of pandas frames meets in one Python
+    worker and ``pd.merge_asof`` does the backward-inclusive match.
+
+    Same contract as ``asof_join`` (all left columns + right payload +
+    ``__matched_ts``); identical certified output. Trade-off vs the
+    union+window form: per-key pandas sort/merge beats the JVM window
+    when right payloads are wide (no ``last(ignorenulls)`` carry per
+    column), while the JVM form wins on narrow payloads and giant key
+    groups (a cogroup key must fit one worker's memory).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rpayload = [c for c in right.columns if c not in keys and c != right_ts]
+    lfields = list(left.schema.fields)
+    rfields = {f.name: f for f in right.schema.fields}
+    out_schema = T.StructType(
+        lfields
+        + [
+            T.StructField(c, rfields[c].dataType, True)
+            for c in rpayload
+        ]
+        + [T.StructField("__matched_ts", T.TimestampType(), True)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    # Rename THROUGH ALIASES on both sides before the cogroup: when left
+    # and right derive from the same parent frame, their columns carry
+    # identical attribute ids, and the analyzer's dedup collapses the
+    # right side's duplicates — the Python worker then receives a right
+    # frame MISSING those columns. Fresh aliases mint fresh ids.
+    lren = left.select(
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns]
+    )
+    rren = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in right.columns]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.rename(
+            columns=lambda c: c[4:] if c.startswith("__l_") else c
+        ).sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf.rename(
+            columns=lambda c: c[4:] if c.startswith("__r_") else c
+        )
+        r = rpdf[[right_ts] + rpayload].rename(
+            columns={right_ts: "__matched_ts"}
+        ).sort_values("__matched_ts", kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            r,
+            left_on=left_ts,
+            right_on="__matched_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[out_cols]
+
+    out = (
+        lren.groupBy(*[f"__l_{k}" for k in keys])
+        .cogroup(rren.groupBy(*[f"__r_{k}" for k in keys]))
+        .applyInPandas(merge, out_schema)
+    )
+    if how == "inner":
+        out = out.where(F.col("__matched_ts").isNotNull())
+    return out

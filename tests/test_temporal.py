@@ -116,3 +116,45 @@ def test_asof_matches_python_reference(spark):
         cands = [(t, rid) for t, rid in by_key.get(k, []) if t <= ts]
         expect[lid] = cands[-1][1] if cands else None
     assert got == expect
+
+
+def test_asof_join_cogroup_matches_window_form(spark):
+    """Cogrouped-pandas as-of equals the union+window form, including
+    the bug-trigger shape where BOTH sides derive from one parent frame
+    (shared attribute ids used to collapse the right frame's columns
+    inside the cogroup worker)."""
+    import datetime as dt
+
+    from databricks_flight_etl_spark.operators.temporal import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    t = dt.datetime
+    parent = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 9), "p", 7, 5.0),
+            (1, t(2024, 1, 1, 10), "c", 100, 1.0),
+            (1, t(2024, 1, 1, 12), "c", 101, 2.0),
+            (2, t(2024, 1, 1, 11), "c", 102, 3.0),
+        ],
+        "user_id long, ts timestamp, kind string, event_id long, value double",
+    )
+    from pyspark.sql import functions as F
+
+    left = parent.where("kind = 'c'").select("user_id", "ts", "event_id")
+    right = parent.where("kind = 'p'").select(
+        "user_id", "ts",
+        F.col("event_id").alias("p_id"), F.col("value").alias("p_val"),
+    )
+    a = {
+        (r["event_id"]): (r["p_id"], r["p_val"], r["__matched_ts"])
+        for r in asof_join(left, right, ["user_id"]).collect()
+    }
+    b = {
+        (r["event_id"]): (r["p_id"], r["p_val"], r["__matched_ts"])
+        for r in asof_join_cogroup(left, right, ["user_id"]).collect()
+    }
+    assert a == b
+    assert a[100] == (7, 5.0, t(2024, 1, 1, 9))
+    assert a[102] == (None, None, None)
