@@ -729,6 +729,19 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_certified(spark, sf_dir):
+    """X1 MinHash+LSH with the ENGINE-PORTABLE md5 hash family: every
+    stage — shingle base hash, affine permutations (64-bit signed
+    wrap), band buckets, candidate join, exact-Jaccard verify — is
+    reproduced bit-for-bit by the DuckDB oracle. The xxhash64 default
+    (q_minhash_pairs) stays rows-only for throughput; this
+    configuration certifies the ALGORITHM."""
+    return minhash_dedup_pairs(
+        _docs_near_dup_base(spark, sf_dir), "text", "doc_id",
+        threshold=0.8, shingle_k=7, hash_family="md5",
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """X1 SimHash near-dup pairs (pigeonhole chunk blocking, Hamming≤3)."""
     return simhash_near_dup_pairs(
@@ -2615,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_cms_sketch": q_cms_sketch,
         "q_asof_join_cogroup": q_asof_join_cogroup,
+        "q_minhash_certified": q_minhash_certified,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -2684,6 +2698,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_embed_dup_lsh": q_embed_dup_lsh,
     }
+
+
+def _minhash_perm_values() -> str:
+    """The (j, a, b) affine-permutation constants as SQL VALUES rows —
+    the SAME splitmix64 derivation the Spark operator uses, so the
+    oracle replays the identical permutation family."""
+    from databricks_flight_etl_spark.operators.dedup import _splitmix64
+
+    rows = []
+    for j in range(32):
+        a = _splitmix64(2 * j) | 1
+        b = _splitmix64(2 * j + 1)
+        rows.append(f"({j}, {a}, {b})")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3010,6 +3038,80 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
                             1) AS n_chunks
             FROM uniq ORDER BY doc_id
+        """,
+        # Full MinHash+LSH replay: md5 base hash (15 hex → 60-bit long),
+        # the same 32 splitmix64 affine permutations under 64-bit signed
+        # wrap (HUGEINT mod + sign fold), 4 banded md5 bucket hashes,
+        # candidate self-join, exact-Jaccard verify on 7-char shingles.
+        "q_minhash_certified": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM base
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN length(t) >= 7
+                           THEN list_transform(range(1, length(t) - 5),
+                                i -> substring(t, CAST(i AS INT), 7))
+                           ELSE [t] END)) AS s
+                FROM norm
+            ),
+            bh AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+                FROM sh
+            ),
+            perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
+            sig AS (
+                SELECT doc_id, j,
+                       min(CAST(CASE WHEN u >= 9223372036854775808
+                                THEN u - 18446744073709551616 ELSE u END
+                           AS BIGINT)) AS mh
+                FROM (
+                    SELECT doc_id, j,
+                           (CAST(a AS HUGEINT) * h + b)
+                               % 18446744073709551616 AS u
+                    FROM bh, perms
+                )
+                GROUP BY 1, 2
+            ),
+            band AS (
+                SELECT doc_id, j // 8 AS band,
+                       CAST('0x' || substring(md5(
+                           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)
+                           || '|' || CAST(j // 8 AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS bhsh
+                FROM sig GROUP BY doc_id, j // 8
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM band x JOIN band y
+                  ON x.band = y.band AND x.bhsh = y.bhsh
+                WHERE x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(shared * 1.0 / (sa.sz + sb.sz - shared), 6)
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
         """,
         # Identical CMS rebuild: same md5 hash family, same grid, min
         # over each probe term's 3 cells (0 when a cell is empty).

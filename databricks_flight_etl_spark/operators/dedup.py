@@ -164,9 +164,23 @@ def _signed64(v: int) -> int:
     return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
 
 
+def _base_hash(col: Column, hash_family: str) -> Column:
+    """Shingle base hash. ``xxhash64`` (default): fastest, JVM-native.
+    ``md5``: first 15 hex digits of md5 as a positive 60-bit long — an
+    ENGINE-PORTABLE derivation (md5 is everywhere), which makes the
+    whole MinHash pipeline reproducible by a SQL oracle bit-for-bit.
+    The affine permutation family on top is identical for both."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(col)
+    if hash_family == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, shingle_k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_perm`` columns ``mh_j``.
 
@@ -189,8 +203,9 @@ def minhash_signatures(
       function lambdas evaluate interpreted per element, while explode +
       hash-agg stays in whole-stage codegen.
     """
+    base = _base_hash(F.col("__sh"), hash_family)
     sh = _shingle_table(df, text_col, id_col, shingle_k).select(
-        "__id", F.xxhash64(F.col("__sh")).alias("__h")
+        "__id", base.alias("__h")
     )
     aggs = [
         F.min(
@@ -206,6 +221,7 @@ def minhash_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
     persist: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
@@ -223,11 +239,24 @@ def minhash_candidate_pairs(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, hash_family
+    )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.xxhash64(*cols, F.lit(b)).alias(f"bh_{b}"))
+        if hash_family == "md5":
+            # portable band hash: md5 of the '|'-joined row values +
+            # band index (longs render identically as strings in SQL
+            # engines, so an oracle reproduces the bucket)
+            bh = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", *cols, F.lit(b))), 1, 15
+                ), 16, 10,
+            ).cast("long")
+        else:
+            bh = F.xxhash64(*cols, F.lit(b))
+        band_cols.append(bh.alias(f"bh_{b}"))
     banded = sig.select(F.col(id_col), *band_cols)
     stack = "stack({n}, {args}) as (band, band_hash)".format(
         n=bands, args=", ".join(f"{b}, bh_{b}" for b in range(bands))
@@ -299,16 +328,22 @@ def minhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str,
     threshold: float = 0.8, num_perm: int = 32, bands: int = 4,
     shingle_k: int = 5, persist: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
     threshold. Output (id_a, id_b, jaccard), id_a < id_b.
 
     ``persist`` pins the multiply-referenced intermediates (banded
     signatures, candidate pairs, verify shingles) so each is computed
-    once instead of once per plan reference — see ``_pin``."""
+    once instead of once per plan reference — see ``_pin``.
+
+    ``hash_family='md5'`` makes every stage engine-portable (see
+    ``_base_hash``) at ~md5-vs-xxhash64 cost — the certification
+    configuration; keep the default for production throughput."""
     cands = _pin(
         minhash_candidate_pairs(
-            df, text_col, id_col, num_perm, bands, shingle_k, persist
+            df, text_col, id_col, num_perm, bands, shingle_k, persist,
+            hash_family,
         ),
         persist,
     )

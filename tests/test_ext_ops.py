@@ -789,3 +789,32 @@ def test_cms_sketch_properties(spark):
     assert merged == {"alpha": 50, "beta": 9}
     # grid is bounded: never more than depth*width cells
     assert sk.count() <= 4 * 512
+
+
+def test_minhash_hash_families_agree_on_verified_pairs(spark):
+    """Candidate generation differs per hash family, but the VERIFIED
+    pair set at a given threshold must contain the planted clones in
+    both; and verified pairs always carry true Jaccard >= threshold."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    base = [(i, f"the quick document number {i} talks about spark "
+                f"and data processing at scale item {i}")
+            for i in range(40)]
+    # near-identical clones (one char appended): J ~ 0.99, so every
+    # band agrees with near-certainty and the recall assert is stable
+    clones = [(100 + i, t + ".") for i, t in
+              [(i, base[i][1]) for i in range(0, 40, 10)]]
+    df = spark.createDataFrame(base + clones, "doc_id long, text string")
+    planted = {(i, 100 + i) for i in range(0, 40, 10)}
+    for fam in ("xxhash64", "md5"):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_dedup_pairs(
+                df, "text", "doc_id", threshold=0.8, shingle_k=7,
+                hash_family=fam,
+            ).collect()
+        }
+        assert planted <= set(got), (fam, planted - set(got))
+        assert all(j >= 0.8 for j in got.values())
