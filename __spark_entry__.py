@@ -742,6 +742,20 @@ def q_minhash_certified(spark, sf_dir):
     )
 
 
+def q_simhash_certified(spark, sf_dir):
+    """X1 SimHash with the md5 hash family: per-bit majorities, lane-
+    packed signature, pigeonhole chunk blocking, and Hamming verify all
+    replayed bit-for-bit by the DuckDB oracle (60 effective bits — the
+    md5-derived base hash is a positive 60-bit long)."""
+    out = simhash_near_dup_pairs(
+        _docs_near_dup_base(spark, sf_dir), "text", "doc_id",
+        max_hamming=6, shingle_k=7, hash_family="md5",
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """X1 SimHash near-dup pairs (pigeonhole chunk blocking, Hamming≤3)."""
     return simhash_near_dup_pairs(
@@ -2629,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": q_cms_sketch,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_minhash_certified": q_minhash_certified,
+        "q_simhash_certified": q_simhash_certified,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3038,6 +3053,69 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
                             1) AS n_chunks
             FROM uniq ORDER BY doc_id
+        """,
+        # Full SimHash replay: md5 base hash → per-bit majorities over
+        # each doc's distinct shingles → packed 60-bit signature → 7
+        # pigeonhole chunks (width 9) → candidate equi-join → Hamming
+        # ≤ 6 via bit_count(xor).
+        "q_simhash_certified": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM base
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN length(t) >= 7
+                           THEN list_transform(range(1, length(t) - 5),
+                                i -> substring(t, CAST(i AS INT), 7))
+                           ELSE [t] END)) AS s
+                FROM norm
+            ),
+            bh AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+                FROM sh
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM bh GROUP BY 1),
+            bits AS (
+                SELECT doc_id, r.bit,
+                       CAST(sum((h >> CAST(r.bit AS INT)) & 1) AS BIGINT)
+                           AS ones
+                FROM bh, (SELECT unnest(range(0, 60)) AS bit) r
+                GROUP BY 1, 2
+            ),
+            sig AS (
+                SELECT b.doc_id,
+                       CAST(sum(CASE WHEN 2 * b.ones >= c.n
+                                THEN (CAST(1 AS BIGINT) << CAST(b.bit AS INT))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits b JOIN counts c ON b.doc_id = c.doc_id
+                GROUP BY 1
+            ),
+            chunked AS (
+                SELECT doc_id, simhash, i.ci,
+                       (simhash >> CAST(i.ci * 9 AS INT)) & 511 AS cv
+                FROM sig, (SELECT unnest(range(0, 7)) AS ci) i
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                       x.simhash AS sa, y.simhash AS sb
+                FROM chunked x JOIN chunked y
+                  ON x.ci = y.ci AND x.cv = y.cv
+                WHERE x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sa, sb)) <= 6
         """,
         # Full MinHash+LSH replay: md5 base hash (15 hex → 60-bit long),
         # the same 32 splitmix64 affine permutations under 64-bit signed

@@ -356,7 +356,7 @@ def minhash_dedup_pairs(
 # SimHash
 
 def simhash64(df: DataFrame, text_col: str, id_col: str,
-              shingle_k: int = 5) -> DataFrame:
+              shingle_k: int = 5, hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc: bit i is the sign of Σ±1 over shingle
     hashes' bit i. One explode + one groupBy; the signature packs back
     into one long.
@@ -374,7 +374,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
     shingles per doc (5-gram shingles ⇒ docs < ~64 KB; chunk first
     above that)."""
     sh = _shingle_table(df, text_col, id_col, shingle_k)
-    h = F.xxhash64(F.col("__sh"))
+    h = _base_hash(F.col("__sh"), hash_family)
     sums = []
     for j in range(16):
         lanes = reduce(
@@ -410,6 +410,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str,
     max_hamming: int = 3, shingle_k: int = 5, persist: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -419,7 +420,7 @@ def simhash_near_dup_pairs(
     all of them; verify with bit_count(xor)."""
     nchunks = max_hamming + 1
     width = 64 // nchunks
-    sig = simhash64(df, text_col, id_col, shingle_k)
+    sig = simhash64(df, text_col, id_col, shingle_k, hash_family)
     chunks = [
         F.shiftright(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1))
