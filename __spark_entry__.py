@@ -1930,6 +1930,19 @@ def q_pack_shards(spark, sf_dir):
     return pack_by_token_budget(with_tokens, "doc_id", "n_tokens", budget=500)
 
 
+def q_ann_lsh_exhaustive(spark, sf_dir):
+    """X2 hyperplane-LSH with ZERO planes: every vector lands in one
+    bucket, so the index path must reproduce the brute-force top-k —
+    certifying the LSH machinery (bucketing, probe-bucket restrict,
+    exact re-rank) against the q_cosine_topk oracle."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        ann_topk_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, probe_id=0, k=10, dim=64, n_planes=0)
+
+
 def q_sql_surface(spark, sf_dir):
     """G4 (Entry 2): temp view + spark.sql — the reference's SQL entry
     path, running the Q7 HHMM decode as an inline SQL string (the exact
@@ -2644,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
+        "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3427,6 +3441,24 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
         """,
         "q_cosine_topk": """
+            WITH p AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS pv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            s AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), pv) AS dot,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS na,
+                       sqrt(list_dot_product(pv, pv)) AS nb
+                FROM embeddings, p
+            )
+            SELECT vec_id, round(dot / (na * nb), 6) AS cosine
+            FROM s ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT 10
+        """,
+        # LSH with zero planes degenerates to exact search (one bucket):
+        # the index path must reproduce the brute-force top-k verbatim.
+        "q_ann_lsh_exhaustive": """
             WITH p AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS pv
                 FROM embeddings WHERE vec_id = 0
