@@ -742,6 +742,16 @@ def q_minhash_certified(spark, sf_dir):
     )
 
 
+def q_winnow_certified(spark, sf_dir):
+    """X4 winnowing fingerprints (MOSS) with the md5 hash family: the
+    ordered k-gram hash sequence, sliding-window minima, and distinct
+    selection are replayed exactly by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        docs, "text", "doc_id", k=8, window=4, hash_family="md5"
+    )
+
+
 def q_simhash_certified(spark, sf_dir):
     """X1 SimHash with the md5 hash family: per-bit majorities, lane-
     packed signature, pigeonhole chunk blocking, and Hamming verify all
@@ -2658,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
+        "q_winnow_certified": q_winnow_certified,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3067,6 +3078,36 @@ def oracle_sql() -> dict[str, str]:
                    greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
                             1) AS n_chunks
             FROM uniq ORDER BY doc_id
+        """,
+        # Winnowing replay: ordered 8-gram md5 hashes over normalized
+        # text, min of each 4-wide sliding window, distinct (id, fp).
+        "q_winnow_certified": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) >= 8
+                           THEN list_transform(range(1, length(t) - 6),
+                                i -> CAST('0x' || substring(
+                                    md5(substring(t, CAST(i AS INT), 8)),
+                                    1, 15) AS BIGINT))
+                           ELSE [CAST('0x' || substring(md5(t), 1, 15)
+                                 AS BIGINT)] END AS hs
+                FROM norm
+            ),
+            w AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(hs) - 3, 1) + 1),
+                           i -> list_min(list_slice(hs, CAST(i AS INT),
+                                                    CAST(i + 3 AS INT)))
+                       )) AS fp
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp FROM w
         """,
         # Full SimHash replay: md5 base hash → per-bit majorities over
         # each doc's distinct shingles → packed 60-bit signature → 7

@@ -568,7 +568,7 @@ def split_sentences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str,
-    k: int = 8, window: int = 4,
+    k: int = 8, window: int = 4, hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing fingerprints (the MOSS scheme): hash every k-gram,
     keep the minimum hash of each sliding window of ``window`` k-grams,
@@ -592,14 +592,19 @@ def winnow_fingerprints(
         df.select(F.col(id_col), F.col(text_col).alias("__raw")), id_col
     ).select(F.col(id_col), normalize_text("__raw").alias("__t"))
     t = F.col("__t")
+    from ..operators.dedup import _base_hash  # portable-hash option
+
+    def _g(col):
+        return _base_hash(col, hash_family)
+
     # ordered (non-distinct!) k-gram hash sequence; short texts hash whole
     grams = F.when(
         F.length(t) >= k,
         F.transform(
             F.sequence(F.lit(1), F.length(t) - (k - 1)),
-            lambda i: F.xxhash64(F.substring(t, i, k)),
+            lambda i: _g(F.substring(t, i, k)),
         ),
-    ).otherwise(F.array(F.xxhash64(t)))
+    ).otherwise(F.array(_g(t)))
     hashed = norm.select(F.col(id_col), grams.alias("__hs"))
     n = F.size(F.col("__hs"))
     win_mins = F.transform(
