@@ -930,6 +930,33 @@ def q_corpus_release(spark, sf_dir):
     return rel.released
 
 
+def q_textprep_full_certified(spark, sf_dir):
+    """X7 capstone: the COMPLETE text-prep funnel with the near-dup
+    stage ON — quality filter → language filter → exact dedup →
+    MinHash-LSH near-dup (md5 hash family) → connected-component
+    survivor selection → chunk counts — certified end-to-end by ONE
+    DuckDB oracle that replays every stage including the LSH banding
+    and the recursive-CTE closure. Runs over the clone-planted corpus
+    so the near-dup stage actually drops rows."""
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    rep = run_textprep_pipeline(
+        _docs_near_dup_base(spark, sf_dir),
+        min_tokens=10,
+        chunk_tokens=64,
+        overlap=16,
+        near_dup=True,
+        near_dup_threshold=0.8,
+        shingle_k=7,
+        hash_family="md5",
+    )
+    return (
+        rep.chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling by content hash — the corpus-
     mixing knob of a training-data pipeline (keep all of one source,
@@ -2669,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_certified": q_simhash_certified,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_winnow_certified": q_winnow_certified,
+        "q_textprep_full_certified": q_textprep_full_certified,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -3390,6 +3418,145 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clean, n_tokens, cum_tokens,
                    (cum_tokens - n_tokens) // 512 AS shard
             FROM packed
+        """,
+        # Capstone: the complete funnel in one SQL — quality+lang
+        # filters, exact dedup, md5-family MinHash LSH (perms, bands,
+        # Jaccard verify), recursive-CTE component closure, survivor
+        # anti-join, chunk-count arithmetic.
+        "q_textprep_full_certified": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS tk
+                FROM base
+            ),
+            m AS (
+                SELECT doc_id, text, len(tk) AS n_tokens,
+                       round(CASE WHEN len(tk) > 0 THEN
+                           len(list_filter(tk, x -> list_contains(
+                               ['the','a','of','and','to','in','is','on',
+                                'for','with'], x))) * 1.0 / len(tk)
+                       END, 6) AS stop_ratio,
+                       len(list_filter(tk, x -> list_contains(
+                           ['the','a','of','and','to','in','is','on','for',
+                            'with'], x))) AS s_en,
+                       len(list_filter(tk, x -> list_contains(
+                           ['el','la','de','y','en','es','los','por','con',
+                            'del'], x))) AS s_es,
+                       len(list_filter(tk, x -> list_contains(
+                           ['der','die','das','und','ist','von','mit','den',
+                            'im','ein'], x))) AS s_de,
+                       len(list_filter(tk, x -> list_contains(
+                           ['le','la','de','et','est','les','un','une',
+                            'dans','pour'], x))) AS s_fr
+                FROM toks
+            ),
+            kept AS (
+                SELECT doc_id, text, n_tokens FROM m
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND stop_ratio <= 0.9
+                  AND (CASE
+                       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                           THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de'
+                       ELSE 'fr' END) = 'en'
+            ),
+            uniq AS (
+                SELECT doc_id, text, n_tokens FROM kept
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM kept
+                    GROUP BY md5(lower(trim(text)))
+                )
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM uniq
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN length(t) >= 7
+                           THEN list_transform(range(1, length(t) - 5),
+                                i -> substring(t, CAST(i AS INT), 7))
+                           ELSE [t] END)) AS s
+                FROM norm
+            ),
+            bhh AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+                FROM sh
+            ),
+            perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
+            sig AS (
+                SELECT doc_id, j,
+                       min(CAST(CASE WHEN u >= 9223372036854775808
+                                THEN u - 18446744073709551616 ELSE u END
+                           AS BIGINT)) AS mh
+                FROM (
+                    SELECT doc_id, j,
+                           (CAST(a AS HUGEINT) * h + b)
+                               % 18446744073709551616 AS u
+                    FROM bhh, perms
+                )
+                GROUP BY 1, 2
+            ),
+            band AS (
+                SELECT doc_id, j // 8 AS band,
+                       CAST('0x' || substring(md5(
+                           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)
+                           || '|' || CAST(j // 8 AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS bhsh
+                FROM sig GROUP BY doc_id, j // 8
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM band x JOIN band y
+                  ON x.band = y.band AND x.bhsh = y.bhsh
+                WHERE x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT i.id_a, i.id_b
+                FROM (
+                    SELECT c.id_a, c.id_b, count(*) AS shared
+                    FROM cand c
+                    JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+                    GROUP BY 1, 2
+                ) i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.shared * 1.0 / (sa.sz + sb.sz - i.shared) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            losers AS (SELECT node FROM comp WHERE node <> component),
+            survivors AS (
+                SELECT doc_id, n_tokens FROM uniq
+                WHERE doc_id NOT IN (SELECT node FROM losers)
+            )
+            SELECT doc_id,
+                   greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT),
+                            1) AS n_chunks
+            FROM survivors ORDER BY doc_id
         """,
         # thresholds are hex(round(f * 16^12)): 1.0 → 'g' (above every
         # hex string), 0.1 → 19999999999a, 0.5 → 800000000000

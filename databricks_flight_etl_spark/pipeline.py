@@ -125,6 +125,7 @@ def run_textprep_pipeline(
     overlap: int = 16,
     near_dup: bool = True,
     persist: bool = True,
+    hash_family: str = "xxhash64",
 ) -> TextPrepReport:
     """LLM training-data preprocessing over a documents table: quality
     filter → language filter → exact dedup → near-dup dedup (MinHash
@@ -158,6 +159,7 @@ def run_textprep_pipeline(
         pairs = dedup.minhash_dedup_pairs(
             exact_unique, text_col, id_col,
             threshold=near_dup_threshold, shingle_k=shingle_k, persist=persist,
+            hash_family=hash_family,
         )
         survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
     else:
