@@ -2252,6 +2252,71 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.table("harness_stream_dedup")
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Structured Streaming session_window, certified against the batch
+    sessionize oracle: events stream in, then a far-future sentinel
+    event advances the watermark past every real session so append mode
+    flushes them all. Output: one row per CLOSED session
+    (user_id, session_start_us, n_events); the sentinel's own session
+    stays open and never emits."""
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import normalize_timestamp
+    from databricks_flight_etl_spark.streaming import streaming_sessionize
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="flight_etl_stream_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    )
+    out = streaming_sessionize(
+        normalize_timestamp(stream, ["ts"]), "user_id", "ts",
+        gap_minutes=30, watermark="1 hour",
+    ).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("harness_stream_sess")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # sentinel batch: one far-future event pushes the watermark
+            # past every real session's end + gap
+            max_ts = (
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+                .agg(F.max("ts").alias("m")).first()["m"]
+            )
+            sentinel = spark.createDataFrame(
+                [(int(-1),)], "event_id long"
+            ).select(
+                F.col("event_id"),
+                (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS"))
+                .cast("timestamp_ntz").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            sentinel.write.mode("append").parquet(stage)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table("harness_stream_sess")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Iterative algorithm, oracle-certified: connected components
     (min-label propagation, driver loop + localCheckpoint) over the
@@ -2684,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_signals": q_quality_signals,
         "q_contamination": q_contamination,
         "q_streaming_dedup": q_streaming_dedup,
+        "q_streaming_sessionize": q_streaming_sessionize,
         "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "q_dedup_survivors": q_dedup_survivors,
         "q_pack_shards": q_pack_shards,
@@ -4716,6 +4782,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.probe_id, h.n_overlap, sz.probe_ngrams,
                    round(h.n_overlap / sz.probe_ngrams, 6) AS overlap_ratio
             FROM hits h JOIN sz USING (probe_id)
+        """,
+        # Batch replay of gap-based sessionization: 30-min-gap break
+        # flags → running-sum session ids → one row per session with
+        # its min-ts start and event count. The streaming side emits
+        # exactly the closed sessions, which (after the sentinel
+        # advances the watermark) is all of them.
+        "q_streaming_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       1 + sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            )
+            SELECT user_id,
+                   epoch_us(min(ts)) AS session_start_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         # The stream replays every event twice; the dedup sink must hold
         # each exactly once — the batch DISTINCT of a doubled input is
