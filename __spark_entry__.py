@@ -912,6 +912,37 @@ def q_cms_sketch(spark, sf_dir):
     )
 
 
+def q_cms_merge(spark, sf_dir):
+    """Count-Min MERGEABILITY certified: sketches of the even-id and
+    odd-id document halves, merged cell-wise, must estimate exactly
+    like one sketch of the whole corpus — the oracle builds the whole-
+    corpus grid directly."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def words(side):
+        return side.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("w")
+        )
+
+    even = cms_build(words(docs.where(F.col("doc_id") % 2 == 0)),
+                     "w", width=1024, depth=3)
+    odd = cms_build(words(docs.where(F.col("doc_id") % 2 == 1)),
+                    "w", width=1024, depth=3)
+    return cms_estimate(
+        cms_merge(even, odd),
+        ["merge", "batch", "window", "absentterm"],
+        width=1024, depth=3,
+    )
+
+
 def q_corpus_release(spark, sf_dir):
     """X7 full corpus-release composition, oracle-certified end-to-end:
     quality filter → language filter → exact dedup → PII redaction →
@@ -2757,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_release": q_corpus_release,
         "q_span_dedup": q_span_dedup,
         "q_cms_sketch": q_cms_sketch,
+        "q_cms_merge": q_cms_merge,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
@@ -3339,6 +3371,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+        """,
+        # Mergeability: merge(sketch(evens), sketch(odds)) must equal
+        # one whole-corpus grid — which is exactly what this builds.
+        "q_cms_merge": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            cells AS (
+                SELECT r.row,
+                       CAST(CAST('0x' || substring(md5(r.row || ':' || w), 1, 15)
+                                 AS BIGINT) % 1024 AS INT) AS col
+                FROM words, (SELECT unnest([0, 1, 2]) AS row) r
+            ),
+            grid AS (
+                SELECT row, col, count(*) AS n FROM cells GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT t.term, r.row,
+                       CAST(CAST('0x' || substring(md5(r.row || ':' || t.term), 1, 15)
+                                 AS BIGINT) % 1024 AS INT) AS col
+                FROM (SELECT unnest(['merge', 'batch', 'window',
+                                     'absentterm']) AS term) t,
+                     (SELECT unnest([0, 1, 2]) AS row) r
+            )
+            SELECT p.term, CAST(min(coalesce(g.n, 0)) AS BIGINT) AS est
+            FROM probes p
+            LEFT JOIN grid g ON p.row = g.row AND p.col = g.col
+            GROUP BY p.term
         """,
         # Identical CMS rebuild: same md5 hash family, same grid, min
         # over each probe term's 3 cells (0 when a cell is empty).
