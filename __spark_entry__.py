@@ -3433,9 +3433,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.term
         """,
         # Span dedup: first corpus-wide occurrence of each 10-word span
-        # survives (first = min doc_id*1e6+idx), docs rebuilt in span
-        # order. The oracle joins on span TEXT where Spark joins on its
-        # md5 digest — same result, digest-sized shuffle.
+        # survives (first = lexicographic min (doc_id, idx) — matching
+        # the engine's struct-min key, overflow-free for 64-bit ids),
+        # docs rebuilt in span order. The oracle joins on span TEXT
+        # where Spark joins on its md5 digest — same result,
+        # digest-sized shuffle.
         "q_span_dedup": """
             WITH toks AS (
                 SELECT doc_id,
@@ -3451,14 +3453,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, idx,
                        array_to_string(list_slice(tk,
                            CAST(idx * 10 + 1 AS INT),
-                           CAST(idx * 10 + 10 AS INT)), ' ') AS span,
-                       doc_id * 1000000 + idx AS k
+                           CAST(idx * 10 + 10 AS INT)), ' ') AS span
                 FROM sp
             ),
-            firsts AS (SELECT span, min(k) AS mk FROM occ GROUP BY span),
             kept AS (
-                SELECT o.doc_id, o.idx, o.span
-                FROM occ o JOIN firsts f ON o.span = f.span AND o.k = f.mk
+                SELECT doc_id, idx, span FROM (
+                    SELECT doc_id, idx, span,
+                           row_number() OVER (PARTITION BY span
+                                              ORDER BY doc_id, idx) AS rn
+                    FROM occ
+                ) WHERE rn = 1
             ),
             totals AS (SELECT doc_id, count(*) AS n_spans FROM occ GROUP BY 1),
             reb AS (

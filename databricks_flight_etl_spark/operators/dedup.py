@@ -516,10 +516,11 @@ def dedup_survivors(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Survivor selection — see ``operators.graph.dedup_survivors``
     (canonical home; re-exported here because pair mining lives in this
     module and callers compose mine → survive in one import)."""
     from .graph import dedup_survivors as _impl  # local import: no cycle
 
-    return _impl(df, pairs, id_col, src, dst)
+    return _impl(df, pairs, id_col, src, dst, broadcast_max_rows)

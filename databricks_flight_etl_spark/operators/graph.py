@@ -86,18 +86,27 @@ def connected_components(
 def dedup_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str,
     src: str = "id_a", dst: str = "id_b",
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Keep one row per near-dup cluster (the min-id member) plus every
     row not in any pair: the end-to-end dedup decision from a pair list.
     Anti-join on the non-representative members — full rows never
-    shuffle by content."""
+    shuffle by content.
+
+    The broadcast hint on the drop-list is GATED on its measured size:
+    the list is O(duplicated docs) — billions of rows on a high-dup
+    corpus — so an unconditional hint would bypass Spark's size
+    threshold and OOM the executors. The count is cheap (the component
+    labels are already localCheckpoint-materialized); above the gate,
+    AQE still picks broadcast at runtime if stats allow.
+    """
     cc = connected_components(pairs, src, dst)
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    # explicit hint: drop-list is derived (no stats) and proportional to
-    # the duplicated fraction only; the corpus side must not shuffle
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if broadcast_max_rows and drop.count() <= broadcast_max_rows:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
 
 
 def connected_components_star(
@@ -173,9 +182,12 @@ def connected_components_star(
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
+        # bit_xor is overflow-free: sum(xxhash64) relies on non-ANSI
+        # long wraparound and throws ARITHMETIC_OVERFLOW under Spark 4's
+        # default ANSI mode outside our session config
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("a", "b")).alias("h"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         ).first()
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:

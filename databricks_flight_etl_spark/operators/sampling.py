@@ -117,7 +117,26 @@ def pack_by_token_budget(
         ).limit(0)
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = hi - lo + 1
-    bucket = ((F.col(id_col) - lo) * n_buckets / span).cast("int")
+    # bucket by THRESHOLD COMPARISON, never arithmetic on the column:
+    # (id - lo) * n_buckets overflows long for id spans > 2^63/n_buckets
+    # (xxhash64-derived doc ids span the full signed range), and even
+    # id - lo alone overflows when lo is deeply negative. Boundaries are
+    # computed driver-side in Python (arbitrary precision); the column
+    # only ever faces `id >= lit(boundary)` — overflow-free, and
+    # monotonic in id so the global prefix-sum order is preserved.
+    width = -(-span // n_buckets)  # ceil(span / n_buckets)
+    bucket = None
+    for b in range(n_buckets - 1, 0, -1):
+        boundary = lo + b * width
+        if boundary > hi:
+            continue  # empty tail bucket (also keeps lit() within long)
+        cond = F.col(id_col) >= F.lit(boundary)
+        bucket = (
+            F.when(cond, F.lit(b)) if bucket is None else bucket.when(cond, F.lit(b))
+        )
+    bucket = (
+        bucket.otherwise(F.lit(0)) if bucket is not None else F.lit(0)
+    ).cast("int")
     t = df.select(
         F.col(id_col),
         F.col(n_tokens_col).cast("long").alias("n_tokens"),

@@ -286,14 +286,20 @@ def contamination_overlap(
     def _shingles(col: str):
         toks_ = tokens(col)
         k = F.size(toks_) - n + 1
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-                lambda i: F.xxhash64(
-                    F.array_join(F.slice(toks_, i, n), " ")
-                ),
-            )
-        )
+        # guard k >= 1: sequence(1, 0) auto-steps DOWN to [1, 0] and
+        # slice(toks, 0, n) throws — a doc/probe shorter than n tokens
+        # must yield ZERO n-grams (matches the oracle's range(1, 1))
+        return F.when(
+            k >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(toks_, i, n), " ")
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     d = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(_shingles(text_col)).alias("__g")
@@ -359,19 +365,21 @@ def dedup_repeated_spans(
         "__id",
     ).select(
         "__id", F.posexplode(span_arr).alias("__idx", "__span")
-    ).withColumn("__h", F.md5("__span")).withColumn(
-        "__k", F.col("__id") * 1_000_000 + F.col("__idx")
-    )
-    # rename the grouped key before the self-join: joining spans back to
-    # an aggregate OF ITSELF on the same column name makes Spark resolve
-    # the equality to one side (trivially true) — rename removes the
-    # ambiguity entirely
-    firsts = spans.groupBy("__h").agg(F.min("__k").alias("__mk")).select(
-        F.col("__h").alias("__fh"), "__mk"
-    )
+    ).withColumn("__h", F.md5("__span"))
+    # first occurrence = lexicographic min over (doc, position) as a
+    # STRUCT (struct min orders field-by-field) — an arithmetic
+    # composite like id*1e6+idx overflows/collides for 64-bit doc ids
+    # or docs with >= 1e6 spans. Rename the grouped key before the
+    # self-join: joining spans back to an aggregate OF ITSELF on the
+    # same column name makes Spark resolve the equality to one side
+    # (trivially true) — rename removes the ambiguity entirely
+    firsts = spans.groupBy("__h").agg(
+        F.min(F.struct("__id", "__idx")).alias("__mk")
+    ).select(F.col("__h").alias("__fh"), "__mk")
     kept = spans.join(
         firsts,
-        (F.col("__h") == F.col("__fh")) & (F.col("__k") == F.col("__mk")),
+        (F.col("__h") == F.col("__fh"))
+        & (F.struct("__id", "__idx") == F.col("__mk")),
     ).select("__id", "__idx", "__span")
     totals = spans.groupBy("__id").agg(F.count(F.lit(1)).alias("n_spans"))
     rebuilt = kept.groupBy("__id").agg(

@@ -818,3 +818,110 @@ def test_minhash_hash_families_agree_on_verified_pairs(spark):
         }
         assert planted <= set(got), (fam, planted - set(got))
         assert all(j >= 0.8 for j in got.values())
+
+
+def test_contamination_overlap_short_docs_and_probes(spark):
+    """Docs/probes shorter than n must yield ZERO n-grams, not crash:
+    sequence(1, 0) auto-steps down to [1, 0] and slice(toks, 0, n)
+    throws INVALID_PARAMETER_VALUE.START without the k >= 1 guard."""
+    from databricks_flight_etl_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f g h"), (3, ""), (4, "b c d e")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "b c d e f g"), (101, "x y")],
+        "probe_id long, probe_text string",
+    )
+    out = contamination_overlap(
+        docs, probes, "text", "doc_id", n=5, min_overlap=1
+    ).collect()
+    # only the one long doc can overlap; the short probe contributes
+    # nothing (matches the oracle's range(1, 1) = empty semantics)
+    assert {(r["doc_id"], r["probe_id"]) for r in out} == {(2, 100)}
+
+
+def test_dedup_repeated_spans_64bit_ids(spark):
+    """Survivor = lexicographic min (doc, position): the old arithmetic
+    key id*1e6+idx overflowed for ids above ~9.2e12."""
+    from databricks_flight_etl_spark.operators.text import (
+        dedup_repeated_spans,
+    )
+
+    big = 2 ** 62
+    df = spark.createDataFrame(
+        [(big + 5, "a b c d e f"), (big + 1, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_repeated_spans(df, "text", "doc_id",
+                                span_words=3).collect()}
+    # smallest (doc, position) owns the shared 'a b c' span
+    assert out[big + 1]["clean"] == "a b c x y z"
+    assert out[big + 5]["clean"] == "d e f"
+    assert out[big + 5]["n_kept"] == 1
+
+
+def test_pack_by_token_budget_full_range_ids(spark):
+    """xxhash64-style ids spanning almost the full signed-64 range:
+    the old proportional bucket math ((id-lo)*n_buckets) wrapped
+    silently and scrambled shard assignment."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        pack_by_token_budget,
+    )
+
+    ids = [-(2 ** 62) - 3, -17, 0, 2 ** 61, 2 ** 62 + 9]
+    df = spark.createDataFrame(
+        [(i, 10) for i in ids], "doc_id long, n_tokens int"
+    )
+    out = sorted(
+        pack_by_token_budget(df, "doc_id", "n_tokens", budget=20,
+                             n_buckets=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["cum_tokens"] for r in out] == [10, 20, 30, 40, 50]
+    assert [r["shard"] for r in out] == [0, 0, 1, 1, 2]
+
+
+def test_connected_components_star_ansi_mode(spark):
+    """The convergence signature must not rely on non-ANSI long
+    wraparound (sum(xxhash64) throws ARITHMETIC_OVERFLOW under ANSI)."""
+    from databricks_flight_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+        )
+        out = {
+            (r["node"], r["component"])
+            for r in connected_components_star(e).collect()
+        }
+        assert out == {(i, 0) for i in range(21)}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_dedup_survivors_broadcast_gated(spark):
+    """Result must be identical with the broadcast hint disabled (gate
+    at 0 rows) — the hint is a plan choice, never a semantics choice."""
+    from databricks_flight_etl_spark.operators.graph import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors(docs, pairs, "doc_id",
+                                 broadcast_max_rows=0).collect()
+    )
+    assert kept == [0, 1, 3, 4, 6]
