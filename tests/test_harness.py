@@ -28,3 +28,21 @@ def test_query_runs(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.columns  # stable, non-empty schema
     df.limit(5).collect()
+
+
+def test_driver_window_queries_scalar_only(spark):
+    """The driver's pandas canonicalizer crashes on array/struct/map
+    cells — every query inside its 50-entry evaluation window (first 50
+    insertion-order keys) must emit only scalar columns. Schema-only:
+    building the DataFrame analyzes the plan without running it."""
+    from pyspark.sql import types as T
+
+    qs = entrymod.queries()
+    for name in list(qs)[:50]:
+        df = qs[name](spark, SF_DIR)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+        ]
+        assert not bad, (name, bad)
