@@ -2408,7 +2408,9 @@ def q_decode_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    feats = multimodal.decode_features(docs, "payload", "doc_id", n_features=8)
+    feats = multimodal.decode_features(
+        docs, "payload", "doc_id", n_features=8, kernel="bytes"
+    )
     return feats.select(
         "id", F.posexplode("features").alias("feature_idx", "value")
     )

@@ -1,14 +1,24 @@
 """Per-round benchmark: runs every harness query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+compact JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {...}, "sf": <sf>}
+     "queries": {<headline parity queries only>}, "sf": <sf>,
+     "n_queries": N, "n_errors": N}
+
+The consumer of this line keeps only the LAST 2000 characters of
+stdout, so the final line must stay comfortably under that — a full
+136-query timing dict (~4 KB) overflowed it two rounds running and the
+headline number was lost. Per-query detail therefore goes to
+BENCH_DETAIL.json next to this file; the stdout line carries only the
+suite total plus the reference-parity core timings (bounded set,
+~600 bytes), with a hard guard that drops the dict entirely rather
+than ever exceeding the budget.
 
 Comparison target: BASELINE.md (the reference's recorded per-cell
 wall-clock; its 2008 pipeline ≈146–231 s at 2.39 M rows with ~10+
 redundant CSV re-scans). Our per-query timings are end-to-end: plan
-construction + execution + collect of the (small) result.
+construction + execution + count of the result.
 """
 
 from __future__ import annotations
@@ -20,6 +30,18 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The reference-parity core (BASELINE.md stage mapping) — the bounded
+# set of per-query timings worth carrying on the size-limited stdout
+# line. Everything else lives in BENCH_DETAIL.json.
+HEADLINE = (
+    "q_nonnull_counts q_null_profile q_drop_allnull_cols q_summary_stats "
+    "q_histogram q_groupby_count q_dup_full q_dropduplicates "
+    "q_compound_key_dups q_derive_timestamp q_validity_checks "
+    "q_events_per_day q_missing_days q_parquet_roundtrip".split()
+)
+
+MAX_LINE_BYTES = 1900  # consumer tail limit is 2000; leave headroom
 
 
 def main() -> None:
@@ -36,6 +58,10 @@ def main() -> None:
     # measure steady-state execution, not one-time session startup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # warm the Arrow/Python worker pool: the first mapInPandas query
+    # otherwise pays worker spawn (~seconds) and reads ~3x too slow
+    warm = spark.range(256).repartition(int(spark.sparkContext.defaultParallelism))
+    warm.mapInPandas(lambda it: it, warm.schema).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -64,16 +90,35 @@ def main() -> None:
             except Exception:
                 pass
 
+    detail = {
+        "metric": "harness_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "errors": errors,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
+
     out = {
         "metric": "harness_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line.encode()) > MAX_LINE_BYTES:  # never overflow the tail
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

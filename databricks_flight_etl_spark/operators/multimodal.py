@@ -107,21 +107,70 @@ def _byte_stat_features(payload: bytes, n_features: int) -> list[float]:
 # Backwards-compatible alias (pre-round-2 the kernel was a hash stub).
 _decode_stub = _byte_stat_features
 
+# Real-codec optionality: when PIL is installed (not in this
+# container), decode_features(kernel="auto") decodes actual images;
+# the byte-stat kernel remains the certified fallback and the
+# oracle-paired configuration.
+try:  # pragma: no cover - exercised only where PIL exists
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def _pil_image_features(payload: bytes, n_features: int) -> list[float]:
+    """Mean grayscale intensity per horizontal image band, normalized
+    to [0, 1] — a real decoded-pixel feature. Non-decodable payloads
+    (not an image / truncated) fall back to byte statistics so mixed
+    corpora never crash the batch."""
+    import io
+
+    if payload is None or len(payload) == 0:
+        return [0.0] * n_features
+    try:
+        img = _PILImage.open(io.BytesIO(bytes(payload)))
+        arr = np.asarray(img.convert("L"), dtype=np.float64)
+    except Exception:
+        return _byte_stat_features(payload, n_features)
+    h = arr.shape[0]
+    bands = (np.arange(h) * n_features) // max(h, 1)
+    out = []
+    for k in range(n_features):
+        rows = arr[bands == k]
+        out.append(float(rows.mean() / 255.0) if rows.size else 0.0)
+    return out
+
 
 def decode_features(
     df: DataFrame,
     payload_col: str,
     id_col: str,
     n_features: int = 8,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Arrow-batched feature extraction: (id, features array<double>).
 
-    Real plumbing, codec-free byte-statistics kernel (see module
-    docstring). mapInPandas
+    Real plumbing; kernel selection:
+      - ``"bytes"`` — codec-free byte statistics (module docstring);
+        deterministic, oracle-certified, always available.
+      - ``"pil"``  — decoded-pixel band means via PIL; raises if PIL
+        is not installed.
+      - ``"auto"`` — PIL when installed, else byte statistics.
+
+    mapInPandas
     iterates columnar batches — the payload bytes stream through Arrow
     without per-row pickling; partition counts carry over from the
     input, so repartition upstream to size Python workers' batches.
     """
+    if kernel == "pil" and not HAS_PIL:
+        raise ImportError(
+            "decode_features(kernel='pil') requires PIL, which is not "
+            "installed; use kernel='bytes' (certified byte-statistics)"
+        )
+    use_pil = kernel == "pil" or (kernel == "auto" and HAS_PIL)
+    feat_fn = _pil_image_features if use_pil else _byte_stat_features
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -138,19 +187,18 @@ def decode_features(
         )
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "features": [
-                        _byte_stat_features(p, n_features)
-                        for p in pdf["payload"]
+                        feat_fn(p, n_features) for p in pdf["payload"]
                     ],
                 }
             )
 
-    return src.mapInPandas(kernel, out_schema)
+    return src.mapInPandas(_extract, out_schema)
 
 
 def resize_media(

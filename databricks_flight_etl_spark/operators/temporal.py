@@ -147,6 +147,7 @@ def asof_join_cogroup(
     left_ts: str = "ts",
     right_ts: str = "ts",
     how: str = "left",
+    max_group_rows: int = 5_000_000,
 ) -> DataFrame:
     """``asof_join`` via ``cogroup().applyInPandas`` — the cogrouped-
     Arrow API surface: both sides shuffle once on ``keys``, then each
@@ -158,7 +159,16 @@ def asof_join_cogroup(
     union+window form: per-key pandas sort/merge beats the JVM window
     when right payloads are wide (no ``last(ignorenulls)`` carry per
     column), while the JVM form wins on narrow payloads and giant key
-    groups (a cogroup key must fit one worker's memory).
+    groups.
+
+    SKEW GUARD: a cogroup key's BOTH frames must fit one Python
+    worker's memory — on a skewed corpus a hot key silently OOMs the
+    worker mid-shuffle. The kernel therefore fails fast (before pandas
+    allocates merge state) when a group exceeds ``max_group_rows``
+    combined rows, naming the offending key; remediation is the JVM
+    ``asof_join`` (whole-stage window, AQE-splittable) or pre-bucketing
+    the hot key by coarse time range. The guard costs nothing: no extra
+    job, just a length check per group.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -189,6 +199,19 @@ def asof_join_cogroup(
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) + len(rpdf) > max_group_rows:
+            key_desc = (
+                {k: lpdf.iloc[0][f"__l_{k}"] for k in keys}
+                if len(lpdf)
+                else {k: rpdf.iloc[0][f"__r_{k}"] for k in keys}
+            )
+            raise ValueError(
+                f"asof_join_cogroup group {key_desc} has "
+                f"{len(lpdf) + len(rpdf)} rows > max_group_rows="
+                f"{max_group_rows}; a cogroup key must fit one Python "
+                f"worker — use the JVM asof_join for hot keys, or "
+                f"pre-bucket this key by coarse time range"
+            )
         lpdf = lpdf.rename(
             columns=lambda c: c[4:] if c.startswith("__l_") else c
         ).sort_values(left_ts, kind="mergesort")

@@ -151,6 +151,13 @@ def run_textprep_pipeline(
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
     lang_kept = quality_kept.where(F.col("lang_guess").isin(*langs))
+    if persist:
+        # exact_dedup's survivor semi-join references its input TWICE
+        # (digest-agg side + probe side); unpinned, the whole quality +
+        # lang expression chain re-executes for each — measured 2.4×
+        # the funnel's cold wall-clock at sf0.1. At 100 TB substitute a
+        # parquet checkpoint (module docstring).
+        lang_kept = lang_kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     exact_unique = dedup.exact_dedup(lang_kept, text_col, id_col)
     if near_dup:

@@ -925,3 +925,41 @@ def test_dedup_survivors_broadcast_gated(spark):
                                  broadcast_max_rows=0).collect()
     )
     assert kept == [0, 1, 3, 4, 6]
+
+
+def test_decode_features_kernel_selection(spark):
+    """kernel='bytes' always works; kernel='pil' either decodes real
+    pixels (PIL installed) or raises a clear ImportError (not here);
+    'auto' never crashes either way."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh" * 4))], "id long, payload binary"
+    )
+    by = multimodal.decode_features(
+        df, "payload", "id", n_features=4, kernel="bytes"
+    ).collect()
+    assert len(by) == 1 and len(by[0]["features"]) == 4
+    auto = multimodal.decode_features(
+        df, "payload", "id", n_features=4, kernel="auto"
+    ).collect()
+    assert len(auto) == 1 and len(auto[0]["features"]) == 4
+    if multimodal.HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+        img = spark.createDataFrame(
+            [(2, bytearray(buf.getvalue()))], "id long, payload binary"
+        )
+        px = multimodal.decode_features(
+            img, "payload", "id", n_features=4, kernel="pil"
+        ).collect()
+        assert all(abs(v - 128 / 255) < 1e-6 for v in px[0]["features"])
+    else:
+        with pytest.raises(ImportError, match="pil"):
+            multimodal.decode_features(
+                df, "payload", "id", n_features=4, kernel="pil"
+            )

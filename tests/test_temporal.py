@@ -158,3 +158,30 @@ def test_asof_join_cogroup_matches_window_form(spark):
     assert a == b
     assert a[100] == (7, 5.0, t(2024, 1, 1, 9))
     assert a[102] == (None, None, None)
+
+
+def test_asof_join_cogroup_skew_guard(spark):
+    """A hot key exceeding max_group_rows must fail fast with a clear
+    message naming the key — not OOM a Python worker mid-merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.temporal import (
+        asof_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)], "k string, ts long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    right = spark.createDataFrame(
+        [("hot", i, i * 10) for i in range(50)], "k string, ts long, v long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+
+    with pytest.raises(Exception, match="max_group_rows"):
+        asof_join_cogroup(
+            left, right, ["k"], max_group_rows=10
+        ).collect()
+
+    # generous guard: identical result to the JVM form
+    ok = asof_join_cogroup(left, right, ["k"], max_group_rows=1000)
+    assert ok.count() == 50
