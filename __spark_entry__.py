@@ -943,6 +943,75 @@ def q_cms_merge(spark, sf_dir):
     )
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (Flajolet et al. 2007) over event ids,
+    md5 hash family — the DuckDB oracle rebuilds every (bucket, max rho)
+    register bit-for-bit, certifying the sketch itself rather than a
+    tolerance band around the estimate. ≤ 2^p rows out regardless of
+    input size; one shuffle keyed on a small int."""
+    from databricks_flight_etl_spark.operators.sketches import hll_build
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_build(ev, "event_id", p=10).orderBy("bucket")
+
+
+def q_hll_merge(spark, sf_dir):
+    """HyperLogLog MERGEABILITY certified: register tables of the
+    even-id and odd-id event halves merged by register-wise max must
+    equal the whole-corpus sketch — the oracle builds the whole-corpus
+    registers directly. This is the property that lets per-shard/per-day
+    cardinality sketches roll up without rescanning 100 TB."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        hll_build,
+        hll_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    even = hll_build(ev.where(F.col("event_id") % 2 == 0), "event_id", p=10)
+    odd = hll_build(ev.where(F.col("event_id") % 2 == 1), "event_id", p=10)
+    return hll_merge(even, odd).orderBy("bucket")
+
+
+def q_bloom_bitmap(spark, sf_dir):
+    """Portable Bloom-filter bitmap (62-bit words, md5-derived k=5 hash
+    family) over a key subset — the oracle rebuilds the identical
+    (word, bits) rows, certifying the filter layout bit-for-bit. The
+    bitmap is what a 100 TB scan-side join prune ships to executors."""
+    from databricks_flight_etl_spark.operators.sketches import bloom_build
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("key")).where(
+        F.col("o_custkey") % 3 == 0
+    )
+    return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """EXACT semi join accelerated by a bloom pre-filter: the bitmap of
+    the build side prunes the probe side as a narrow scan-side
+    expression (no shuffle for pruned rows), then a real semi join
+    removes false positives — so the oracle is the plain semi join.
+    The same plan shape as Spark's runtime bloom pushdown, but
+    persistable and engine-portable."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    hot = cust.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return (
+        bloom_semi_join(orders, hot, "o_custkey", "c_custkey",
+                        n_words=256, k=5)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_corpus_release(spark, sf_dir):
     """X7 full corpus-release composition, oracle-certified end-to-end:
     quality filter → language filter → exact dedup → PII redaction →
@@ -2807,6 +2876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_cms_sketch": q_cms_sketch,
         "q_cms_merge": q_cms_merge,
+        "q_hll_registers": q_hll_registers,
+        "q_hll_merge": q_hll_merge,
+        "q_bloom_bitmap": q_bloom_bitmap,
+        "q_bloom_semi_join": q_bloom_semi_join,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
@@ -3445,6 +3518,63 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             LEFT JOIN grid g ON p.row = g.row AND p.col = g.col
             GROUP BY p.term
+        """,
+        # HLL registers rebuilt bit-for-bit: 60-bit md5 hash, top 10
+        # bits pick the bucket, rho = leading zeros of the low 50 bits
+        # + 1 via integer bin()-length (no floating log2 anywhere).
+        "q_hll_registers": """
+            WITH h AS (
+                SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                              1, 15) AS BIGINT) AS h
+                FROM events WHERE event_id IS NOT NULL
+            )
+            SELECT CAST(h >> 50 AS INT) AS bucket,
+                   CAST(max(CASE WHEN h % 1125899906842624 = 0 THEN 51
+                            ELSE 50 - length(bin(h % 1125899906842624)) + 1
+                            END) AS INT) AS rho
+            FROM h GROUP BY bucket ORDER BY bucket
+        """,
+        # Merge certification: the oracle builds the WHOLE-corpus
+        # register table directly; the engine merged two half sketches.
+        "q_hll_merge": """
+            WITH h AS (
+                SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                              1, 15) AS BIGINT) AS h
+                FROM events WHERE event_id IS NOT NULL
+            )
+            SELECT CAST(h >> 50 AS INT) AS bucket,
+                   CAST(max(CASE WHEN h % 1125899906842624 = 0 THEN 51
+                            ELSE 50 - length(bin(h % 1125899906842624)) + 1
+                            END) AS INT) AS rho
+            FROM h GROUP BY bucket ORDER BY bucket
+        """,
+        # Bloom bitmap rebuilt bit-for-bit: k=5 md5-salted positions
+        # over 256 62-bit words, word-wise bit_or of the set bits.
+        "q_bloom_bitmap": """
+            WITH ks AS (
+                SELECT o_custkey AS key FROM orders
+                WHERE o_custkey % 3 = 0 AND o_custkey IS NOT NULL
+            ),
+            pos AS (
+                SELECT (CAST('0x' || substring(
+                            md5('bf' || i || ':' || CAST(key AS VARCHAR)),
+                            1, 15) AS BIGINT)) % 15872 AS pos
+                FROM ks, (SELECT unnest([0, 1, 2, 3, 4]) AS i) h
+            )
+            SELECT CAST(pos // 62 AS INT) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+            FROM pos GROUP BY word ORDER BY word
+        """,
+        # The bloom pre-filter is exact after the verify join, so the
+        # oracle is the plain semi join + aggregate.
+        "q_bloom_semi_join": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         # Span dedup: first corpus-wide occurrence of each 10-word span
         # survives (first = lexicographic min (doc_id, idx) — matching

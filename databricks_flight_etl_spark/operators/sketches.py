@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate"]
+__all__ = [
+    "cms_build", "cms_merge", "cms_estimate",
+    "hll_build", "hll_merge", "hll_estimate",
+    "bloom_build", "bloom_might_contain", "bloom_semi_join",
+]
 
 
 def _cms_col(col: Column, row: int, width: int) -> Column:
@@ -101,3 +105,191 @@ def cms_estimate(
         "term", F.coalesce("n", F.lit(0)).alias("n")
     )
     return joined.groupBy("term").agg(F.min("n").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — mergeable cardinality sketch
+# ---------------------------------------------------------------------------
+#
+# Registers: the item hash's top p bits pick one of m = 2^p registers;
+# the register keeps the MAX over items of rho = (# leading zero bits of
+# the remaining w = 60-p bits) + 1. Cardinality ≈ alpha_m · m² / Σ 2^-M[j]
+# with the standard linear-counting small-range correction.
+#
+# Why at 100 TB: the register table is ≤ m rows (m = 4096 → a few KB) no
+# matter the input, is built with ONE shuffle keyed on a small int, and
+# two sketches over disjoint shards MERGE by register-wise max — so
+# per-day / per-shard cardinalities roll up without rescanning raw data.
+#
+# Hash family: the same engine-portable md5 derivation as the CMS above
+# (15 hex digits = a positive 60-bit long), so DuckDB replays the
+# register table bit-for-bit — the certification is exact equality of
+# registers, not a tolerance band. rho is computed with integer string
+# length (bin(x) has no leading zeros in Spark and DuckDB alike), never
+# floating log2, so there is no boundary rounding to diverge on.
+
+_HLL_HASH_BITS = 60
+
+
+def _md5_long(col: Column, salt: str = "") -> Column:
+    """Positive 60-bit long from md5(salt ‖ value) — portable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_build(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog register table of ``col``: one row per NON-EMPTY
+    register, (bucket, rho). One narrow projection + one group-by on a
+    small int — output bounded by m = 2^p rows regardless of input
+    size. Null values are skipped (SQL COUNT DISTINCT semantics)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    w = _HLL_HASH_BITS - p
+    h = _md5_long(F.col(col).cast("string"))
+    bucket = F.shiftright(h, w).cast("int")
+    rem = h % (2 ** w)
+    # bin(rem) drops leading zeros, so its length is floor(log2)+1 —
+    # exact integer semantics, identical in Spark and DuckDB.
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(rem)) + 1
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with the same p: register-wise max.
+    Exactly equals the sketch built over the unioned inputs — the
+    mergeability certification relies on that identity."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """One-row (estimate: long) from a register table. Standard HLL
+    estimator: E = alpha_m·m²/Z with Z = Σ 2^-M[j] (absent registers
+    contribute 2^0 = 1), linear counting E = m·ln(m/V) when E ≤ 2.5m
+    and V = # zero registers > 0. Aggregates ≤ m rows — driver cost nil."""
+    m = 2 ** p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    z = F.coalesce(F.col("z_present"), F.lit(0.0)) + (
+        F.lit(float(m)) - F.coalesce(F.col("n_present"), F.lit(0)).cast("double")
+    )
+    raw = F.lit(alpha * m * m) / z
+    zeros = F.lit(float(m)) - F.coalesce(F.col("n_present"), F.lit(0)).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(F.round(est).cast("long").alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — engine-portable bitmap for join pruning
+# ---------------------------------------------------------------------------
+#
+# The classic 100 TB pattern: a fact-table scan should not shuffle rows
+# whose join key cannot possibly match the (much smaller) build side.
+# Spark's runtime row-group pruning covers some of this; an explicit,
+# PORTABLE bloom filter also (a) persists across jobs (the bitmap is a
+# tiny DataFrame you can write with the shard), (b) merges by word-wise
+# OR, and (c) is certifiable bit-for-bit in any engine with md5.
+#
+# Layout: n_words longs of 62 usable bits each (avoiding the sign bit
+# and 1<<63 overflow differences between engines). k md5-derived hash
+# functions set k bits per key. The probe side never shuffles: the
+# bitmap is collected (bounded: n_words rows, e.g. 4096 words = 32 KB)
+# into a literal array and the membership test is a narrow expression
+# next to the scan — the same shape as Spark's own runtime filter.
+
+_BLOOM_BITS_PER_WORD = 62
+
+
+def _bloom_positions(col: Column, n_words: int, k: int) -> list[Column]:
+    """The k bit positions of a key: md5-derived, portable."""
+    m = n_words * _BLOOM_BITS_PER_WORD
+    return [
+        _md5_long(col.cast("string"), salt=f"bf{i}:") % m for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, n_words: int = 4096, k: int = 5
+) -> DataFrame:
+    """Bloom bitmap of ``col``: one row per NON-ZERO word, (word, bits).
+    One explode (narrow, ×k) + one group-by on a small int; output is at
+    most n_words rows no matter the input. Merge two bitmaps with the
+    same (n_words, k) by word-wise bit_or."""
+    c = F.col(col)
+    pos = F.explode(F.array(*_bloom_positions(c, n_words, k))).alias("pos")
+    words = df.where(c.isNotNull()).select(pos).select(
+        F.floor(F.col("pos") / _BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+        _bit_of(F.col("pos")).alias("bit"),
+    )
+    return words.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+
+
+def _bit_of(pos: Column) -> Column:
+    """2^(pos mod 62) as an exact long. shiftleft's shift amount must be
+    a Python literal in the DataFrame API, so index a 62-entry literal
+    power-of-two array instead — still a narrow constant-folded
+    expression."""
+    idx = (pos % _BLOOM_BITS_PER_WORD).cast("int")
+    pow2 = F.array(*[F.lit(1 << i).cast("long")
+                     for i in range(_BLOOM_BITS_PER_WORD)])
+    return F.element_at(pow2, idx + 1)
+
+
+def bloom_might_contain(
+    bitmap: DataFrame, col: Column | str, n_words: int = 4096, k: int = 5
+) -> Column:
+    """Membership predicate usable as a narrow filter: true iff all k
+    bits of the key are set. Collects the bitmap (bounded — n_words
+    rows) into a literal long array so the probe side needs NO join and
+    NO shuffle; false positives possible, false negatives impossible."""
+    dense = [0] * n_words
+    for r in bitmap.collect():
+        dense[r["word"]] = r["bits"]
+    arr = F.array(*[F.lit(b).cast("long") for b in dense])
+    c = F.col(col) if isinstance(col, str) else col
+    checks = []
+    for posc in _bloom_positions(c, n_words, k):
+        word = F.floor(posc / _BLOOM_BITS_PER_WORD).cast("int")
+        checks.append(F.get(arr, word).bitwiseAND(_bit_of(posc)) != 0)
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out & chk
+    return out
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    n_words: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT left-semi join with a bloom pre-filter: the bitmap of the
+    small side's keys prunes the big side as a narrow scan-side filter
+    (no shuffle for the pruned-away rows), then a real semi join removes
+    the false positives. Result is identical to ``big.join(small,
+    'left_semi')`` — the bloom only cuts the rows that reach the
+    shuffle, which at 100 TB is the difference between shuffling the
+    full fact table and shuffling ~the matching slice."""
+    small_key = small_key or big_key
+    keys = small.select(F.col(small_key).alias(big_key)).where(
+        F.col(big_key).isNotNull()
+    )
+    bitmap = bloom_build(keys, big_key, n_words=n_words, k=k)
+    pre = big.where(bloom_might_contain(bitmap, big_key, n_words, k))
+    return pre.join(keys.distinct(), on=big_key, how="left_semi")

@@ -963,3 +963,89 @@ def test_decode_features_kernel_selection(spark):
             multimodal.decode_features(
                 df, "payload", "id", n_features=4, kernel="pil"
             )
+
+
+def test_hll_properties(spark):
+    """HLL invariants: estimate within the 1.04/sqrt(m) error band,
+    merge(two halves) == build(whole) register-for-register, register
+    table bounded by 2^p rows, nulls skipped."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v"), F.col("id")
+    )
+    p = 11  # m = 2048, expected rel err ~ 1.04/sqrt(2048) ~ 2.3%
+    sk = hll_build(df, "v", p=p)
+    assert sk.count() <= 2 ** p
+    est = hll_estimate(sk, p=p).collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.08  # 3.5 sigma
+
+    a = hll_build(df.where("id < 2000"), "v", p=p)
+    b = hll_build(df.where("id >= 2000"), "v", p=p)
+    merged = sorted((r["bucket"], r["rho"])
+                    for r in hll_merge(a, b).collect())
+    whole = sorted((r["bucket"], r["rho"]) for r in sk.collect())
+    assert merged == whole
+
+    with_nulls = df.select(
+        F.when(F.col("id") % 2 == 0, F.col("v")).alias("v")
+    )
+    sk_n = hll_build(with_nulls, "v", p=p)
+    est_n = hll_estimate(sk_n, p=p).collect()[0]["estimate"]
+    assert abs(est_n - n / 2) / (n / 2) < 0.08
+
+
+def test_hll_small_range_linear_counting(spark):
+    """At tiny cardinality the linear-counting branch makes the
+    estimate essentially exact."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(25).select(F.concat(F.lit("x"), "id").alias("v"))
+    est = hll_estimate(hll_build(df, "v", p=12), p=12).collect()[0][
+        "estimate"]
+    assert est == 25
+
+
+def test_bloom_filter_properties(spark):
+    """Bloom invariants: NO false negatives ever, false-positive rate
+    near theory, semi join exactly equals the plain semi join, bitmap
+    bounded by n_words rows."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    members = spark.range(500).select(
+        F.concat(F.lit("k"), "id").alias("key"))
+    probes = spark.range(5000).select(
+        F.concat(F.lit("k"), "id").alias("key"))  # 500 in, 4500 out
+    nw, k = 512, 5
+    bm = bloom_build(members, "key", n_words=nw, k=k)
+    assert bm.count() <= nw
+
+    flagged = probes.where(bloom_might_contain(bm, "key", nw, k))
+    n_flagged = flagged.count()
+    assert n_flagged >= 500  # every member passes — no false negatives
+    # m = 512*62 bits for 500 keys, k=5 -> fpr ~ (1-e^(-5*500/31744))^5
+    # ~ 2e-6; allow a generous margin on 4500 non-members
+    assert n_flagged - 500 <= 10
+
+    got = bloom_semi_join(probes, members, "key", n_words=nw, k=k)
+    want = probes.join(members.distinct(), "key", "left_semi")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
