@@ -986,6 +986,40 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_quantiles_exact(spark, sf_dir):
+    """EXACT distributed quantiles (type-1 / lower interpolation) of the
+    events value column via the value-histogram method: the raw rows
+    are never globally sorted — one group-by collapses to the distinct-
+    value histogram, a cumulative sum ranks it, each quantile picks the
+    first covering value. The oracle replays the identical rank
+    formula, so this certifies the quantile DEFINITION, not a library's
+    interpolation default."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return quantiles_exact(
+        ev, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def q_outliers_iqr(spark, sf_dir):
+    """Tukey-fence outlier rows (outside Q1 − 1.5·IQR, Q3 + 1.5·IQR):
+    exact quartiles broadcast back onto a narrow scan-side filter — the
+    100 TB shape for anomaly triage. Oracle replays the same fences."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        outliers_iqr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        outliers_iqr(ev, "value", factor=1.5)
+        .select("event_id", "value")
+        .orderBy("event_id")
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """EXACT semi join accelerated by a bloom pre-filter: the bitmap of
     the build side prunes the probe side as a narrow scan-side
@@ -2880,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_merge": q_hll_merge,
         "q_bloom_bitmap": q_bloom_bitmap,
         "q_bloom_semi_join": q_bloom_semi_join,
+        "q_quantiles_exact": q_quantiles_exact,
+        "q_outliers_iqr": q_outliers_iqr,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
@@ -3564,6 +3600,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Identical rank formula: value at sorted position
+        # floor(q·(n−1)) among non-null values, via the same
+        # histogram + cumulative-sum construction.
+        "q_quantiles_exact": """
+            WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            hist AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+            cum AS (
+                SELECT value,
+                       sum(cnt) OVER (ORDER BY value
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       (SELECT sum(cnt) FROM hist) AS n
+                FROM hist
+            ),
+            t AS (SELECT CAST(unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                                      0.99]) AS DOUBLE) AS q)
+            SELECT t.q, min(cum.value) AS value
+            FROM t JOIN cum ON cum.cum >= floor(t.q * (cum.n - 1)) + 1
+            GROUP BY t.q ORDER BY t.q
+        """,
+        # Same exact quartiles -> Tukey fences -> row filter.
+        "q_outliers_iqr": """
+            WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            hist AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+            cum AS (
+                SELECT value,
+                       sum(cnt) OVER (ORDER BY value
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       (SELECT sum(cnt) FROM hist) AS n
+                FROM hist
+            ),
+            t AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS q),
+            quart AS (
+                SELECT t.q, min(cum.value) AS value
+                FROM t JOIN cum ON cum.cum >= floor(t.q * (cum.n - 1)) + 1
+                GROUP BY t.q
+            ),
+            fence AS (
+                SELECT min(CASE WHEN q = 0.25 THEN value END)
+                       - 1.5 * (min(CASE WHEN q = 0.75 THEN value END)
+                                - min(CASE WHEN q = 0.25 THEN value END))
+                           AS lo,
+                       min(CASE WHEN q = 0.75 THEN value END)
+                       + 1.5 * (min(CASE WHEN q = 0.75 THEN value END)
+                                - min(CASE WHEN q = 0.25 THEN value END))
+                           AS hi
+                FROM quart
+            )
+            SELECT event_id, value FROM events, fence
+            WHERE value < lo OR value > hi
+            ORDER BY event_id
         """,
         # The bloom pre-filter is exact after the verify join, so the
         # oracle is the plain semi join + aggregate.

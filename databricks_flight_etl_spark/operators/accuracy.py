@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["summary_stats", "histogram", "describe",
-           "moving_average", "zscore_by_group"]
+           "moving_average", "zscore_by_group",
+           "quantiles_exact", "quantiles_approx", "outliers_iqr"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -141,4 +142,94 @@ def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
         .select(bucket.cast("int").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_exact(
+    df: DataFrame, col: str, qs: list[float]
+) -> DataFrame:
+    """EXACT distributed quantiles of ``col``: (q, value) rows, lower
+    (type-1 / discrete) interpolation — the value at sorted position
+    floor(q·(n−1)) among the n non-null values.
+
+    Scale shape: never sorts the raw rows. One group-by collapses the
+    input to its VALUE HISTOGRAM (|distinct| rows), a cumulative sum
+    over that histogram assigns each distinct value its rank range, and
+    each quantile picks the first value whose cumulative count covers
+    its target rank. The only ordered window runs over the histogram,
+    not the data — fine for measurement-like columns whose distinct
+    count is ≪ row count; for unbounded domains use
+    ``quantiles_approx`` (sketch-based, one pass, fixed memory).
+    """
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum("cnt").alias("n"))
+    cum = hist.select(
+        "value", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(total))
+    targets = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                (F.floor(F.lit(q) * (F.col("n") - 1)) + 1).alias("rank"),
+            )
+            for q in qs
+        ])
+    ).alias("t")
+    picked = (
+        cum.select("value", "cum", targets)
+        .where(F.col("cum") >= F.col("t.rank"))
+        .groupBy(F.col("t.q").alias("q"))
+        .agg(F.min("value").alias("value"))
+    )
+    return picked.orderBy("q")
+
+
+def quantiles_approx(
+    df: DataFrame, col: str, qs: list[float], accuracy: int = 10000
+) -> DataFrame:
+    """One-pass fixed-memory quantiles via Spark's Greenwald-Khanna
+    sketch (``percentile_approx``) — the unbounded-domain / 100 TB
+    default; error ≤ 1/accuracy of rank."""
+    arr = df.agg(
+        F.percentile_approx(col, qs, accuracy).alias("vals")
+    )
+    pairs = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(q) for q in qs]).alias("q"),
+            F.col("vals").alias("value"),
+        )
+    ).alias("p")
+    return arr.select(pairs).select("p.q", "p.value").orderBy("q")
+
+
+def outliers_iqr(
+    df: DataFrame, col: str, factor: float = 1.5
+) -> DataFrame:
+    """Tukey-fence outliers: rows where ``col`` falls outside
+    [Q1 − factor·IQR, Q3 + factor·IQR], quartiles computed by the exact
+    histogram method above and broadcast back — the input scan stays a
+    narrow filter."""
+    qdf = quantiles_exact(df, col, [0.25, 0.75])
+    fences = qdf.agg(
+        F.min(F.when(F.col("q") == 0.25, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("q") == 0.75, F.col("value"))).alias("q3"),
+    ).select(
+        "q1", "q3",
+        (F.col("q1") - factor * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + factor * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(fences.select("lo", "hi")))
+        .where((F.col(col) < F.col("lo")) | (F.col(col) > F.col("hi")))
+        .drop("lo", "hi")
     )

@@ -218,3 +218,49 @@ def test_deterministic_sample_stable_across_partitioning(spark):
     sub = {r["k"] for r in
            relational.deterministic_sample(df, "k", 0.05).collect()}
     assert sub <= s1                      # nested thresholds ⇒ nested samples
+
+
+def test_quantiles_exact_definition(spark):
+    """Type-1 quantile: value at sorted position floor(q*(n-1));
+    nulls excluded; q=0/1 are min/max."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, None, 3.0]  # sorted: 1,3,3,5,7,9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {float(r["q"]): r["value"] for r in
+           quantiles_exact(df, "x", [0.0, 0.5, 0.9, 1.0]).collect()}
+    # n=6: q=0.5 -> pos floor(2.5)=2 -> 3.0 ; q=0.9 -> floor(4.5)=4 -> 7.0
+    assert got == {0.0: 1.0, 0.5: 3.0, 0.9: 7.0, 1.0: 9.0}
+
+
+def test_quantiles_single_value_and_approx(spark):
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_approx,
+        quantiles_exact,
+    )
+
+    one = spark.createDataFrame([(42.0,)], "x double")
+    got = quantiles_exact(one, "x", [0.0, 0.5, 1.0]).collect()
+    assert all(r["value"] == 42.0 for r in got)
+
+    df = spark.range(1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    approx = {float(r["q"]): r["value"] for r in
+              quantiles_approx(df, "x", [0.1, 0.5, 0.9]).collect()}
+    exact = {float(r["q"]): r["value"] for r in
+             quantiles_exact(df, "x", [0.1, 0.5, 0.9]).collect()}
+    for q in approx:
+        assert abs(approx[q] - exact[q]) <= 2  # GK sketch rank error
+
+
+def test_outliers_iqr_fences(spark):
+    from databricks_flight_etl_spark.operators.accuracy import (
+        outliers_iqr,
+    )
+
+    # 1..100 plus two planted outliers
+    rows = [(float(i),) for i in range(1, 101)] + [(1000.0,), (-500.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = sorted(r["x"] for r in outliers_iqr(df, "x").collect())
+    assert got == [-500.0, 1000.0]
