@@ -986,6 +986,43 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_split_assign(spark, sf_dir):
+    """Disjoint deterministic train/val/test assignment by content-hash
+    ranges — a row never changes split as the corpus grows, and the
+    labels reproduce on any engine (the oracle replays the md5
+    thresholds). Narrow projection, no shuffle before the count."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        split_assign,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: global order by md5(epoch ‖ id) —
+    the total order a training-shard writer consumes. Range-partitioned
+    sort under the hood (the scalable shape); certified value-for-value
+    by replaying the order in the oracle."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        epoch_shuffle(docs, "doc_id", epoch=1)
+        .select("doc_id", "shuffle_key")
+        .limit(100)
+    )
+
+
 def q_quantiles_exact(spark, sf_dir):
     """EXACT distributed quantiles (type-1 / lower interpolation) of the
     events value column via the value-histogram method: the raw rows
@@ -2916,6 +2953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_semi_join": q_bloom_semi_join,
         "q_quantiles_exact": q_quantiles_exact,
         "q_outliers_iqr": q_outliers_iqr,
+        "q_split_assign": q_split_assign,
+        "q_epoch_shuffle": q_epoch_shuffle,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
@@ -3600,6 +3639,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same md5 coordinate, same cumulative thresholds
+        # (0.8 -> cccccccccccd, 0.9 -> e66666666666 over 12 hex chars).
+        "q_split_assign": """
+            SELECT CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                          < 'cccccccccccd' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                          < 'e66666666666' THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   count(*) AS n_docs
+            FROM documents GROUP BY split ORDER BY split
+        """,
+        # Identical total order: md5('epoch1:' || id) then id.
+        "q_epoch_shuffle": """
+            SELECT doc_id,
+                   substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                          1, 12) AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id LIMIT 100
         """,
         # Identical rank formula: value at sorted position
         # floor(q·(n−1)) among non-null values, via the same

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
-           "pack_by_token_budget"]
+           "pack_by_token_budget", "split_assign", "epoch_shuffle"]
 
 _PREFIX_LEN = 12
 
@@ -163,4 +163,46 @@ def pack_by_token_budget(
         "cum_tokens",
         F.expr(f"CAST((cum_tokens - n_tokens) DIV {int(budget)} AS BIGINT)")
         .alias("shard"),
+    )
+
+
+def split_assign(
+    df: DataFrame, key: str, fractions: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Disjoint train/val/test-style split labels, content-hash
+    deterministic: the [0,1) hash coordinate is cut into consecutive
+    ranges sized by ``fractions`` (which must sum to 1), and each row
+    gets the label of the range its hash falls in. Properties inherited
+    from the hash coordinate: rerun/partitioning/engine independent, a
+    row NEVER changes split as other rows arrive, and disjointness is
+    by construction (ranges partition the coordinate space). A narrow
+    projection — no shuffle."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key, salt)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for label, frac in items[:-1]:
+        acc += frac
+        cond = bucket < F.lit(_threshold_hex(acc))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def epoch_shuffle(df: DataFrame, key: str, epoch: int = 0) -> DataFrame:
+    """Deterministic global shuffle order for training-shard writes:
+    sort by md5(epoch ‖ key). Different epochs give independent orders;
+    the same epoch reproduces bit-for-bit on any engine or rerun.
+    The sort is the point (a shuffled corpus IS a total order) — Spark
+    executes it as a range-partitioned sort, the scalable shape; write
+    the result with ``partition-count control`` to get shard files in
+    shuffled order."""
+    return (
+        df.withColumn("shuffle_key", hash_bucket(key, f"epoch{epoch}:"))
+        .orderBy("shuffle_key", key)
     )

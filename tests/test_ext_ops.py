@@ -1049,3 +1049,47 @@ def test_bloom_filter_properties(spark):
     want = probes.join(members.distinct(), "key", "left_semi")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_split_assign_properties(spark):
+    """Splits are disjoint-exhaustive, stable under corpus growth, and
+    near the requested proportions."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.range(4000).selectExpr("id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, "id", fr)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    # growth stability: the first half's labels are unchanged when the
+    # second half arrives
+    first = dict(split_assign(df.where("id < 2000"), "id", fr)
+                 .select("id", "split").collect())
+    both = dict(out.where("id < 2000").select("id", "split").collect())
+    assert first == both
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_assign(df, "id", {"a": 0.5, "b": 0.6})
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
+    from databricks_flight_etl_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    df = spark.range(500).selectExpr("id")
+    e1a = [r["id"] for r in epoch_shuffle(df, "id", 1).select("id").collect()]
+    e1b = [r["id"] for r in epoch_shuffle(df, "id", 1).select("id").collect()]
+    e2 = [r["id"] for r in epoch_shuffle(df, "id", 2).select("id").collect()]
+    assert e1a == e1b                       # reproducible
+    assert sorted(e1a) == list(range(500))  # a permutation
+    assert e1a != e2                        # epochs independent
+    assert e1a != list(range(500))          # actually shuffled
