@@ -986,6 +986,25 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus,
+    certified code-for-code: the oracle replays the identical double
+    arithmetic (float32→double widening is exact, so both engines see
+    the same inputs). Scalar (vec_id, idx, qval, amax) rows per the
+    harness canonicalizer contract."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    out = quantize_embeddings(emb, "embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.col("amax"), 6).alias("amax_r"),
+        F.posexplode("qvec").alias("idx", "qval"),
+    ).select("vec_id", "idx", "qval", "amax_r").orderBy("vec_id", "idx")
+
+
 def q_split_assign(spark, sf_dir):
     """Disjoint deterministic train/val/test assignment by content-hash
     ranges — a row never changes split as the corpus grows, and the
@@ -2955,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outliers_iqr": q_outliers_iqr,
         "q_split_assign": q_split_assign,
         "q_epoch_shuffle": q_epoch_shuffle,
+        "q_quantize_int8": q_quantize_int8,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
@@ -3639,6 +3659,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Identical double arithmetic: amax = max|x|, scale = 127/amax,
+        # code = clamp(floor(x*scale + 0.5), -127, 127). float32→double
+        # widening is exact, so the codes match bit-for-bit.
+        "q_quantize_int8": """
+            WITH base AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings WHERE vec_id < 50
+            ),
+            ex AS (
+                SELECT vec_id, amax,
+                       generate_subscripts(embedding, 1) - 1 AS idx,
+                       unnest(embedding) AS x
+                FROM base
+            )
+            SELECT vec_id, CAST(idx AS INT) AS idx,
+                   CAST(greatest(-127, least(127,
+                        floor(CAST(x AS DOUBLE)
+                              * (CASE WHEN amax > 0 THEN 127.0 / amax
+                                      ELSE 0.0 END) + 0.5))) AS INT)
+                       AS qval,
+                   round(amax, 6) AS amax_r
+            FROM ex ORDER BY vec_id, idx
         """,
         # Same md5 coordinate, same cumulative thresholds
         # (0.8 -> cccccccccccd, 0.9 -> e66666666666 over 12 hex chars).

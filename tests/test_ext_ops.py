@@ -1093,3 +1093,42 @@ def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
     assert sorted(e1a) == list(range(500))  # a permutation
     assert e1a != e2                        # epochs independent
     assert e1a != list(range(500))          # actually shuffled
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized vectors reconstruct within amax/254 per coordinate;
+    zero vectors survive; codes stay within [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.25, 3.75, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = quantize_embeddings(df, "v")
+    deq = dequantize_embeddings(q)
+    for r in deq.collect():
+        amax = r["amax"]
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        for orig, hat in zip(r["v"], r["vec_hat"]):
+            assert abs(orig - hat) <= (amax / 254 + 1e-12)
+    z = deq.where("id = 2").first()
+    assert z["amax"] == 0.0 and z["vec_hat"] == [0.0, 0.0, 0.0, 0.0]
+    # cosine ranking survives quantization on the real corpus shape
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qr = dequantize_embeddings(
+        quantize_embeddings(emb.limit(20), "embedding"))
+    from databricks_flight_etl_spark.operators.similarity import cosine
+    chk = qr.select(
+        cosine(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("vec_hat"),
+        ).alias("cos")
+    ).collect()
+    assert all(r["cos"] > 0.999 for r in chk)
