@@ -986,6 +986,53 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE/upsert in one shuffle: union + QUALIFY row_number()=1 on
+    (version desc, source desc) — updates overwrite matched base rows,
+    unmatched updates insert, unmatched base passes through. The
+    oracle replays the same rank over the same union."""
+    from databricks_flight_etl_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(1))
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("version", F.lit(2))
+    )
+    out = merge_upsert(base, updates, ["o_orderkey"], "version")
+    return out.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"), "version"
+    ).orderBy("o_orderkey")
+
+
+def q_scd2_history(spark, sf_dir):
+    """Type-2 SCD compression of the event log: per user, suppress
+    consecutive rows with an unchanged event_type, stamp survivors
+    with [valid_from, valid_to) and is_current. Both windows share one
+    (key × order) exchange. Oracle replays lag-change-suppression +
+    lead in SQL."""
+    from databricks_flight_etl_spark.operators.relational import (
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    out = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        "valid_from", "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
 def q_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embedding corpus,
     certified code-for-code: the oracle replays the identical double
@@ -2975,6 +3022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_quantize_int8": q_quantize_int8,
+        "q_merge_upsert": q_merge_upsert,
+        "q_scd2_history": q_scd2_history,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
@@ -3659,6 +3708,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same union + rank: version desc, then source desc (updates
+        # win ties).
+        "q_merge_upsert": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       1 AS version, 0 AS src
+                FROM orders
+            ),
+            upd AS (
+                SELECT o_orderkey, 'U' AS o_orderstatus,
+                       o_totalprice * 2 AS o_totalprice,
+                       2 AS version, 1 AS src
+                FROM orders WHERE o_orderkey % 10 = 0
+            ),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY version DESC, src DESC) AS rn
+                FROM u
+            )
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS price,
+                   CAST(version AS INT) AS version
+            FROM r WHERE rn = 1 ORDER BY o_orderkey
+        """,
+        # Same change-suppression (lag null-safe compare) + lead stamps.
+        "q_scd2_history": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type, ts
+                FROM events WHERE user_id < 20
+            ),
+            lagged AS (
+                SELECT *, lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS prev_type
+                FROM ev
+            ),
+            chg AS (
+                SELECT * FROM lagged
+                WHERE prev_type IS NULL
+                   OR event_type IS DISTINCT FROM prev_type
+            )
+            SELECT user_id, event_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   CAST(CASE WHEN lead(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+            FROM chg ORDER BY user_id, valid_from, event_id
         """,
         # Identical double arithmetic: amax = max|x|, scale = 127/amax,
         # code = clamp(floor(x*scale + 0.5), -127, 127). float32→double

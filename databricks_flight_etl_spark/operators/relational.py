@@ -19,6 +19,8 @@ __all__ = [
     "salted_count",
     "latest_per_key",
     "deterministic_sample",
+    "merge_upsert",
+    "scd2_history",
 ]
 
 
@@ -138,4 +140,69 @@ def top_k_per_group(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """MERGE/upsert as one pass: union base and updates, keep the
+    highest-``version_col`` row per key (updates win ties — the
+    DELTA-style "source overwrites target" rule). One hash shuffle on
+    the keys, rank computed streaming — at 100 TB this beats the
+    join-then-overwrite plan (two shuffles + a wide null-coalesce
+    projection) and never materializes matched/unmatched splits.
+    Rows in updates with keys absent from base are inserts; base keys
+    absent from updates pass through — MERGE semantics fall out of the
+    union."""
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    attrs: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event/version
+    log: suppress rows where the tracked ``attrs`` equal the previous
+    row's (per key, in ``order_col`` order), then stamp each surviving
+    change row with valid_from = its ``order_col``, valid_to = the NEXT
+    change's (null while current), is_current. Two windows over the
+    SAME (keys × order) partitioning — Catalyst reuses one sort+shuffle
+    for both, so the whole operator costs a single exchange.
+    ``tiebreak`` columns break equal-``order_col`` ties so the history
+    is deterministic on logs with duplicate timestamps."""
+    order = [order_col, *(tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = [F.lag(a).over(w).alias(f"__prev_{a}") for a in attrs]
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~(
+            F.col(a).eqNullSafe(F.col(f"__prev_{a}"))
+        )
+    marked = (
+        df.select("*", *prev, F.row_number().over(w).alias("__rn"))
+        .where((F.col("__rn") == 1) | changed)
+        .drop("__rn", *[f"__prev_{a}" for a in attrs])
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        marked.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -1132,3 +1132,40 @@ def test_quantize_roundtrip_error_bound(spark):
         ).alias("cos")
     ).collect()
     assert all(r["cos"] > 0.999 for r in chk)
+
+
+def test_merge_upsert_semantics(spark):
+    """Update overwrites matched keys, insert adds unmatched, base
+    passes through; updates win version ties."""
+    from databricks_flight_etl_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, version int")
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2), (3, "C", 1)],  # 3 ties on version
+        "k int, v string, version int")
+    got = {r["k"]: r["v"] for r in merge_upsert(base, upd, ["k"], "version").collect()}
+    assert got == {1: "a", 2: "B", 3: "C", 4: "D"}
+
+
+def test_scd2_history_compression(spark):
+    """Consecutive unchanged attrs collapse; intervals chain with no
+    gaps; exactly one current row per key."""
+    from databricks_flight_etl_spark.operators.relational import (
+        scd2_history,
+    )
+
+    rows = [
+        (1, 1, "x"), (1, 2, "x"), (1, 3, "y"), (1, 4, "y"), (1, 5, "x"),
+        (2, 1, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, attr string")
+    out = scd2_history(df, ["k"], "t", ["attr"]).orderBy("k", "t").collect()
+    hist = [(r["k"], r["t"], r["attr"], r["valid_to"], r["is_current"])
+            for r in out]
+    assert hist == [
+        (1, 1, "x", 3, False), (1, 3, "y", 5, False), (1, 5, "x", None, True),
+        (2, 1, "z", None, True),
+    ]
