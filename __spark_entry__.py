@@ -986,6 +986,40 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_semantic_dedup_exact(spark, sf_dir):
+    """SemDeDup (cluster → within-cluster cosine → CC → min-id
+    survivor) in its EXACT degenerate configuration: n_lists=1 makes
+    the cluster step a no-op, so the pair set is brute force and the
+    oracle can replay the whole funnel — pairwise cosine, recursive-CTE
+    components, anti-join survivors. Certifies the ALGORITHM; the
+    production path (q_semantic_dedup below) only changes n_lists."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, threshold=0.35, n_lists=1, iters=0
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Production SemDeDup shape: 8 hash-seeded k-means lists, within-
+    list pairs only — approximate by construction (cross-cluster dups
+    survive), so rows-only at the driver; the algorithm itself is
+    certified by q_semantic_dedup_exact."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, threshold=0.35, n_lists=8, iters=2
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
 def q_merge_upsert(spark, sf_dir):
     """MERGE/upsert in one shuffle: union + QUALIFY row_number()=1 on
     (version desc, source desc) — updates overwrite matched base rows,
@@ -3024,6 +3058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_semantic_dedup_exact": q_semantic_dedup_exact,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
         "q_join_semi": q_join_semi,
@@ -3708,6 +3744,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Full SemDeDup funnel at n_lists=1: brute-force cosine pairs,
+        # recursive-CTE components, min-id survivor anti-join.
+        "q_semantic_dedup_exact": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                           AS n
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            cc AS (
+                SELECT node, min(r) AS component FROM reach GROUP BY node
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM cc
+                                 WHERE node <> component)
+            ORDER BY vec_id
         """,
         # Same union + rank: version desc, then source desc (updates
         # win ties).

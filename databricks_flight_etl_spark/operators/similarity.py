@@ -30,6 +30,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "cosine_near_dup_pairs",
            "ivf_centroids", "ivf_assign", "ivf_assign_pandas",
            "ann_topk_ivf", "ann_topk_ivf_batch"           "quantize_embeddings", "dequantize_embeddings",
+           "semantic_dedup",
 ]
 
 
@@ -709,3 +710,39 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda q: q.cast("double") * inv),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
+    whose embeddings are near-identical in meaning collapse to one
+    representative. Pipeline: deterministic k-means coarse clusters
+    (``ivf_centroids`` — seeded by hash, no RNG) → within-cluster
+    cosine pairs ≥ threshold (quadratic only in CLUSTER size, never
+    corpus size) → connected components → keep the min-id member per
+    component.
+
+    The scale story is the clustering: at 100 TB the all-pairs matrix
+    is impossible, but per-cluster work is (N/n_lists)² per list and
+    the cluster id is an equi-join key, so candidate generation is one
+    co-located shuffle. Cross-cluster near-dups are missed by
+    construction (the SemDeDup trade-off); ``n_lists=1`` degrades to
+    exact brute force, which is what the certification query runs.
+
+    Returns the surviving rows of ``df`` (schema unchanged)."""
+    from .graph import dedup_survivors
+
+    cents = ivf_centroids(df, id_col, vec_col, n_lists=n_lists,
+                          iters=iters)
+    assigned = ivf_assign(df, cents, vec_col, out_col="__list")
+    pairs = cosine_near_dup_pairs(
+        assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="__list",
+    )
+    return dedup_survivors(df, pairs, id_col)

@@ -1169,3 +1169,42 @@ def test_scd2_history_compression(spark):
         (1, 1, "x", 3, False), (1, 3, "y", 5, False), (1, 5, "x", None, True),
         (2, 1, "z", None, True),
     ]
+
+
+def test_semantic_dedup_planted_clones(spark):
+    """Planted near-identical vectors collapse to one survivor; the
+    clustered (approximate) path never finds MORE pairs than exact, so
+    it keeps at least as many rows."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    # plant a clone of every 10th vector (tiny perturbation -> cosine ~1)
+    clones = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") * 1.000001).alias("embedding"),
+        "label",
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    corpus = base.unionByName(clones)
+    n_clones = clones.count()
+    exact = semantic_dedup(corpus, threshold=0.99, n_lists=1, iters=0)
+    # every clone pairs with its original at cosine ~1 -> one drops
+    assert exact.count() <= corpus.count() - n_clones
+    kept_ids = {r["vec_id"] for r in exact.select("vec_id").collect()}
+    # min-id survivor rule: the original (smaller id) survives
+    originals = {r["vec_id"] for r in
+                 emb.where(F.col("vec_id") % 10 == 0).collect()}
+    assert originals <= kept_ids
+
+    approx = semantic_dedup(corpus, threshold=0.99, n_lists=4, iters=1)
+    assert approx.count() >= exact.count()
