@@ -986,6 +986,47 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-group EXACT quantiles: all windows are PARTITIONED by the
+    group key — no single-partition stage anywhere, so the operator
+    scales with group count; only per-group distinct-value cardinality
+    bounds the window. Certifies the same type-1 rank rule as
+    q_quantiles_exact, per group."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_quantiles(
+        ev, ["event_type"], "value", [0.25, 0.5, 0.9]
+    )
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan roundtrip (columnar alternative to S6/S7):
+    write the documents projection to a temp ORC dataset, read it back,
+    aggregate. The oracle computes the same aggregate from the parquet
+    source — equality certifies the roundtrip was lossless."""
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="flight_etl_orc_") + "/documents"
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_semantic_dedup_exact(spark, sf_dir):
     """SemDeDup (cluster → within-cluster cosine → CC → min-id
     survivor) in its EXACT degenerate configuration: n_lists=1 makes
@@ -3058,6 +3099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_orc_roundtrip": q_orc_roundtrip,
         "q_semantic_dedup_exact": q_semantic_dedup_exact,
         "q_semantic_dedup": q_semantic_dedup,
         "q_asof_join_cogroup": q_asof_join_cogroup,
@@ -3744,6 +3787,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same per-group histogram + rank construction.
+        "q_grouped_quantiles": """
+            WITH v AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL),
+            hist AS (SELECT event_type, value, count(*) AS cnt
+                     FROM v GROUP BY event_type, value),
+            cum AS (
+                SELECT event_type, value,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY value
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            ),
+            t AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+            SELECT cum.event_type, t.q, min(cum.value) AS value
+            FROM t JOIN cum ON cum.cum >= floor(t.q * (cum.n - 1)) + 1
+            GROUP BY cum.event_type, t.q
+            ORDER BY cum.event_type, t.q
+        """,
+        # Lossless roundtrip -> same aggregate from the parquet source.
+        "q_orc_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # Full SemDeDup funnel at n_lists=1: brute-force cosine pairs,
         # recursive-CTE components, min-id survivor anti-join.

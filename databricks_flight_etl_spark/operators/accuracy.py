@@ -17,7 +17,8 @@ from pyspark.sql import types as T
 
 __all__ = ["summary_stats", "histogram", "describe",
            "moving_average", "zscore_by_group",
-           "quantiles_exact", "quantiles_approx", "outliers_iqr"]
+           "quantiles_exact", "quantiles_approx", "outliers_iqr",
+           "grouped_quantiles"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -232,4 +233,48 @@ def outliers_iqr(
         df.crossJoin(F.broadcast(fences.select("lo", "hi")))
         .where((F.col(col) < F.col("lo")) | (F.col(col) > F.col("hi")))
         .drop("lo", "hi")
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame, group_cols: list[str], col: str, qs: list[float]
+) -> DataFrame:
+    """Per-group EXACT quantiles: (group_cols…, q, value), same type-1
+    rank rule as :func:`quantiles_exact`. Unlike the global version,
+    everything here is a PARTITIONED window over the per-group value
+    histogram — no single-partition stage at all, so this scales to any
+    group count; only per-group distinct-value cardinality matters."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*group_cols, F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols, "value",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    targets = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                (F.floor(F.lit(q) * (F.col("n") - 1)) + 1).alias("rank"),
+            )
+            for q in qs
+        ])
+    ).alias("t")
+    return (
+        cum.select(*group_cols, "value", "cum", targets)
+        .where(F.col("cum") >= F.col("t.rank"))
+        .groupBy(*group_cols, F.col("t.q").alias("q"))
+        .agg(F.min("value").alias("value"))
+        .orderBy(*group_cols, "q")
     )

@@ -264,3 +264,26 @@ def test_outliers_iqr_fences(spark):
     df = spark.createDataFrame(rows, "x double")
     got = sorted(r["x"] for r in outliers_iqr(df, "x").collect())
     assert got == [-500.0, 1000.0]
+
+
+def test_grouped_quantiles_matches_global_per_group(spark):
+    """grouped_quantiles on a key equals quantiles_exact run on each
+    group's slice independently."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_quantiles,
+        quantiles_exact,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = [0.25, 0.5, 0.9]
+    got = {(r["event_type"], float(r["q"])): r["value"]
+           for r in grouped_quantiles(ev, ["event_type"], "value", qs)
+           .collect()}
+    types = [r["event_type"] for r in
+             ev.select("event_type").distinct().collect()]
+    for t in types:
+        want = {float(r["q"]): r["value"] for r in
+                quantiles_exact(ev.where(ev.event_type == t), "value", qs)
+                .collect()}
+        for q in qs:
+            assert got[(t, q)] == want[q]
