@@ -986,6 +986,26 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters without shuffling the distinct domain:
+    per-partition batched Misra-Gries candidates (Arrow-vectorized,
+    Python touches distinct values per batch, never rows) -> broadcast
+    semi join -> exact recount + threshold. Result equals the naive
+    groupBy+filter, which is the oracle — the sketch only bounds what
+    reaches the shuffle."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("w")
+    )
+    return heavy_hitters(words, "w", min_fraction=0.005).orderBy("term")
+
+
 def q_grouped_quantiles(spark, sf_dir):
     """Per-group EXACT quantiles: all windows are PARTITIONED by the
     group key — no single-partition stage anywhere, so the operator
@@ -3099,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_orc_roundtrip": q_orc_roundtrip,
         "q_semantic_dedup_exact": q_semantic_dedup_exact,
@@ -3787,6 +3808,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # The sketch path is exact, so the oracle is the naive plan.
+        "q_heavy_hitters": """
+            WITH words AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM words)
+            SELECT w AS term, count(*) AS cnt
+            FROM words, tot
+            GROUP BY w, n
+            HAVING count(*) >= 0.005 * n
+            ORDER BY term
         """,
         # Same per-group histogram + rank construction.
         "q_grouped_quantiles": """

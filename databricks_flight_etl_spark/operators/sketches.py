@@ -27,6 +27,7 @@ __all__ = [
     "cms_build", "cms_merge", "cms_estimate",
     "hll_build", "hll_merge", "hll_estimate",
     "bloom_build", "bloom_might_contain", "bloom_semi_join",
+    "heavy_hitters",
 ]
 
 
@@ -293,3 +294,68 @@ def bloom_semi_join(
     bitmap = bloom_build(keys, big_key, n_words=n_words, k=k)
     pre = big.where(bloom_might_contain(bitmap, big_key, n_words, k))
     return pre.join(keys.distinct(), on=big_key, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries 1982) — exact result, sketch-bounded shuffle
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_fraction: float, capacity: int = 4096
+) -> DataFrame:
+    """All values of ``col`` with frequency ≥ min_fraction·N, EXACT
+    (term, cnt) — but without ever shuffling the full distinct domain.
+
+    Two passes: (1) per-partition Misra-Gries summaries of ``capacity``
+    counters (Arrow-batched, state carried across batches inside each
+    partition) — by pigeonhole, any value with global frequency
+    ≥ N/capacity is a local heavy hitter in at least one partition, so
+    the union of candidates is a SUPERSET of the answer whenever
+    min_fraction ≥ 1/capacity; (2) an exact recount restricted to the
+    candidate set (broadcast semi join — candidates are ≤ capacity ×
+    partitions, in practice a few thousand rows) and the threshold
+    filter. The result equals the naive groupBy+filter — which is what
+    the oracle runs — while the shuffle carries only candidates.
+    """
+    if min_fraction < 1.0 / capacity:
+        raise ValueError(
+            f"min_fraction {min_fraction} below 1/capacity "
+            f"{1.0 / capacity}: the candidate superset guarantee breaks"
+        )
+
+    def mg(batches):
+        # batched Misra-Gries ("Frequent" with uniform decrement):
+        # merge each Arrow batch's value_counts into the counter
+        # Series, then — when over capacity — decrement everything by
+        # the (capacity+1)-th largest count and drop the non-positive.
+        # One uniform decrement by δ ≙ δ classic MG rounds, each
+        # destroying ≥ capacity+1 units of mass, so any value with
+        # partition frequency > n_p/(capacity+1) survives. Vectorized:
+        # Python touches distinct values per batch, never rows.
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["__v"].dropna().value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > capacity:
+                thresh = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > thresh] - thresh
+        yield pd.DataFrame(
+            {"candidate": counters.index.astype(str)})
+
+    src = df.select(F.col(col).cast("string").alias("__v"))
+    cands = (
+        src.mapInPandas(mg, "candidate string")
+        .distinct()
+    )
+    total = src.where(F.col("__v").isNotNull()).count()
+    thresh = min_fraction * total
+    return (
+        src.join(F.broadcast(cands),
+                 src["__v"] == cands["candidate"], "left_semi")
+        .groupBy(F.col("__v").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= thresh)
+    )

@@ -1208,3 +1208,41 @@ def test_semantic_dedup_planted_clones(spark):
 
     approx = semantic_dedup(corpus, threshold=0.99, n_lists=4, iters=1)
     assert approx.count() >= exact.count()
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """The sketch route returns EXACTLY the naive groupBy+filter
+    answer, including under a tight capacity that forces decrements."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # skewed synthetic: value i appears i times, i in 1..60 (n=1830)
+    df = spark.range(61).select(
+        F.explode(F.expr("array_repeat(id, CAST(id AS INT))")).alias("v")
+    )
+    frac = 0.02  # threshold 36.6 -> values 37..60
+    naive = {(r["v"],): r["c"] for r in
+             df.groupBy("v").agg(F.count("*").alias("c"))
+             .where(F.col("c") >= 1830 * frac).collect()}
+    got = {(int(r["term"]),): r["cnt"]
+           for r in heavy_hitters(df, "v", frac, capacity=64).collect()}
+    assert got == naive and len(got) == 24
+
+    # 501 distinct values against capacity 32 FORCES decrement rounds:
+    # two giants (1000+600) over a 500-value tail of 2 each
+    skew = spark.range(1000).selectExpr("-1 AS v").union(
+        spark.range(600).selectExpr("-2 AS v")).union(
+        spark.range(1000).selectExpr("CAST(id % 500 AS BIGINT) AS v"))
+    naive2 = {(r["v"],): r["c"] for r in
+              skew.groupBy("v").agg(F.count("*").alias("c"))
+              .where(F.col("c") >= 2600 * 0.2).collect()}
+    got2 = {(int(r["term"]),): r["cnt"]
+            for r in heavy_hitters(skew, "v", 0.2, capacity=32).collect()}
+    assert got2 == naive2 and set(k for k, in got2) == {-1, -2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "v", 0.001, capacity=64)
