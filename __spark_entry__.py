@@ -986,6 +986,33 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_streaming_hll(spark, sf_dir):
+    """A mergeable sketch maintained BY THE STREAM: events replayed
+    through a file-source stream into the HLL register aggregation
+    (max is monotone — state is one int per register, bounded by 2^p,
+    no watermark). After processAllAvailable the registers equal the
+    batch sketch bit-for-bit, so the oracle is the same register SQL
+    as q_hll_registers."""
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.streaming import (
+        run_stream_to_memory,
+        streaming_hll,
+    )
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="flight_etl_shll_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    out = run_stream_to_memory(
+        spark, stage, raw_schema,
+        lambda s: streaming_hll(s, "event_id", p=10),
+        query_name="shll_out", output_mode="complete",
+    )
+    return out.orderBy("bucket")
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT heavy hitters without shuffling the distinct domain:
     per-partition batched Misra-Gries candidates (Arrow-vectorized,
@@ -3119,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_streaming_hll": q_streaming_hll,
         "q_heavy_hitters": q_heavy_hitters,
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_orc_roundtrip": q_orc_roundtrip,
@@ -3808,6 +3836,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # The stream-maintained registers equal the batch sketch, so
+        # the oracle is the same register rebuild as q_hll_registers.
+        "q_streaming_hll": """
+            WITH h AS (
+                SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                              1, 15) AS BIGINT) AS h
+                FROM events WHERE event_id IS NOT NULL
+            )
+            SELECT CAST(h >> 50 AS INT) AS bucket,
+                   CAST(max(CASE WHEN h % 1125899906842624 = 0 THEN 51
+                            ELSE 50 - length(bin(h % 1125899906842624)) + 1
+                            END) AS INT) AS rho
+            FROM h GROUP BY bucket ORDER BY bucket
         """,
         # The sketch path is exact, so the oracle is the naive plan.
         "q_heavy_hitters": """

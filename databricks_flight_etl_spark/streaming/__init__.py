@@ -11,6 +11,7 @@ changes (SURVEY §7.4 item 6).
 from .jobs import (
     run_stream_to_memory,
     streaming_day_counts,
+    streaming_hll,
     streaming_dedup,
     streaming_running_counts,
     streaming_running_counts_tws,
@@ -20,6 +21,7 @@ from .jobs import (
 
 __all__ = [
     "streaming_day_counts",
+    "streaming_hll",
     "streaming_dedup",
     "streaming_running_counts",
     "streaming_running_counts_tws",

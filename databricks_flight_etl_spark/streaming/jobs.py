@@ -20,6 +20,7 @@ __all__ = [
     "streaming_running_counts_tws",
     "streaming_upsert_parquet",
     "run_stream_to_memory",
+    "streaming_hll",
 ]
 
 
@@ -269,3 +270,19 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_hll(
+    stream: DataFrame, col: str, p: int = 12
+) -> DataFrame:
+    """Streaming twin of ``sketches.hll_build``: the SAME register
+    table, maintained incrementally. MAX is a monotone aggregate, so
+    the state store holds exactly one int per touched register —
+    bounded by 2^p forever, no watermark needed — and after any prefix
+    of the stream the registers equal the batch sketch of that prefix
+    (the certification runs the full replay and compares against the
+    batch/DuckDB registers). Complete output mode: the sink receives
+    the whole (tiny) register table each trigger."""
+    from ..operators.sketches import hll_build
+
+    return hll_build(stream, col, p=p)

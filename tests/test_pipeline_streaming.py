@@ -517,3 +517,26 @@ def test_compact_parquet(spark, tmp_path):
     n_dst = len([f for f in _os.listdir(dst) if f.endswith(".parquet")])
     assert n_dst == 1
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """The stream-maintained HLL register table equals the batch
+    sketch bit-for-bit after a full replay."""
+    from databricks_flight_etl_spark.operators.sketches import hll_build
+    from databricks_flight_etl_spark.streaming import (
+        run_stream_to_memory,
+        streaming_hll,
+    )
+
+    src = str(tmp_path / "hll_src")
+    df = spark.range(3000).selectExpr("CAST(id AS STRING) AS v")
+    df.coalesce(2).write.parquet(src)
+    out = run_stream_to_memory(
+        spark, src, "v string",
+        lambda s: streaming_hll(s, "v", p=9),
+        query_name="shll_t", output_mode="complete",
+    )
+    got = sorted((r["bucket"], r["rho"]) for r in out.collect())
+    want = sorted((r["bucket"], r["rho"])
+                  for r in hll_build(df, "v", p=9).collect())
+    assert got == want and len(got) <= 512
