@@ -986,6 +986,66 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel view→click→signup→purchase: per-user first-step
+    times chained by strictly-later conditional minima — every stage a
+    hash aggregate/join keyed on the user (partitioning reused, no
+    per-event window sort). Oracle replays the chained CTEs."""
+    from databricks_flight_etl_spark.operators.sessions import (
+        funnel_conversion,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "signup", "purchase"],
+    ).orderBy("step")
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE aggregation over (lang, source) with grouping_id — all four
+    grouping sets in one pass (Spark expands the cube in a single
+    shuffle; partial aggregation applies per set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    """Winsorized values: clamp at the exact [p01, p99] fences from the
+    histogram-rank quantiles, broadcast back onto a narrow projection
+    — the standard robust-statistics preprocessing step. Oracle
+    replays fences and clamp."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    qdf = quantiles_exact(ev, "value", [0.01, 0.99])
+    fences = qdf.agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("q") == 0.99, F.col("value"))).alias("hi"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(fences))
+        .select(
+            "event_id",
+            F.greatest(F.col("lo"),
+                       F.least(F.col("hi"), F.col("value"))
+                       ).alias("value_w"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_streaming_hll(spark, sf_dir):
     """A mergeable sketch maintained BY THE STREAM: events replayed
     through a file-source stream into the HLL register aggregation
@@ -3146,6 +3206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_event_funnel": q_event_funnel,
+        "q_cube_counts": q_cube_counts,
+        "q_winsorize": q_winsorize,
         "q_streaming_hll": q_streaming_hll,
         "q_heavy_hitters": q_heavy_hitters,
         "q_grouped_quantiles": q_grouped_quantiles,
@@ -3836,6 +3899,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Chained first-step CTEs, then the monotone roll-up.
+        "q_event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'signup' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            ),
+            s4 AS (
+                SELECT e.user_id, min(e.ts) AS t4
+                FROM events e JOIN s3 ON e.user_id = s3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'signup', (SELECT count(*) FROM s3)
+            UNION ALL
+            SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+            ORDER BY step
+        """,
+        # DuckDB CUBE produces the same four grouping sets.
+        "q_cube_counts": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY CUBE (lang, source)
+            ORDER BY lang, source
+        """,
+        # Same exact fences (p01/p99 by the histogram rank rule), same
+        # clamp.
+        "q_winsorize": """
+            WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            hist AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+            cum AS (
+                SELECT value,
+                       sum(cnt) OVER (ORDER BY value
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       (SELECT sum(cnt) FROM hist) AS n
+                FROM hist
+            ),
+            t AS (SELECT CAST(unnest([0.01, 0.99]) AS DOUBLE) AS q),
+            quart AS (
+                SELECT t.q, min(cum.value) AS value
+                FROM t JOIN cum ON cum.cum >= floor(t.q * (cum.n - 1)) + 1
+                GROUP BY t.q
+            ),
+            fence AS (
+                SELECT min(CASE WHEN q = 0.01 THEN value END) AS lo,
+                       min(CASE WHEN q = 0.99 THEN value END) AS hi
+                FROM quart
+            )
+            SELECT event_id,
+                   greatest(lo, least(hi, value)) AS value_w
+            FROM events, fence
+            ORDER BY event_id
         """,
         # The stream-maintained registers equal the batch sketch, so
         # the oracle is the same register rebuild as q_hll_registers.

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_counts"]
+__all__ = ["sessionize", "session_counts", "funnel_steps",
+           "funnel_conversion"]
 
 
 def sessionize(
@@ -57,3 +58,69 @@ def session_counts(
         F.count(F.lit(1)).alias("n_events"),
         F.max("session_id").alias("n_sessions"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the FIRST time of step 1,
+    the first step-2 event strictly after that, and so on — the classic
+    product-analytics conversion query. Output: one row per user with
+    ``t_1 … t_n`` timestamps (null once the funnel breaks).
+
+    Plan shape: one conditional-aggregation pass per step, every one a
+    hash aggregate keyed on the user — Catalyst reuses the (user)
+    partitioning across the chained joins, so at scale this costs one
+    real exchange plus co-partitioned joins, never a per-event window
+    sort. Step count is the (small) query constant; events can be
+    100 TB."""
+    out = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.where(F.col(type_col) == step)
+            .select(F.col(user_col), F.col(ts_col).alias("__t"))
+            .join(out.select(user_col, f"t_{i - 1}"), user_col)
+            .where(F.col("__t") > F.col(f"t_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__t").alias(f"t_{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def funnel_conversion(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Funnel roll-up: (step, step_name, n_users) — how many users
+    reached each ordered step. Aggregates :func:`funnel_steps`' tiny
+    per-user frame; n_users is monotonically non-increasing."""
+    per_user = funnel_steps(df, user_col, ts_col, type_col, steps)
+    aggs = [
+        F.count(F.col(f"t_{i}")).alias(f"n_{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    wide = per_user.agg(*aggs)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(steps[i - 1]).alias("step_name"),
+                F.col(f"n_{i}").alias("n_users"),
+            )
+            for i in range(1, len(steps) + 1)
+        ])
+    ).alias("s")
+    return wide.select(pairs).select("s.step", "s.step_name",
+                                     "s.n_users")

@@ -123,3 +123,36 @@ def test_sessionize_matches_python_reference(spark):
         by_user[u] = (t, sid)
         expect[eid_] = sid
     assert got == expect
+
+
+def test_funnel_steps_and_conversion(spark):
+    """Strict ordering enforced: step 2 must be AFTER step 1; broken
+    funnels stop; conversion counts are monotone non-increasing."""
+    from databricks_flight_etl_spark.operators.sessions import (
+        funnel_conversion,
+        funnel_steps,
+    )
+
+    rows = [
+        # u1: full funnel in order
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        # u2: B happens BEFORE A -> funnel stops after A
+        (2, 10, "B"), (2, 20, "A"),
+        # u3: A only
+        (3, 5, "A"),
+        # u4: no A at all -> absent
+        (4, 1, "B"), (4, 2, "C"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, typ string")
+    per_user = {r["u"]: (r["t_1"], r["t_2"], r["t_3"]) for r in
+                funnel_steps(df, "u", "t", "typ", ["A", "B", "C"])
+                .collect()}
+    assert per_user == {
+        1: (10, 20, 30),
+        2: (20, None, None),
+        3: (5, None, None),
+    }
+    conv = {r["step"]: r["n_users"] for r in
+            funnel_conversion(df, "u", "t", "typ", ["A", "B", "C"])
+            .collect()}
+    assert conv == {1: 3, 2: 1, 3: 1}
