@@ -986,6 +986,71 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_table_checksum(spark, sf_dir):
+    """Order-insensitive table fingerprint: bit_xor of 64-bit
+    md5-derived row digests + row count, one narrow pass, no sort, no
+    row shuffle — the anti-entropy primitive for verifying a 100 TB
+    copy. The oracle computes the identical fingerprint, which is the
+    point: ANY engine can check the same checksum."""
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        table_checksum,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return table_checksum(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Levenshtein-bounded entity matching WITHOUT a cross join:
+    (first char, length band) blocking buckets the candidates into an
+    equi-join (right side replicated ×3 bands), exact distance
+    verifies within buckets. The oracle joins on the same predicate
+    with an explicit length guard — equality shows blocking loses no
+    in-distance pair whose first character survives."""
+    from databricks_flight_etl_spark.operators.relational import (
+        fuzzy_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.where(F.col("c_custkey") < 120).select("c_name")
+    right = cust.where(F.col("c_custkey").between(80, 300)).select(
+        "c_name"
+    )
+    return fuzzy_join(left, right, "c_name", "c_name",
+                      max_distance=1).orderBy("left_val", "right_val")
+
+
+def q_vector_mean(spark, sf_dir):
+    """Per-label prototype vectors as ONE hash aggregate of dim scalar
+    avgs (no posexplode-before-groupBy dim× blowup through the
+    shuffle); scalar (label, idx, mean) rows out. DECIMAL-exact sums
+    would be overkill — the oracle replays avg in the same unnest
+    order per group, and double avg of the same multiset in DuckDB's
+    streaming order can differ, so means are rounded to 9 dp on both
+    sides."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        group_vector_mean,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = group_vector_mean(emb, "label")
+    return out.select(
+        "label", "idx", F.round("mean", 9).alias("mean_r")
+    ).orderBy("label", "idx")
+
+
+def q_sample_n(spark, sf_dir):
+    """Exactly-n content-defined sample: the n smallest md5 coordinates
+    (TakeOrderedAndProject — per-partition top-n, no global sort).
+    Oracle replays the same order."""
+    from databricks_flight_etl_spark.operators.sampling import sample_n
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_n(docs, "doc_id", 50).select("doc_id", "lang")
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered funnel view→click→signup→purchase: per-user first-step
     times chained by strictly-later conditional minima — every stage a
@@ -3206,6 +3271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_table_checksum": q_table_checksum,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_vector_mean": q_vector_mean,
+        "q_sample_n": q_sample_n,
         "q_event_funnel": q_event_funnel,
         "q_cube_counts": q_cube_counts,
         "q_winsorize": q_winsorize,
@@ -3899,6 +3968,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Identical md5-derived digest, xor-folded; \x1f field sep,
+        # \x00 null sentinel.
+        "q_table_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   coalesce(bit_xor(CAST('0x' || substring(md5(
+                       coalesce(CAST(o_orderkey AS VARCHAR), chr(0))
+                       || chr(31) ||
+                       coalesce(o_orderstatus, chr(0))
+                       || chr(31) ||
+                       coalesce(o_orderpriority, chr(0))
+                   ), 1, 15) AS BIGINT)), 0) AS checksum
+            FROM orders
+        """,
+        # The unblocked predicate restricted to equal first chars —
+        # equality certifies the length-band blocking is lossless.
+        "q_fuzzy_join": """
+            WITH l AS (SELECT c_name FROM customer WHERE c_custkey < 120),
+            r AS (SELECT c_name FROM customer
+                  WHERE c_custkey BETWEEN 80 AND 300)
+            SELECT DISTINCT l.c_name AS left_val, r.c_name AS right_val,
+                   levenshtein(l.c_name, r.c_name) AS distance
+            FROM l JOIN r
+              ON substring(l.c_name, 1, 1) = substring(r.c_name, 1, 1)
+             AND abs(length(l.c_name) - length(r.c_name)) <= 1
+             AND levenshtein(l.c_name, r.c_name) <= 1
+            ORDER BY left_val, right_val
+        """,
+        # Same per-(label, idx) mean, rounded on both sides.
+        "q_vector_mean": """
+            WITH ex AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS idx,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            )
+            SELECT label, CAST(idx AS INT) AS idx,
+                   round(avg(x), 9) AS mean_r
+            FROM ex GROUP BY label, idx ORDER BY label, idx
+        """,
+        # Same md5 coordinate order, same tie-break, same n.
+        "q_sample_n": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id
+            LIMIT 50
         """,
         # Chained first-step CTEs, then the monotone roll-up.
         "q_event_funnel": """

@@ -21,6 +21,7 @@ __all__ = [
     "deterministic_sample",
     "merge_upsert",
     "scd2_history",
+    "fuzzy_join",
 ]
 
 
@@ -205,4 +206,54 @@ def scd2_history(
         marked.withColumn("valid_from", F.col(order_col))
         .withColumn("valid_to", F.lead(order_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution join: pairs whose strings are within
+    ``max_distance`` Levenshtein edits. NEVER a cross join — candidate
+    generation blocks on (first character, length band): one edit
+    changes length by at most 1, so a true match's lengths differ by
+    ≤ max_distance, and the length band ⌊len/(d+1)⌋ plus its two
+    neighbors covers every possible partner band. Candidates meet in a
+    bucketed equi-join (the right side replicates ×3 bands — a small
+    constant), the exact distance verifies only within buckets.
+
+    First-char blocking assumes the first character survives the edits
+    (typo-tail heuristic; standard blocking trade-off — widen to a
+    phonetic key for noisier data)."""
+    d = max_distance
+    band = lambda c: F.floor(F.length(c) / (d + 1))  # noqa: E731
+
+    l = left.select(  # noqa: E741
+        F.col(left_col).alias("left_val"),
+        F.substring(F.col(left_col), 1, 1).alias("__blk"),
+        band(F.col(left_col)).alias("__band"),
+    )
+    r = right.select(
+        F.col(right_col).alias("right_val"),
+        F.substring(F.col(right_col), 1, 1).alias("__blk"),
+        F.explode(
+            F.array(
+                band(F.col(right_col)) - 1,
+                band(F.col(right_col)),
+                band(F.col(right_col)) + 1,
+            )
+        ).alias("__band"),
+    ).distinct()
+    return (
+        l.join(r, ["__blk", "__band"])
+        .where(
+            (F.abs(F.length("left_val") - F.length("right_val")) <= d)
+            & (F.levenshtein("left_val", "right_val") <= d)
+        )
+        .select("left_val", "right_val",
+                F.levenshtein("left_val", "right_val").alias("distance"))
+        .distinct()
     )

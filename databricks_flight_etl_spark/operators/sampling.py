@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
-           "pack_by_token_budget", "split_assign", "epoch_shuffle"]
+           "pack_by_token_budget", "split_assign", "epoch_shuffle",
+           "sample_n"]
 
 _PREFIX_LEN = 12
 
@@ -205,4 +206,20 @@ def epoch_shuffle(df: DataFrame, key: str, epoch: int = 0) -> DataFrame:
     return (
         df.withColumn("shuffle_key", hash_bucket(key, f"epoch{epoch}:"))
         .orderBy("shuffle_key", key)
+    )
+
+
+def sample_n(
+    df: DataFrame, key: str, n: int, salt: str = ""
+) -> DataFrame:
+    """EXACTLY-n deterministic sample: the n rows with the smallest
+    content-hash coordinate (ties broken by key). Unlike a fraction
+    sample the size is exact; unlike ``df.limit`` the selection is
+    content-defined — stable across runs, partitionings, and engines.
+    Catalyst executes orderBy+limit as TakeOrderedAndProject (per-
+    partition top-n, then a driver merge of n·P candidates — no global
+    sort materialization)."""
+    return (
+        df.orderBy(hash_bucket(key, salt), F.col(key))
+        .limit(n)
     )

@@ -31,6 +31,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "ivf_centroids", "ivf_assign", "ivf_assign_pandas",
            "ann_topk_ivf", "ann_topk_ivf_batch"           "quantize_embeddings", "dequantize_embeddings",
            "semantic_dedup",
+           "group_vector_mean",
 ]
 
 
@@ -746,3 +747,35 @@ def semantic_dedup(
         block_col="__list",
     )
     return dedup_survivors(df, pairs, id_col)
+
+
+def group_vector_mean(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group element-wise mean vector (class prototypes / centroid
+    table): scalar rows (group, idx, mean). Computed as ``dim`` scalar
+    avg aggregates in ONE hash aggregate — the ivf_centroids trick —
+    so the shuffle carries per-group partial sums, never a dim× row
+    blowup (posexplode-before-groupBy would push dim·N rows through
+    the exchange). The output explode happens after aggregation, on
+    |groups| rows."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{group_col} string, idx int, mean double")
+    dim = len(first[0])
+    v = _as_double(vec_col)
+    agg = df.groupBy(group_col).agg(
+        *[F.avg(v[i]).alias(f"m_{i}") for i in range(dim)]
+    )
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("idx"),
+                     F.col(f"m_{i}").alias("mean"))
+            for i in range(dim)
+        ])
+    ).alias("p")
+    return agg.select(group_col, pairs).select(
+        group_col, "p.idx", "p.mean")

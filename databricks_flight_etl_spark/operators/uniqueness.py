@@ -21,6 +21,7 @@ __all__ = [
     "key_duplicate_count",
     "row_hash",
     "dedup_by_hash",
+    "table_checksum",
 ]
 
 # Field separator + NULL sentinel for row hashing. concat_ws silently
@@ -78,3 +79,35 @@ def dedup_by_hash(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     content (same result set as dropDuplicates, narrower shuffle)."""
     hashed = df.withColumn("__rh", row_hash(df, cols))
     return hashed.dropDuplicates(["__rh"]).drop("__rh")
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a table: one row
+    (n_rows, checksum) where checksum = bit_xor over rows of a
+    64-bit md5-derived row digest. The anti-entropy primitive for
+    100 TB replication/migration checks — one narrow pass, one tiny
+    aggregate, NO sort and NO shuffle of row data; two tables with
+    equal (n_rows, checksum) match with 2^-64 collision odds, and the
+    md5 derivation means any engine (the DuckDB oracle included)
+    computes the identical fingerprint. XOR (not SUM) keeps the
+    aggregate overflow-free under ANSI mode.
+
+    Caveat: XOR cancels PAIRS of identical rows — hence n_rows in the
+    output; for multiset-exact semantics compare (n_rows, checksum,
+    dup profile) or pre-dedup."""
+    use = cols or df.columns
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in use
+            ])),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.bit_xor(digest), F.lit(0)).alias("checksum"),
+    )

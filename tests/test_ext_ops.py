@@ -1246,3 +1246,78 @@ def test_heavy_hitters_exact_vs_naive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         heavy_hitters(df, "v", 0.001, capacity=64)
+
+
+def test_table_checksum_properties(spark):
+    """Order/partitioning-invariant; detects any single-cell change;
+    includes the row count to disambiguate xor-cancelling pairs."""
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        table_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k int, v string")
+    base = table_checksum(df).collect()[0]
+    shuffled = table_checksum(df.orderBy(F.desc("k")).repartition(7)
+                              ).collect()[0]
+    assert (base["n_rows"], base["checksum"]) == \
+           (shuffled["n_rows"], shuffled["checksum"])
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None)], "k int, v string")
+    assert table_checksum(changed).collect()[0]["checksum"] \
+        != base["checksum"]
+    # a duplicated row xor-cancels but n_rows still differs
+    dup = df.union(spark.createDataFrame([(1, "a"), (1, "a")],
+                                         "k int, v string"))
+    d = table_checksum(dup).collect()[0]
+    assert d["checksum"] == base["checksum"] and d["n_rows"] == 5
+
+
+def test_fuzzy_join_equals_unblocked(spark):
+    """Blocking finds every pair the unblocked quadratic scan finds
+    (given equal first chars), at any distance bound."""
+    from databricks_flight_etl_spark.operators.relational import (
+        fuzzy_join,
+    )
+
+    words = ["spark", "spork", "sparky", "stark", "sharc",
+             "table", "cable", "tible", "tabble", "zzz"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {(r["left_val"], r["right_val"])
+           for r in fuzzy_join(df, df, "w", "w", max_distance=2)
+           .collect()}
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {(a, b) for a, b in itertools.product(words, words)
+            if a[0] == b[0] and lev(a, b) <= 2}
+    assert got == want
+
+
+def test_group_vector_mean_and_sample_n(spark):
+    from databricks_flight_etl_spark.operators.sampling import sample_n
+    from databricks_flight_etl_spark.operators.similarity import (
+        group_vector_mean,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 20.0])],
+        "label string, embedding array<double>")
+    got = {(r["label"], r["idx"]): r["mean"]
+           for r in group_vector_mean(df, "label").collect()}
+    assert got == {("a", 0): 2.0, ("a", 1): 3.0,
+                   ("b", 0): 10.0, ("b", 1): 20.0}
+
+    big = spark.range(1000).selectExpr("id")
+    s1 = [r["id"] for r in sample_n(big, "id", 37).collect()]
+    s2 = [r["id"] for r in
+          sample_n(big.repartition(13), "id", 37).collect()]
+    assert len(s1) == 37 and s1 == s2  # exact size, layout-invariant
