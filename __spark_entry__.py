@@ -986,6 +986,85 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_diff_tables(spark, sf_dir):
+    """Keyed diff of two table versions: each side collapses to
+    (key, digest) BEFORE the full-outer join — the exchange carries
+    32-hex digests, never rows. Synthetic version B: every 17th order
+    removed, every 10th repriced, every 25th key re-added shifted.
+    Output: status counts; oracle replays digests and statuses."""
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        diff_tables,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        orders.where(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 == 0,
+                   F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 25 == 0)
+            .withColumn("o_orderkey",
+                        F.col("o_orderkey") + 1000000)
+        )
+    )
+    out = diff_tables(orders, b, ["o_orderkey"])
+    return (
+        out.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+def q_skew_report(spark, sf_dir):
+    """Hot-key diagnostic: top-5 heaviest user_id groups with share
+    and ratio-to-mean — the pre-join skew probe. One groupBy + tiny
+    ordered limit."""
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        skew_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_k=5)
+
+
+def q_hist_equidepth(spark, sf_dir):
+    """Equi-depth histogram: exact decile edges from the histogram-rank
+    quantiles, bucket = #edges ≤ x via a broadcast edge array on a
+    narrow projection. Oracle replays edges and bucketing."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        histogram_equidepth,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_equidepth(ev, "value", nbins=10)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """The daily-crawl dedup shape: a new batch (documents + planted
+    re-crawls) deduped against the persisted digest table of an
+    already-accepted corpus (doc_id < 250) — anti-join on 32-hex
+    digests, history never rescanned. Oracle replays both stages."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        corpus_digests,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = corpus_digests(docs.where(F.col("doc_id") < 250), "text")
+    new = docs.unionByName(
+        docs.where(F.col("doc_id") % 40 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+    )
+    out = incremental_dedup(new, seen, "text", "doc_id")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_table_checksum(spark, sf_dir):
     """Order-insensitive table fingerprint: bit_xor of 64-bit
     md5-derived row digests + row count, one narrow pass, no sort, no
@@ -3271,6 +3350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_diff_tables": q_diff_tables,
+        "q_skew_report": q_skew_report,
+        "q_hist_equidepth": q_hist_equidepth,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_table_checksum": q_table_checksum,
         "q_fuzzy_join": q_fuzzy_join,
         "q_vector_mean": q_vector_mean,
@@ -3968,6 +4051,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same digests (status/price fields, \x1f sep), same statuses.
+        "q_diff_tables": """
+            WITH a AS (
+                SELECT o_orderkey,
+                       md5(coalesce(o_orderstatus, chr(0)) || chr(31) ||
+                           coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))
+                           AS da
+                FROM orders
+            ),
+            bsrc AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 10 = 0
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 17 <> 0
+                UNION ALL
+                SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 25 = 0
+            ),
+            b AS (
+                SELECT o_orderkey,
+                       md5(coalesce(o_orderstatus, chr(0)) || chr(31) ||
+                           coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))
+                           AS db
+                FROM bsrc
+            ),
+            j AS (
+                SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k, da, db
+                FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            )
+            SELECT CASE WHEN da IS NULL THEN 'added'
+                        WHEN db IS NULL THEN 'removed'
+                        WHEN da = db THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   count(*) AS n
+            FROM j GROUP BY status ORDER BY status
+        """,
+        # Same counts, share, and ratio-to-mean, same ordering.
+        "q_skew_report": """
+            WITH c AS (
+                SELECT user_id, count(*) AS cnt FROM events
+                GROUP BY user_id
+            ),
+            s AS (SELECT sum(cnt) AS total, avg(cnt) AS mean FROM c)
+            SELECT user_id, cnt,
+                   round(cnt / total, 6) AS share,
+                   round(cnt / mean, 3) AS x_mean
+            FROM c, s
+            ORDER BY cnt DESC, user_id LIMIT 5
+        """,
+        # Same decile edges (histogram rank rule), same bucketing.
+        "q_hist_equidepth": """
+            WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            hist AS (SELECT value, count(*) AS cnt FROM v GROUP BY value),
+            cum AS (
+                SELECT value,
+                       sum(cnt) OVER (ORDER BY value
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       (SELECT sum(cnt) FROM hist) AS n
+                FROM hist
+            ),
+            t AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6,
+                                      0.7, 0.8, 0.9]) AS DOUBLE) AS q),
+            quart AS (
+                SELECT t.q, min(cum.value) AS value
+                FROM t JOIN cum ON cum.cum >= floor(t.q * (cum.n - 1)) + 1
+                GROUP BY t.q
+            ),
+            edges AS (SELECT list_sort(list(value)) AS e FROM quart)
+            SELECT CAST(len(list_filter(e, x -> value >= x)) AS INT)
+                       AS bucket,
+                   count(*) AS n
+            FROM v, edges
+            GROUP BY bucket ORDER BY bucket
+        """,
+        # Same two stages: min-id within-batch, digest anti-join.
+        "q_incremental_dedup": """
+            WITH seen AS (
+                SELECT DISTINCT md5(lower(trim(text))) AS digest
+                FROM documents WHERE doc_id < 250
+            ),
+            new AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000, text FROM documents
+                WHERE doc_id % 40 = 0
+            ),
+            batch AS (
+                SELECT min(doc_id) AS doc_id,
+                       md5(lower(trim(text))) AS digest
+                FROM new GROUP BY digest
+            )
+            SELECT doc_id FROM batch
+            WHERE digest NOT IN (SELECT digest FROM seen)
+            ORDER BY doc_id
         """,
         # Identical md5-derived digest, xor-folded; \x1f field sep,
         # \x00 null sentinel.

@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 __all__ = ["summary_stats", "histogram", "describe",
            "moving_average", "zscore_by_group",
            "quantiles_exact", "quantiles_approx", "outliers_iqr",
-           "grouped_quantiles"]
+           "grouped_quantiles", "histogram_equidepth"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -277,4 +277,31 @@ def grouped_quantiles(
         .groupBy(*group_cols, F.col("t.q").alias("q"))
         .agg(F.min("value").alias("value"))
         .orderBy(*group_cols, "q")
+    )
+
+
+def histogram_equidepth(
+    df: DataFrame, col: str, nbins: int = 10
+) -> DataFrame:
+    """Equi-DEPTH histogram: bucket edges at the exact i/nbins
+    quantiles (histogram-rank method — no raw-row sort), bucket(x) =
+    number of interior edges ≤ x. Duplicate-heavy values pool in one
+    bucket (counts then deviate from n/nbins — that's the signal, not
+    an error). Output (bucket, n). The edge array is ≤ nbins−1 values
+    broadcast onto a narrow projection."""
+    qs = [i / nbins for i in range(1, nbins)]
+    edges = quantiles_exact(df, col, qs).agg(
+        F.array_sort(F.collect_list("value")).alias("__edges")
+    )
+    x = F.col(col)
+    bucket = F.size(
+        F.filter(F.col("__edges"), lambda e: x >= e)
+    )
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
     )

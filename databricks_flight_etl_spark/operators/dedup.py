@@ -44,6 +44,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "dedup_survivors",
+    "incremental_dedup",
+    "corpus_digests",
 ]
 
 
@@ -524,3 +526,40 @@ def dedup_survivors(
     from .graph import dedup_survivors as _impl  # local import: no cycle
 
     return _impl(df, pairs, id_col, src, dst, broadcast_max_rows)
+
+
+def incremental_dedup(
+    new: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The daily-crawl shape: dedup a NEW batch against an existing
+    corpus without rescanning it. ``seen_digests`` is the persisted
+    one-column digest table of everything already accepted (md5 of the
+    lower/trim text — 32 hex chars per historical doc, the only state
+    the pipeline needs to carry). Within-batch dups collapse to the
+    min-id row first, then an anti-join on the digest drops batch
+    survivors already in the corpus. Both steps shuffle digests, never
+    text; the digest table itself never rescans history."""
+    batch = exact_dedup(new, text_col, id_col)
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        batch.withColumn("__digest", digest)
+        .join(
+            seen_digests.select(
+                F.col(seen_digests.columns[0]).alias("__digest")
+            ),
+            "__digest",
+            "left_anti",
+        )
+        .drop("__digest")
+    )
+
+
+def corpus_digests(df: DataFrame, text_col: str) -> DataFrame:
+    """The persisted dedup state for :func:`incremental_dedup`: the
+    distinct digest column of an accepted corpus."""
+    return df.select(
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("digest")
+    ).distinct()

@@ -22,6 +22,8 @@ __all__ = [
     "row_hash",
     "dedup_by_hash",
     "table_checksum",
+    "diff_tables",
+    "skew_report",
 ]
 
 # Field separator + NULL sentinel for row hashing. concat_ws silently
@@ -110,4 +112,62 @@ def table_checksum(
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.bit_xor(digest), F.lit(0)).alias("checksum"),
+    )
+
+
+def diff_tables(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed table diff — the migration/backfill verification tool:
+    one row per key with status ∈ {added, removed, changed, unchanged}
+    (added = in ``b`` only). Each side collapses to (keys, digest)
+    BEFORE the full-outer join, so the exchange carries 32-hex digests
+    instead of full rows — at 100 TB that is the difference between
+    shuffling the table and shuffling its keys."""
+    use = compare_cols or [c for c in a.columns if c not in keys]
+
+    def digested(df: DataFrame, name: str) -> DataFrame:
+        digest = F.md5(F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in use
+        ]))
+        return df.select(*keys, digest.alias(name))
+
+    left = digested(a, "__da")
+    right = digested(b, "__db")
+    joined = left.join(right, keys, "full_outer")
+    status = (
+        F.when(F.col("__da").isNull(), F.lit("added"))
+        .when(F.col("__db").isNull(), F.lit("removed"))
+        .when(F.col("__da") == F.col("__db"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, status.alias("status"))
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_k: int = 10
+) -> DataFrame:
+    """Hot-key diagnostic BEFORE a join/agg melts an executor: the
+    ``top_k`` heaviest key groups with count, share of all rows, and
+    ratio to the mean group size (ratio ≫ 1 ⇒ salt or AQE-skew the
+    downstream op). One groupBy + a tiny ordered limit."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.avg("cnt").alias("__mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *keys, "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("__mean"), 3).alias(
+                "x_mean"),
+        )
+        .orderBy(F.desc("cnt"), *keys)
+        .limit(top_k)
     )

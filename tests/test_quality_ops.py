@@ -287,3 +287,69 @@ def test_grouped_quantiles_matches_global_per_group(spark):
                 .collect()}
         for q in qs:
             assert got[(t, q)] == want[q]
+
+
+def test_diff_tables_statuses(spark):
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        diff_tables,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)],
+        "k int, s string, v double")
+    b = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 99.0), (4, "w", 40.0)],
+        "k int, s string, v double")
+    got = {r["k"]: r["status"]
+           for r in diff_tables(a, b, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}
+    # compare_cols restriction: v ignored -> 2 becomes unchanged
+    got2 = {r["k"]: r["status"]
+            for r in diff_tables(a, b, ["k"], ["s"]).collect()}
+    assert got2[2] == "unchanged"
+
+
+def test_skew_report_and_equidepth(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        histogram_equidepth,
+    )
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        skew_report,
+    )
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, 1).otherwise(F.col("id")).alias("k"))
+    top = skew_report(df, ["k"], top_k=1).collect()[0]
+    assert top["k"] == 1 and top["cnt"] == 60
+    assert abs(top["share"] - 0.6) < 1e-9
+    # 41 groups: one of 60 and 40 singletons -> mean 100/41
+    assert abs(top["x_mean"] - 60 / (100 / 41)) < 0.01
+
+    vals = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS x")
+    hist = {r["bucket"]: r["n"] for r in
+            histogram_equidepth(vals, "x", nbins=10).collect()}
+    assert sum(hist.values()) == 1000
+    assert all(abs(n - 100) <= 1 for n in hist.values())
+
+
+def test_incremental_dedup_daily_crawl(spark):
+    from databricks_flight_etl_spark.operators.dedup import (
+        corpus_digests,
+        incremental_dedup,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    day2 = spark.createDataFrame(
+        [(10, "ALPHA "),        # normalizes to a seen digest -> dropped
+         (11, "gamma"), (12, "gamma"),  # within-batch dup -> keep 11
+         (13, "delta")],
+        "doc_id long, text string")
+    seen = corpus_digests(day1, "text")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(day2, seen, "text", "doc_id")
+                  .collect())
+    assert kept == [11, 13]
