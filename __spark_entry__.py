@@ -986,6 +986,44 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_hll_per_day(spark, sf_dir):
+    """Distinct users per day at sketch cost: per-group HLL register
+    tables (bounded by days·2^p rows, one shuffle on (day, bucket)) —
+    certified register-for-register via the portable md5 family. The
+    ESTIMATOR stays library-side (hll_estimate_grouped, tolerance-
+    tested): its ln()/ordered-double-sum path can differ across
+    engines in the last ulp, which an exact value-hash gate must not
+    depend on."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        hll_build_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+    sk = hll_build_grouped(days, ["day"], "user_id", p=10)
+    return sk.orderBy("day", "bucket")
+
+
+def q_hll_rollup(spark, sf_dir):
+    """The sketch-rollup identity, certified: per-day register tables
+    merged by register-wise max EQUAL the whole-corpus sketch — the
+    oracle builds the whole-corpus registers directly. This is why
+    daily sketches answer monthly distinct questions without
+    rescanning a 100 TB history."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        hll_build_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+    per_day = hll_build_grouped(days, ["day"], "user_id", p=10)
+    return (
+        per_day.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .orderBy("bucket")
+    )
+
+
 def q_diff_tables(spark, sf_dir):
     """Keyed diff of two table versions: each side collapses to
     (key, digest) BEFORE the full-outer join — the exchange carries
@@ -3350,6 +3388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_hll_per_day": q_hll_per_day,
+        "q_hll_rollup": q_hll_rollup,
         "q_diff_tables": q_diff_tables,
         "q_skew_report": q_skew_report,
         "q_hist_equidepth": q_hist_equidepth,
@@ -4051,6 +4091,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same per-day register rebuild, bit-for-bit.
+        "q_hll_per_day": """
+            WITH h AS (
+                SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15) AS BIGINT) AS h
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT day, CAST(h >> 50 AS INT) AS bucket,
+                   CAST(max(CASE WHEN h % 1125899906842624 = 0 THEN 51
+                            ELSE 50 - length(bin(h % 1125899906842624)) + 1
+                            END) AS INT) AS rho
+            FROM h GROUP BY day, bucket ORDER BY day, bucket
+        """,
+        # Rollup identity: merged per-day registers == whole-corpus
+        # registers, which the oracle builds directly.
+        "q_hll_rollup": """
+            WITH h AS (
+                SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15) AS BIGINT) AS h
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT CAST(h >> 50 AS INT) AS bucket,
+                   CAST(max(CASE WHEN h % 1125899906842624 = 0 THEN 51
+                            ELSE 50 - length(bin(h % 1125899906842624)) + 1
+                            END) AS INT) AS rho
+            FROM h GROUP BY bucket ORDER BY bucket
         """,
         # Same digests (status/price fields, \x1f sep), same statuses.
         "q_diff_tables": """

@@ -28,6 +28,7 @@ __all__ = [
     "hll_build", "hll_merge", "hll_estimate",
     "bloom_build", "bloom_might_contain", "bloom_semi_join",
     "heavy_hitters",
+    "hll_build_grouped", "hll_estimate_grouped",
 ]
 
 
@@ -358,4 +359,54 @@ def heavy_hitters(
         .groupBy(F.col("__v").alias("term"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= thresh)
+    )
+
+
+def hll_build_grouped(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog registers: (group…, bucket, rho) — the
+    'distinct users per day' table at sketch cost. Output bounded by
+    |groups|·2^p; one shuffle on (group, bucket). Sketches for
+    different groups MERGE by max over the same registers, so per-day
+    tables roll up to per-week/whole-corpus cardinalities without
+    rescanning (the rollup-identity certification)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    w = _HLL_HASH_BITS - p
+    h = _md5_long(F.col(col).cast("string"))
+    bucket = F.shiftright(h, w).cast("int")
+    rem = h % (2 ** w)
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(rem)) + 1
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Per-group cardinality estimates from a grouped register table:
+    (group…, estimate). Same estimator as :func:`hll_estimate`,
+    evaluated per group in one hash aggregate."""
+    m = 2 ** p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    z = F.col("z_present") + (
+        F.lit(float(m)) - F.col("n_present").cast("double")
+    )
+    raw = F.lit(alpha * m * m) / z
+    zeros = F.lit(float(m)) - F.col("n_present").cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("estimate")
     )

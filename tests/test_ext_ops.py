@@ -1321,3 +1321,36 @@ def test_group_vector_mean_and_sample_n(spark):
     s2 = [r["id"] for r in
           sample_n(big.repartition(13), "id", 37).collect()]
     assert len(s1) == 37 and s1 == s2  # exact size, layout-invariant
+
+
+def test_hll_grouped_estimates_and_rollup(spark):
+    """Per-group estimates land within the error band of the exact
+    per-group distinct counts; merged per-group registers equal the
+    ungrouped whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 700) + (F.col("id") % 3) * 1000
+                 ).alias("u"),
+    )
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.count_distinct("u").alias("n"))
+             .collect()}
+    sk = hll_build_grouped(df, ["g"], "u", p=11)
+    est = {r["g"]: r["estimate"] for r in
+           hll_estimate_grouped(sk, ["g"], p=11).collect()}
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.08
+    merged = sorted(
+        (r["bucket"], r["rho"]) for r in
+        sk.groupBy("bucket").agg(F.max("rho").alias("rho")).collect())
+    whole = sorted((r["bucket"], r["rho"])
+                   for r in hll_build(df, "u", p=11).collect())
+    assert merged == whole
