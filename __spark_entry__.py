@@ -986,6 +986,63 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Distribution-free rank normalization: pct_rank from the value
+    histogram joined back BY VALUE (an equi-join shuffled on the value
+    — scales; no global row sort, no giant broadcast). Oracle replays
+    (#below)/(n−1)."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        rank_normalize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        rank_normalize(ev, "value", ["event_id"])
+        .select("event_id", "value",
+                F.round("pct_rank", 9).alias("pr"))
+        .orderBy("event_id")
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson matrix in ONE aggregate pass of exact DECIMAL
+    moments — deterministic across engines/partitionings where plain
+    double sums are not; the oracle folds the identical decimal sums.
+    Rounded to 6 dp: the only cross-engine freedom left is the
+    final decimal→double conversion ulp."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        correlation_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], decimals=6
+    ).orderBy("col_a", "col_b")
+
+
+def q_window_battery(spark, sf_dir):
+    """Window-function battery per user over a TOTAL (ts, event_id)
+    order: lag, lead, first/last value, ntile(4), percent_rank,
+    cume_dist — one exchange, every function over the same frame.
+    Oracle replays the battery."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    return ev.select(
+        "user_id", "event_id",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+        F.first("value").over(wf).alias("first_v"),
+        F.last("value").over(wf).alias("last_v"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    ).orderBy("user_id", "event_id")
+
+
 def q_hll_per_day(spark, sf_dir):
     """Distinct users per day at sketch cost: per-group HLL register
     tables (bounded by days·2^p rows, one shuffle on (day, bucket)) —
@@ -3388,6 +3445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_rank_normalize": q_rank_normalize,
+        "q_corr_matrix": q_corr_matrix,
+        "q_window_battery": q_window_battery,
         "q_hll_per_day": q_hll_per_day,
         "q_hll_rollup": q_hll_rollup,
         "q_diff_tables": q_diff_tables,
@@ -4091,6 +4151,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same histogram rank: (#values strictly below)/(n-1).
+        "q_rank_normalize": """
+            WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            hist AS (SELECT value AS hv, count(*) AS c FROM v GROUP BY 1),
+            ranks AS (
+                SELECT hv,
+                       coalesce(sum(c) OVER (ORDER BY hv
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS below,
+                       (SELECT sum(c) FROM hist) AS n
+                FROM hist
+            )
+            SELECT e.event_id, e.value,
+                   round(below / (n - 1), 9) AS pr
+            FROM events e JOIN ranks ON e.value = ranks.hv
+            ORDER BY e.event_id
+        """,
+        # Identical decimal moments, identical final double formula.
+        "q_corr_matrix": """
+            WITH m AS (
+                SELECT count(*) AS n,
+                       sum(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+                       sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_p,
+                       sum(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+                       sum(CAST(l_quantity AS DECIMAL(28,6))
+                           * CAST(l_quantity AS DECIMAL(28,6))) AS s_qq,
+                       sum(CAST(l_extendedprice AS DECIMAL(28,6))
+                           * CAST(l_extendedprice AS DECIMAL(28,6))) AS s_pp,
+                       sum(CAST(l_discount AS DECIMAL(28,6))
+                           * CAST(l_discount AS DECIMAL(28,6))) AS s_dd,
+                       sum(CAST(l_quantity AS DECIMAL(28,6))
+                           * CAST(l_extendedprice AS DECIMAL(28,6))) AS s_qp,
+                       sum(CAST(l_quantity AS DECIMAL(28,6))
+                           * CAST(l_discount AS DECIMAL(28,6))) AS s_qd,
+                       sum(CAST(l_extendedprice AS DECIMAL(28,6))
+                           * CAST(l_discount AS DECIMAL(28,6))) AS s_pd
+                FROM lineitem
+            )
+            SELECT col_a, col_b,
+                   round((CAST(n AS DOUBLE) * sab - sa * sb)
+                         / (sqrt(CAST(n AS DOUBLE) * saa - sa * sa)
+                            * sqrt(CAST(n AS DOUBLE) * sbb - sb * sb)),
+                         6) AS corr
+            FROM (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                       CAST(s_q AS DOUBLE) AS sa, CAST(s_p AS DOUBLE) AS sb,
+                       CAST(s_qq AS DOUBLE) AS saa,
+                       CAST(s_pp AS DOUBLE) AS sbb,
+                       CAST(s_qp AS DOUBLE) AS sab, n
+                FROM m
+                UNION ALL
+                SELECT 'l_quantity', 'l_discount',
+                       CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
+                       CAST(s_qq AS DOUBLE), CAST(s_dd AS DOUBLE),
+                       CAST(s_qd AS DOUBLE), n
+                FROM m
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_discount',
+                       CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
+                       CAST(s_pp AS DOUBLE), CAST(s_dd AS DOUBLE),
+                       CAST(s_pd AS DOUBLE), n
+                FROM m
+            )
+            ORDER BY col_a, col_b
+        """,
+        # Same battery over the same total order.
+        "q_window_battery": """
+            SELECT user_id, event_id,
+                   lag(value) OVER w AS prev_v,
+                   lead(value) OVER w AS next_v,
+                   first_value(value) OVER wf AS first_v,
+                   last_value(value) OVER wf AS last_v,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 9) AS pr,
+                   round(cume_dist() OVER w, 9) AS cd
+            FROM events WHERE user_id < 10
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+            ORDER BY user_id, event_id
         """,
         # Same per-day register rebuild, bit-for-bit.
         "q_hll_per_day": """

@@ -18,7 +18,8 @@ from pyspark.sql import types as T
 __all__ = ["summary_stats", "histogram", "describe",
            "moving_average", "zscore_by_group",
            "quantiles_exact", "quantiles_approx", "outliers_iqr",
-           "grouped_quantiles", "histogram_equidepth"]
+           "grouped_quantiles", "histogram_equidepth",
+           "rank_normalize", "correlation_matrix"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -304,4 +305,86 @@ def histogram_equidepth(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
+    )
+
+
+def rank_normalize(
+    df: DataFrame, col: str, id_cols: list[str],
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Rank-based feature transform: pct_rank(x) = (# values < x) /
+    (n − 1) ∈ [0, 1] — the distribution-free normalization for
+    heavy-tailed features. Computed against the value HISTOGRAM: the
+    cumulative rank table has |distinct| rows and joins back on the
+    value (an equi-join shuffled by value — scales; never a global
+    row sort or a giant broadcast)."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    total = hist.agg(F.sum("__c").alias("__n"))
+    ranks = hist.select(
+        "__v",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below"),
+    ).crossJoin(F.broadcast(total))
+    return (
+        df.join(ranks, df[col] == ranks["__v"])
+        .select(
+            *id_cols,
+            F.col(col),
+            (F.col("__below") / (F.col("__n") - 1)).alias(out_col),
+        )
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], decimals: int = 9
+) -> DataFrame:
+    """Pairwise Pearson correlations as (col_a, col_b, corr) for a < b
+    — ONE aggregate pass collecting exact DECIMAL moments (sums,
+    squares, cross-products), so the result is deterministic across
+    engines and partitionings (double summation order is not); the
+    final formula is a handful of scalar double ops. Null handling:
+    rows with a null in either column drop from that PAIR only."""
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            da = F.col(a).cast("decimal(28,6)")
+            db = F.col(b).cast("decimal(28,6)")
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            aggs += [
+                F.sum(F.when(both, 1).otherwise(0)).alias(f"n_{a}_{b}"),
+                F.sum(F.when(both, da)).alias(f"sa_{a}_{b}"),
+                F.sum(F.when(both, db)).alias(f"sb_{a}_{b}"),
+                F.sum(F.when(both, da * da)).alias(f"saa_{a}_{b}"),
+                F.sum(F.when(both, db * db)).alias(f"sbb_{a}_{b}"),
+                F.sum(F.when(both, da * db)).alias(f"sab_{a}_{b}"),
+            ]
+    wide = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = F.col(f"n_{a}_{b}").cast("double")
+            sa = F.col(f"sa_{a}_{b}").cast("double")
+            sb = F.col(f"sb_{a}_{b}").cast("double")
+            saa = F.col(f"saa_{a}_{b}").cast("double")
+            sbb = F.col(f"sbb_{a}_{b}").cast("double")
+            sab = F.col(f"sab_{a}_{b}").cast("double")
+            corr = (n * sab - sa * sb) / (
+                F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, decimals).alias("corr"),
+                )
+            )
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.col_a", "p.col_b", "p.corr")
     )

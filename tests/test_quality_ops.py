@@ -353,3 +353,28 @@ def test_incremental_dedup_daily_crawl(spark):
                   incremental_dedup(day2, seen, "text", "doc_id")
                   .collect())
     assert kept == [11, 13]
+
+
+def test_rank_normalize_and_corr_matrix(spark):
+    import math
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        correlation_matrix,
+        rank_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0)], "id int, x double")
+    got = {r["id"]: r["pct_rank"]
+           for r in rank_normalize(df, "x", ["id"]).collect()}
+    # below-counts: 10->0, 20->1 (both), 40->3 ; n-1 = 3
+    assert got == {1: 0.0, 2: 1 / 3, 3: 1 / 3, 4: 1.0}
+
+    rows = [(float(i), 2.0 * i + 1, float(-i), float(i % 3))
+            for i in range(50)]
+    cdf = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    corr = {(r["col_a"], r["col_b"]): r["corr"] for r in
+            correlation_matrix(cdf, ["a", "b", "c"]).collect()}
+    assert math.isclose(corr[("a", "b")], 1.0, abs_tol=1e-9)
+    assert math.isclose(corr[("a", "c")], -1.0, abs_tol=1e-9)
+    assert math.isclose(corr[("b", "c")], -1.0, abs_tol=1e-9)
