@@ -986,6 +986,31 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the customer→supplier purchase graph (who buys
+    from whom, via orders⋈lineitem), 3 FIXED power-iteration rounds so
+    the oracle can replay them unrolled. Per round: one co-partitioned
+    join + one hash agg on node ids; lineage localCheckpoint'd.
+    Ranks rounded to 6 dp (double sum order is the only cross-engine
+    freedom; terms are ~1e-15 apart from boundaries)."""
+    from databricks_flight_etl_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_suppkey"),
+              orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, iters=3, damping=0.85, decimals=6)
+    return out.orderBy("node")
+
+
 def q_rank_normalize(spark, sf_dir):
     """Distribution-free rank normalization: pct_rank from the value
     histogram joined back BY VALUE (an equi-join shuffled on the value
@@ -3445,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_pagerank": q_pagerank,
         "q_rank_normalize": q_rank_normalize,
         "q_corr_matrix": q_corr_matrix,
         "q_window_battery": q_window_battery,
@@ -4151,6 +4177,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Three unrolled power-iteration rounds over the same edge
+        # set, dangling mass redistributed uniformly each round.
+        "q_pagerank": """
+            WITH edges AS (
+                SELECT DISTINCT 'c' || o.o_custkey AS src,
+                       's' || l.l_suppkey AS dst
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+            ),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src AS node, count(*) AS out_deg
+                    FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+            d1 AS (SELECT coalesce(sum(rank), 0) AS m FROM r0
+                   LEFT JOIN deg USING (node) WHERE out_deg IS NULL),
+            c1 AS (
+                SELECT e.dst AS node, sum(r.rank / g.out_deg) AS cin
+                FROM edges e
+                JOIN r0 r ON e.src = r.node
+                JOIN deg g ON e.src = g.node
+                GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT nodes.node,
+                       0.15 / n + 0.85 * (coalesce(cin, 0) + (SELECT m FROM d1) / n)
+                           AS rank
+                FROM nodes LEFT JOIN c1 USING (node), nn
+            ),
+            d2 AS (SELECT coalesce(sum(rank), 0) AS m FROM r1
+                   LEFT JOIN deg USING (node) WHERE out_deg IS NULL),
+            c2 AS (
+                SELECT e.dst AS node, sum(r.rank / g.out_deg) AS cin
+                FROM edges e
+                JOIN r1 r ON e.src = r.node
+                JOIN deg g ON e.src = g.node
+                GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT nodes.node,
+                       0.15 / n + 0.85 * (coalesce(cin, 0) + (SELECT m FROM d2) / n)
+                           AS rank
+                FROM nodes LEFT JOIN c2 USING (node), nn
+            ),
+            d3 AS (SELECT coalesce(sum(rank), 0) AS m FROM r2
+                   LEFT JOIN deg USING (node) WHERE out_deg IS NULL),
+            c3 AS (
+                SELECT e.dst AS node, sum(r.rank / g.out_deg) AS cin
+                FROM edges e
+                JOIN r2 r ON e.src = r.node
+                JOIN deg g ON e.src = g.node
+                GROUP BY e.dst
+            )
+            SELECT nodes.node,
+                   round(0.15 / n + 0.85 * (coalesce(cin, 0)
+                         + (SELECT m FROM d3) / n), 6) AS rank
+            FROM nodes LEFT JOIN c3 USING (node), nn
+            ORDER BY node
         """,
         # Same histogram rank: (#values strictly below)/(n-1).
         "q_rank_normalize": """

@@ -34,6 +34,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "dedup_survivors",
+    "pagerank",
 ]
 
 
@@ -205,3 +206,71 @@ def connected_components_star(
         "left_anti",
     ).select("node", F.col("node").alias("component"))
     return members.unionByName(roots)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    decimals: int | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list: (node, rank) after a FIXED
+    ``iters`` power-iteration rounds from the uniform start — fixed
+    rounds (not convergence-tested) so the result is a deterministic
+    function of the edge set that an unrolled-SQL oracle can replay.
+
+    Each round: contributions = rank/out_degree shipped along edges
+    (join shuffled on src), summed per destination (groupBy on dst),
+    then rank = (1−d)/N + d·(contribs + dangling_mass/N) — dangling
+    nodes (no out-edges) redistribute uniformly, so total rank stays
+    1. Plan per round: one co-partitioned join + one hash agg, both
+    keyed on node ids; ``localCheckpoint`` truncates lineage so the
+    plan stays O(1) across rounds like connected_components."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # dangling mass stays a broadcast one-row frame — no driver
+        # collect per round; the only action is the lineage checkpoint
+        dangling = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
+        )
+        contribs = (
+            edges.join(
+                with_deg.where(F.col("out_deg").isNotNull()).select(
+                    F.col("node").alias(src),
+                    (F.col("rank") / F.col("out_deg")).alias("__c"),
+                ),
+                src,
+            )
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0))
+                       + F.col("__m") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if decimals is not None:
+        ranks = ranks.select("node", F.round("rank", decimals).alias("rank"))
+    return ranks

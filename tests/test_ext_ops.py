@@ -1354,3 +1354,30 @@ def test_hll_grouped_estimates_and_rollup(spark):
     whole = sorted((r["bucket"], r["rho"])
                    for r in hll_build(df, "u", p=11).collect())
     assert merged == whole
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node graph checked against a hand-run power iteration,
+    including dangling-mass redistribution; ranks sum to 1."""
+    from databricks_flight_etl_spark.operators.graph import pagerank
+
+    # a -> b, a -> c, b -> c ; c dangles
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=2, damping=0.85).collect()}
+
+    # replicate in python
+    n, d = 3, 0.85
+    rank = {x: 1 / n for x in "abc"}
+    out = {"a": 2, "b": 1}
+    for _ in range(2):
+        dang = sum(rank[x] for x in rank if x not in out)
+        contrib = {x: 0.0 for x in rank}
+        contrib["b"] += rank["a"] / 2
+        contrib["c"] += rank["a"] / 2 + rank["b"]
+        rank = {x: (1 - d) / n + d * (contrib[x] + dang / n)
+                for x in rank}
+    for x in "abc":
+        assert abs(got[x] - rank[x]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
