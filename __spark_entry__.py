@@ -1427,7 +1427,7 @@ def q_semantic_dedup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
-        emb, threshold=0.35, n_lists=8, iters=2
+        emb, threshold=0.35, n_lists=8, iters=1
     )
     return out.select("vec_id", "label").orderBy("vec_id")
 

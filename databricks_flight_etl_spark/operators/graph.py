@@ -43,6 +43,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 64,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; the component id
     is the minimum node id in the component (deterministic).
@@ -50,8 +51,23 @@ def connected_components(
     ``edges`` is undirected input (each pair once is enough). Stops when
     a round changes no label, or after ``max_iter`` rounds (raises if
     unconverged — silent partial closure would merge too little).
+
+    Small-graph fast path: a near-dup pair list is usually TINY relative
+    to the corpus (only duplicated docs appear), yet the distributed
+    loop pays several shuffle+checkpoint rounds of fixed overhead. When
+    the deduped edge list fits ``driver_max_edges`` (default 1M pairs ≈
+    tens of MB — the same bounded-collect budget as the bloom bitmap),
+    a driver union-find computes the identical min-id labeling in
+    milliseconds. Above the bound, the distributed min-label loop runs
+    unchanged — the 100 TB path is untouched. Set
+    ``driver_max_edges=0`` to force the distributed loop (the tests'
+    convergence/round-count assertions do).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_max_edges:
+        sample = edges.limit(driver_max_edges + 1).count()
+        if sample <= driver_max_edges:
+            return _cc_driver_union_find(e)
     e = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -82,6 +98,36 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _cc_driver_union_find(e: DataFrame) -> DataFrame:
+    """Union-find over a collected (bounded) edge list; same output
+    contract as the distributed loop: component id = min node id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.collect():
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is always the smallest id seen
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    spark = e.sparkSession
+    schema = e.select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    ).schema
+    return spark.createDataFrame(rows, schema)
 
 
 def dedup_survivors(

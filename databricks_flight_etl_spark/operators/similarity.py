@@ -365,6 +365,13 @@ def ivf_centroids(
     cents = [_unit(list(r["__v"])) for r in seeds]
     dim = len(cents[0])
     vecs = spread(df.select(_as_double(vec_col).alias("__v")))
+    if iters > 0:
+        # each Lloyd round collects a mean table, which re-executes the
+        # whole lineage — pin the projected vectors once instead of
+        # rescanning/recasting the source per round
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
         assigned = vecs.withColumn("__list", _nearest_list(F.col("__v"), cents))
         # per-list elementwise mean as ``dim`` scalar avg aggregates in

@@ -79,9 +79,14 @@ def test_connected_components_and_survivors(spark):
         [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21)],
         "id_a long, id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
     cc = {r["node"]: r["component"]
           for r in graph.connected_components(pairs).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert cc == want  # driver union-find fast path
+    cc_dist = {r["node"]: r["component"]
+               for r in graph.connected_components(
+                   pairs, driver_max_edges=0).collect()}
+    assert cc_dist == want  # distributed min-label loop
 
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 99)],
@@ -101,7 +106,7 @@ def test_connected_components_unconverged_raises(spark):
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        graph.connected_components(chain, max_iter=2)
+        graph.connected_components(chain, max_iter=2, driver_max_edges=0)
 
 
 @pytest.fixture(scope="module")
