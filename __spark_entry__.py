@@ -986,6 +986,26 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value): min-max
+    16-bit ranks bit-interleaved by magic-mask dilation — all literal
+    shifts, pure narrow expression. Sorting by this key before a write
+    makes each file's min/max stats tight in BOTH columns (multi-column
+    data skipping); the oracle replays ranks, dilation, and the
+    interleave bit-for-bit. Top-100 by (zkey, event_id)."""
+    from databricks_flight_etl_spark.operators.relational import (
+        zorder_sort,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = zorder_sort(ev, "user_id", "value")
+    return (
+        out.select("event_id", "zkey")
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over the customer→supplier purchase graph (who buys
     from whom, via orders⋈lineitem), 3 FIXED power-iteration rounds so
@@ -3470,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_zorder": q_zorder,
         "q_pagerank": q_pagerank,
         "q_rank_normalize": q_rank_normalize,
         "q_corr_matrix": q_corr_matrix,
@@ -4177,6 +4198,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same ranks, same 5-round dilation masks, same interleave.
+        "q_zorder": """
+            WITH bnd AS (
+                SELECT min(user_id) AS ua, max(user_id) AS ub,
+                       min(value) AS va, max(value) AS vb
+                FROM events
+            ),
+            r AS (
+                SELECT event_id,
+                       greatest(0, least(65535, CAST(floor(
+                           (user_id - ua) / (ub - ua) * 65535)
+                           AS BIGINT))) AS ra,
+                       greatest(0, least(65535, CAST(floor(
+                           (value - va) / (vb - va) * 65535)
+                           AS BIGINT))) AS rb
+                FROM events, bnd
+            ),
+            d AS (
+                SELECT event_id,
+                       ((ra | (ra << 8)) & 16711935) AS a1,
+                       ((rb | (rb << 8)) & 16711935) AS b1
+                FROM r
+            ),
+            d2 AS (
+                SELECT event_id,
+                       ((a1 | (a1 << 4)) & 252645135) AS a2,
+                       ((b1 | (b1 << 4)) & 252645135) AS b2
+                FROM d
+            ),
+            d3 AS (
+                SELECT event_id,
+                       ((a2 | (a2 << 2)) & 858993459) AS a3,
+                       ((b2 | (b2 << 2)) & 858993459) AS b3
+                FROM d2
+            ),
+            d4 AS (
+                SELECT event_id,
+                       ((a3 | (a3 << 1)) & 1431655765) AS a4,
+                       ((b3 | (b3 << 1)) & 1431655765) AS b4
+                FROM d3
+            )
+            SELECT event_id, (a4 | (b4 << 1)) AS zkey
+            FROM d4
+            ORDER BY zkey, event_id LIMIT 100
         """,
         # Three unrolled power-iteration rounds over the same edge
         # set, dangling mass redistributed uniformly each round.

@@ -22,6 +22,8 @@ __all__ = [
     "merge_upsert",
     "scd2_history",
     "fuzzy_join",
+    "zorder_key",
+    "zorder_sort",
 ]
 
 
@@ -257,3 +259,74 @@ def fuzzy_join(
                 F.levenshtein("left_val", "right_val").alias("distance"))
         .distinct()
     )
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread a 16-bit int so its bits occupy even positions (the
+    classic magic-mask dilation): 5 shift/mask rounds, all literal
+    shifts — pure JVM expression, portable (same ops exist in any
+    SQL dialect with bigint bit ops)."""
+    x = x.cast("long")
+    # Column.__or__ is LOGICAL or in PySpark — bitwise ops must go
+    # through bitwiseOR/bitwiseAND
+    x = x.bitwiseOR(_shl(x, 8)).bitwiseAND(F.lit(0x00FF00FF).cast("long"))
+    x = x.bitwiseOR(_shl(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F).cast("long"))
+    x = x.bitwiseOR(_shl(x, 2)).bitwiseAND(F.lit(0x33333333).cast("long"))
+    x = x.bitwiseOR(_shl(x, 1)).bitwiseAND(F.lit(0x55555555).cast("long"))
+    return x
+
+
+def _shl(c: Column, n: int) -> Column:
+    return F.shiftleft(c, n)
+
+
+def zorder_key(
+    a: Column | str,
+    b: Column | str,
+    a_min: float, a_max: float,
+    b_min: float, b_max: float,
+) -> Column:
+    """Morton/Z-order key of two columns: each value min-max scales to
+    a 16-bit rank, the two ranks bit-interleave into one 32-bit key.
+    Sorting (then range-partitioned writing) by this key co-locates
+    rows that are close in BOTH dimensions, so min/max file statistics
+    prune scans filtered on either column — the lakehouse multi-column
+    data-skipping trick (a plain sort only ever prunes its leading
+    column). Bounds are passed in (one agg upstream) so the key stays
+    a pure narrow expression."""
+    def rank16(c, lo, hi):
+        col = (F.col(c) if isinstance(c, str) else c).cast("double")
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        scaled = F.floor(
+            (col - F.lit(lo)) / F.lit(hi - lo) * 65535
+        )
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(65535).cast("long"), scaled.cast("long")),
+        )
+
+    return _spread_bits16(rank16(a, a_min, a_max)).bitwiseOR(
+        _shl(_spread_bits16(rank16(b, b_min, b_max)), 1)
+    )
+
+
+def zorder_sort(
+    df: DataFrame, col_a: str, col_b: str, out_col: str = "zkey"
+) -> DataFrame:
+    """Attach the Z-order key (bounds from one min/max agg, broadcast
+    back) and range-sort by it — the write-side clustering step before
+    a partitioned/parquet sink. The sort is Spark's range-partitioned
+    global sort: each output file then covers a tight (a, b)
+    rectangle, which is what makes the file-level min/max stats
+    selective."""
+    bounds = df.agg(
+        F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
+    ).collect()[0]
+    key = zorder_key(
+        col_a, col_b,
+        float(bounds["a_min"]), float(bounds["a_max"]),
+        float(bounds["b_min"]), float(bounds["b_max"]),
+    )
+    return df.withColumn(out_col, key).orderBy(out_col)

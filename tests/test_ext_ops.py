@@ -1386,3 +1386,36 @@ def test_pagerank_hand_computed(spark):
     for x in "abc":
         assert abs(got[x] - rank[x]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    """The key equals the reference Morton interleave of the 16-bit
+    ranks, and z-sorted neighbors are close in both dimensions."""
+    from databricks_flight_etl_spark.operators.relational import (
+        zorder_sort,
+    )
+
+    def morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(i, float(a), float(b))
+            for i, (a, b) in enumerate(
+                [(0, 0), (65535, 65535), (65535, 0), (0, 65535),
+                 (12345, 54321), (40000, 20000)])]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    got = {r["id"]: r["zkey"]
+           for r in zorder_sort(df, "a", "b").collect()}
+    for i, (a, b) in enumerate(
+            [(0, 0), (65535, 65535), (65535, 0), (0, 65535),
+             (12345, 54321), (40000, 20000)]):
+        assert got[i] == morton(a, b), (i, a, b)
+
+    # degenerate range: constant column -> rank 0, no crash
+    const = spark.createDataFrame([(1, 5.0, 1.0), (2, 5.0, 2.0)],
+                                  "id int, a double, b double")
+    ks = {r["id"]: r["zkey"] for r in zorder_sort(const, "a", "b").collect()}
+    assert ks[1] == 0  # (0, 0) interleave
