@@ -986,6 +986,80 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_cms_join_size(spark, sf_dir):
+    """Join-size estimation from two Count-Min sketches (AMS inner
+    product, min over hash rows): predicts |orders ⋈ customer| on
+    custkey from two few-KB grids without scanning either table at
+    query time. Integer arithmetic end-to-end, so the oracle
+    recomputes the identical estimate from its own rebuilt grids."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sa = cms_build(orders.select(F.col("o_custkey").alias("k")), "k",
+                   width=1024, depth=3)
+    sb = cms_build(cust.select(F.col("c_custkey").alias("k")), "k",
+                   width=1024, depth=3)
+    return cms_inner_product(sa, sb, width=1024, depth=3)
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join, certified against the
+    batch oracle: views joined to same-user purchases within the next
+    2 hours, both sides watermarked so state evicts once rows can no
+    longer match. After processAllAvailable the append-mode result
+    equals the batch interval join — the oracle SQL."""
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.streaming import (
+        streaming_interval_join,
+    )
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="flight_etl_ssj_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+
+    from databricks_flight_etl_spark.sources import ns_long_to_timestamp
+
+    def src():
+        return ns_long_to_timestamp(
+            spark.readStream.schema(raw_schema).format(
+                "parquet").load(stage),
+            ["ts"],
+        )
+
+    views = src().where(
+        (F.col("event_type") == "view") & (F.col("user_id") < 30)
+    ).select("user_id", "ts", F.col("event_id").alias("view_id"))
+    buys = src().where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    ).select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    joined = streaming_interval_join(
+        views, buys, "user_id", "ts",
+        lower="0 seconds", upper="2 hours", watermark="30 days",
+    ).select(
+        F.col("l.user_id").alias("user_id"), "view_id", "purchase_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("ssj_out").orderBy(
+        "user_id", "view_id", "purchase_id"
+    )
+
+
 def q_zorder(spark, sf_dir):
     """Z-order (Morton) clustering key over (user_id, value): min-max
     16-bit ranks bit-interleaved by magic-mask dilation — all literal
@@ -3490,6 +3564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_cms_join_size": q_cms_join_size,
+        "q_streaming_interval_join": q_streaming_interval_join,
         "q_zorder": q_zorder,
         "q_pagerank": q_pagerank,
         "q_rank_normalize": q_rank_normalize,
@@ -4198,6 +4274,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same grids, same per-row inner products, same min.
+        "q_cms_join_size": """
+            WITH ga AS (
+                SELECT r.row,
+                       CAST(CAST('0x' || substring(md5(r.row || ':' ||
+                            CAST(o_custkey AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 1024 AS INT) AS col,
+                       count(*) AS na
+                FROM orders, (SELECT unnest([0, 1, 2]) AS row) r
+                GROUP BY 1, 2
+            ),
+            gb AS (
+                SELECT r.row,
+                       CAST(CAST('0x' || substring(md5(r.row || ':' ||
+                            CAST(c_custkey AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 1024 AS INT) AS col,
+                       count(*) AS nb
+                FROM customer, (SELECT unnest([0, 1, 2]) AS row) r
+                GROUP BY 1, 2
+            ),
+            dots AS (
+                SELECT ga.row, sum(na * nb) AS dot
+                FROM ga JOIN gb ON ga.row = gb.row AND ga.col = gb.col
+                GROUP BY ga.row
+            )
+            SELECT CAST(coalesce(min(dot), 0) AS BIGINT)
+                       AS est_join_size
+            FROM dots
+        """,
+        # The batch interval join the replayed stream must equal.
+        "q_streaming_interval_join": """
+            SELECT v.user_id, v.event_id AS view_id,
+                   p.event_id AS purchase_id
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 2 HOUR
+            WHERE v.user_id < 30 AND p.user_id < 30
+            ORDER BY v.user_id, view_id, purchase_id
         """,
         # Same ranks, same 5-round dilation masks, same interleave.
         "q_zorder": """

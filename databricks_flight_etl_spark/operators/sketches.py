@@ -29,6 +29,7 @@ __all__ = [
     "bloom_build", "bloom_might_contain", "bloom_semi_join",
     "heavy_hitters",
     "hll_build_grouped", "hll_estimate_grouped",
+    "cms_inner_product",
 ]
 
 
@@ -409,4 +410,29 @@ def hll_estimate_grouped(
     est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
     return agg.select(
         *group_cols, F.round(est).cast("long").alias("estimate")
+    )
+
+
+def cms_inner_product(
+    a: DataFrame, b: DataFrame, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min sketches: the inner
+    product of each hash row's counters, minimized over rows — an
+    upper bound on |A ⋈ B| that is exact when neither row has
+    collisions (AMS/CMS join-size estimation, Alon-Matias-Szegedy '96
+    / Cormode-Muthukrishnan '05). The query-planning use: estimate a
+    join's output BEFORE running it from two few-KB sketches that per-
+    shard pipelines already maintain — no scan of either input. All
+    integer arithmetic on ≤ depth·width rows, so the ESTIMATE itself
+    is deterministic and engine-portable (the oracle recomputes it
+    from its own rebuilt grids)."""
+    pa = a.select("row", "col", F.col("n").alias("na"))
+    pb = b.select("row", "col", F.col("n").alias("nb"))
+    per_row = (
+        pa.join(pb, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
+    )
+    return per_row.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("est_join_size")
     )

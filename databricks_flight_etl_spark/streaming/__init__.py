@@ -12,6 +12,7 @@ from .jobs import (
     run_stream_to_memory,
     streaming_day_counts,
     streaming_hll,
+    streaming_interval_join,
     streaming_dedup,
     streaming_running_counts,
     streaming_running_counts_tws,
@@ -22,6 +23,7 @@ from .jobs import (
 __all__ = [
     "streaming_day_counts",
     "streaming_hll",
+    "streaming_interval_join",
     "streaming_dedup",
     "streaming_running_counts",
     "streaming_running_counts_tws",

@@ -21,6 +21,7 @@ __all__ = [
     "streaming_upsert_parquet",
     "run_stream_to_memory",
     "streaming_hll",
+    "streaming_interval_join",
 ]
 
 
@@ -286,3 +287,30 @@ def streaming_hll(
     from ..operators.sketches import hll_build
 
     return hll_build(stream, col, p=p)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER join on ``key`` with an event-time interval
+    bound: right.ts ∈ [left.ts + lower, left.ts + upper]. Watermarks on
+    BOTH sides let the state store evict rows once they can no longer
+    match (without both bounds + watermarks a stream-stream join keeps
+    state forever). After a full replay the result equals the batch
+    interval join — which is what the certification runs as SQL."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}")
+           >= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{ts_col}")
+           <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

@@ -1419,3 +1419,34 @@ def test_zorder_key_is_morton_interleave(spark):
                                   "id int, a double, b double")
     ks = {r["id"]: r["zkey"] for r in zorder_sort(const, "a", "b").collect()}
     assert ks[1] == 0  # (0, 0) interleave
+
+
+def test_cms_join_size_bounds(spark):
+    """The estimate upper-bounds the true join size and is exact at
+    ample width (no collisions)."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 3 + [3]], "k long")
+    b = spark.createDataFrame(
+        [(k,) for k in [1] * 2 + [3] * 4 + [4]], "k long")
+    true_size = a.join(b, "k").count()  # 5*2 + 1*4 = 14
+    assert true_size == 14
+    est = cms_inner_product(
+        cms_build(a, "k", width=512, depth=4),
+        cms_build(b, "k", width=512, depth=4),
+        width=512, depth=4,
+    ).collect()[0]["est_join_size"]
+    assert est == 14  # exact without collisions
+    # tiny width forces collisions -> still an upper bound
+    est_small = cms_inner_product(
+        cms_build(a, "k", width=4, depth=2),
+        cms_build(b, "k", width=4, depth=2),
+        width=4, depth=2,
+    ).collect()[0]["est_join_size"]
+    assert est_small >= 14

@@ -540,3 +540,49 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     want = sorted((r["bucket"], r["rho"])
                   for r in hll_build(df, "v", p=9).collect())
     assert got == want and len(got) <= 512
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """Replayed stream-stream interval join == the batch interval
+    join, including the inclusive bounds."""
+    import datetime as dt
+
+    from databricks_flight_etl_spark.streaming import (
+        streaming_interval_join,
+    )
+
+    d = str(tmp_path / "ssj")
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, base, "L", 100),
+        (1, base + dt.timedelta(minutes=30), "R", 200),  # in window
+        (1, base + dt.timedelta(hours=2), "R", 201),     # boundary: in
+        (1, base + dt.timedelta(hours=3), "R", 202),     # out
+        (2, base, "L", 110),                             # no partner
+        (3, base - dt.timedelta(hours=1), "R", 300),     # before left
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, side string, eid long")
+    df.write.parquet(d)
+    schema = df.schema
+
+    def src(side):
+        return (
+            spark.readStream.schema(schema).format("parquet").load(d)
+            .where(F.col("side") == side)
+            .select("k", "ts", "eid")
+        )
+
+    out = streaming_interval_join(
+        src("L"), src("R"), "k", "ts",
+        lower="0 seconds", upper="2 hours", watermark="10 days",
+    ).select(F.col("l.eid").alias("le"), F.col("r.eid").alias("re"))
+    q = (out.writeStream.format("memory").queryName("ssj_t")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["le"], r["re"])
+           for r in spark.table("ssj_t").collect()}
+    assert got == {(100, 200), (100, 201)}
