@@ -986,6 +986,29 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_embed_dup_int8(spark, sf_dir):
+    """The quantized-ANN pipeline end-to-end: int8-quantize the
+    corpus, dequantize, then blocked cosine near-dup pairs on the
+    reconstructed vectors — certifying that the 4×-compressed path
+    yields a deterministic, engine-reproducible pair set (the oracle
+    replays quantize, dequantize, and the pairwise cosine). Threshold
+    slightly below q_embed_dup's: reconstruction shifts cosines by
+    O(amax/254) per coordinate."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb, "embedding")
+    ).select("vec_id", "label", F.col("vec_hat").alias("embedding"))
+    return cosine_near_dup_pairs(
+        deq, threshold=0.35, block_col="label"
+    )
+
+
 def q_cms_join_size(spark, sf_dir):
     """Join-size estimation from two Count-Min sketches (AMS inner
     product, min over hash rows): predicts |orders ⋈ customer| on
@@ -3564,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_embed_dup_int8": q_embed_dup_int8,
         "q_cms_join_size": q_cms_join_size,
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_zorder": q_zorder,
@@ -4274,6 +4298,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same quantize/dequantize arithmetic, same pairwise cosine.
+        "q_embed_dup_int8": """
+            WITH q AS (
+                SELECT vec_id, label,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS amax,
+                       CAST(embedding AS DOUBLE[]) AS ve
+                FROM embeddings
+            ),
+            deq AS (
+                SELECT vec_id, label,
+                       CASE WHEN amax > 0 THEN
+                           list_transform(ve, x ->
+                               greatest(-127, least(127,
+                                   floor(x * (127.0 / amax) + 0.5)))
+                               * (amax / 127.0))
+                       ELSE list_transform(ve, x -> 0.0) END AS vh
+                FROM q
+            ),
+            v AS (
+                SELECT vec_id, label, vh,
+                       sqrt(list_dot_product(vh, vh)) AS n
+                FROM deq
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.vh, b.vh) / (a.n * b.n), 6)
+                       AS cosine
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.vh, b.vh) / (a.n * b.n) >= 0.35
         """,
         # Same grids, same per-row inner products, same min.
         "q_cms_join_size": """
