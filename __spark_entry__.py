@@ -3185,6 +3185,22 @@ def q_decode_features(spark, sf_dir):
     )
 
 
+def q_decode_features_arrow(spark, sf_dir):
+    """X3 decode via the mapInArrow twin — raw RecordBatches in and
+    out, no Arrow→pandas hop. Same certified kernel and the SAME
+    oracle as q_decode_features, so the two Python batch APIs certify
+    each other."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = multimodal.decode_features_arrow(
+        docs, "payload", "doc_id", n_features=8
+    )
+    return feats.select(
+        "id", F.posexplode("features").alias("feature_idx", "value")
+    )
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape (national market share): 8-way join (nation twice
     — customer-side restricts the region, supplier-side names the
@@ -3587,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_decode_features_arrow": q_decode_features_arrow,
         "q_embed_dup_int8": q_embed_dup_int8,
         "q_cms_join_size": q_cms_join_size,
         "q_streaming_interval_join": q_streaming_interval_join,
@@ -6375,6 +6392,29 @@ def oracle_sql() -> dict[str, str]:
         # posexplode'd harness query; the generated 0..7 spine with
         # coalesce(0.0) mirrors the kernel's empty-chunk zero padding.
         "q_decode_features": """
+            WITH p AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            i AS (SELECT doc_id, text, L, unnest(range(0, L)) AS pos FROM p),
+            b AS (
+                SELECT doc_id,
+                       CAST((pos * 8) // L AS INT) AS chunk,
+                       ord(substring(text, CAST(pos + 1 AS INT), 1)) AS byte
+                FROM i
+            ),
+            c AS (
+                SELECT doc_id, chunk,
+                       CAST(sum(byte) * 1000000 // (count(*) * 255) AS BIGINT) AS q
+                FROM b GROUP BY 1, 2
+            ),
+            k AS (
+                SELECT doc_id, CAST(unnest(range(0, 8)) AS INT) AS feature_idx
+                FROM p
+            )
+            SELECT k.doc_id AS id, k.feature_idx,
+                   coalesce(CAST(c.q AS DOUBLE) / 1000000.0, 0.0) AS value
+            FROM k LEFT JOIN c
+              ON k.doc_id = c.doc_id AND k.feature_idx = c.chunk
+        """,
+"q_decode_features_arrow": """
             WITH p AS (SELECT doc_id, text, length(text) AS L FROM documents),
             i AS (SELECT doc_id, text, L, unnest(range(0, L)) AS pos FROM p),
             b AS (

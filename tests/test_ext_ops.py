@@ -1450,3 +1450,24 @@ def test_cms_join_size_bounds(spark):
         width=4, depth=2,
     ).collect()[0]["est_join_size"]
     assert est_small >= 14
+
+
+def test_decode_features_arrow_equals_pandas(spark):
+    """The mapInArrow twin yields exactly the mapInPandas/bytes
+    kernel's features."""
+    from databricks_flight_etl_spark.operators.multimodal import (
+        decode_features,
+        decode_features_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x89PNG\r\n\x1a\n" + b"px" * 100)),
+         (1, bytearray(b"\xff\xd8\xff\xe0" + b"jj" * 77))],
+        "id long, payload binary",
+    )
+    pd_out = {r["id"]: r["features"] for r in
+              decode_features(df, "payload", "id", kernel="bytes")
+              .collect()}
+    ar_out = {r["id"]: r["features"] for r in
+              decode_features_arrow(df, "payload", "id").collect()}
+    assert pd_out == ar_out
