@@ -986,6 +986,46 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment certified vs the batch join: orders
+    replayed as a stream, customer as the broadcast static dimension,
+    per-segment revenue out. Stateless, append mode."""
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.streaming import streaming_enrich
+
+    tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stage = tempfile.mkdtemp(prefix="flight_etl_enr_")
+    shutil.copy(f"{sf_dir}/orders.parquet", f"{stage}/orders.parquet")
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(
+        stage
+    ).select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = streaming_enrich(stream, cust, "c_custkey", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enr_out").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("enr_out")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                    .cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_embed_dup_int8(spark, sf_dir):
     """The quantized-ANN pipeline end-to-end: int8-quantize the
     corpus, dequantize, then blocked cosine near-dup pairs on the
@@ -3604,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_streaming_enrich": q_streaming_enrich,
         "q_embed_dup_int8": q_embed_dup_int8,
         "q_cms_join_size": q_cms_join_size,
         "q_streaming_interval_join": q_streaming_interval_join,
@@ -4315,6 +4356,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # The batch enrichment join + aggregate.
+        "q_streaming_enrich": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                         AS DOUBLE), 2) AS revenue
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         # Same quantize/dequantize arithmetic, same pairwise cosine.
         "q_embed_dup_int8": """

@@ -13,6 +13,7 @@ from .jobs import (
     streaming_day_counts,
     streaming_hll,
     streaming_interval_join,
+    streaming_enrich,
     streaming_dedup,
     streaming_running_counts,
     streaming_running_counts_tws,
@@ -24,6 +25,7 @@ __all__ = [
     "streaming_day_counts",
     "streaming_hll",
     "streaming_interval_join",
+    "streaming_enrich",
     "streaming_dedup",
     "streaming_running_counts",
     "streaming_running_counts_tws",

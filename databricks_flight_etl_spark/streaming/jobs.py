@@ -22,6 +22,7 @@ __all__ = [
     "run_stream_to_memory",
     "streaming_hll",
     "streaming_interval_join",
+    "streaming_enrich",
 ]
 
 
@@ -314,3 +315,17 @@ def streaming_interval_join(
            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner")
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a BATCH
+    dimension table (broadcast per micro-batch — the static side is
+    re-read each trigger, so a dimension update is picked up without
+    restarting the query). The everyday 'attach user/product metadata
+    to a live feed' shape; stateless, so any output mode works."""
+    return stream.join(F.broadcast(dim), on, how)
