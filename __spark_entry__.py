@@ -986,6 +986,49 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_stratified_sample_n(spark, sf_dir):
+    """Balanced per-class sample: exactly 40 documents per language by
+    smallest content-hash (ties by id) — one window per stratum,
+    shuffled by stratum only. Oracle replays the same per-stratum
+    rank."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        stratified_sample_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_n(docs, "lang", "doc_id", 40)
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def q_sql_ddl(spark, sf_dir):
+    """SQL DDL + DML surface: CREATE TABLE ... USING parquet at a temp
+    location, INSERT INTO ... SELECT from a registered view, then
+    aggregate the physical table — certifying the SQL write path is
+    lossless (oracle computes the same aggregate from the source)."""
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix="flight_etl_ddl_") + "/t_orders"
+    spark.sql("DROP TABLE IF EXISTS t_orders_ddl")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_src")
+    spark.sql(
+        f"""CREATE TABLE t_orders_ddl
+            (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+            USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        """INSERT INTO t_orders_ddl
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM v_orders_src WHERE o_orderkey % 4 = 0"""
+    )
+    return spark.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE), 2) AS total
+           FROM t_orders_ddl GROUP BY o_orderstatus
+           ORDER BY o_orderstatus"""
+    )
+
+
 def q_streaming_enrich(spark, sf_dir):
     """Stream-static enrichment certified vs the batch join: orders
     replayed as a stream, customer as the broadcast static dimension,
@@ -3644,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_stratified_sample_n": q_stratified_sample_n,
+        "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_embed_dup_int8": q_embed_dup_int8,
         "q_cms_join_size": q_cms_join_size,
@@ -4356,6 +4401,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same per-stratum hash rank, same cutoff.
+        "q_stratified_sample_n": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 12), doc_id) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 40
+            ORDER BY lang, doc_id
+        """,
+        # The INSERT filter replayed on the source.
+        "q_sql_ddl": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                         AS DOUBLE), 2) AS total
+            FROM orders WHERE o_orderkey % 4 = 0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         # The batch enrichment join + aggregate.
         "q_streaming_enrich": """

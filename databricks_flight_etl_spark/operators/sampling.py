@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
            "pack_by_token_budget", "split_assign", "epoch_shuffle",
-           "sample_n"]
+           "sample_n", "stratified_sample_n"]
 
 _PREFIX_LEN = 12
 
@@ -222,4 +222,27 @@ def sample_n(
     return (
         df.orderBy(hash_bucket(key, salt), F.col(key))
         .limit(n)
+    )
+
+
+def stratified_sample_n(
+    df: DataFrame, strata_col: str, key: str, n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample — the balanced-
+    training-set builder (equal class counts regardless of class
+    skew). Within each stratum, keep the ``n`` rows with the smallest
+    content-hash coordinate (ties by key): one window over
+    (stratum × hash order), shuffled by stratum — scales with strata
+    count; per-stratum sort is the only per-group cost. Strata with
+    fewer than n rows keep everything."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key, salt), F.col(key)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
     )

@@ -378,3 +378,26 @@ def test_rank_normalize_and_corr_matrix(spark):
     assert math.isclose(corr[("a", "b")], 1.0, abs_tol=1e-9)
     assert math.isclose(corr[("a", "c")], -1.0, abs_tol=1e-9)
     assert math.isclose(corr[("b", "c")], -1.0, abs_tol=1e-9)
+
+
+def test_stratified_sample_n_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sampling import (
+        stratified_sample_n,
+    )
+
+    # class a: 100 rows, class b: 5 rows, class c: 10 rows
+    df = spark.range(115).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, "a")
+        .when(F.col("id") < 105, "b").otherwise("c").alias("cls"),
+    )
+    out = stratified_sample_n(df, "cls", "id", 10)
+    counts = {r["cls"]: r["n"] for r in
+              out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 5, "c": 10}  # short strata keep all
+    # deterministic under repartitioning
+    again = stratified_sample_n(df.repartition(7), "cls", "id", 10)
+    assert {r["id"] for r in out.collect()} == \
+           {r["id"] for r in again.collect()}
