@@ -986,6 +986,46 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_ab_welch(spark, sf_dir):
+    """Welch's t between view and purchase event values — exact
+    decimal moments in one pass, so the statistic is deterministic
+    across engines/partitionings; the oracle folds the identical
+    decimals."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ab_welch_t,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_welch_t(ev, "event_type", "value", "view", "purchase")
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence of event_type × (user_id mod 3):
+    observed counts one groupBy, expected from broadcast marginals —
+    integer-exact inputs, deterministic statistic."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        chi_square_independence,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 3).cast("int")
+    )
+    return chi_square_independence(ev, "event_type", "bucket")
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rho of lineitem quantity vs extendedprice: midranks
+    (ties averaged, 0.5-granular — exact decimals) from each value
+    histogram, Pearson over midranks from exact decimal moments. No
+    global row sort anywhere."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        spearman_corr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
 def q_stratified_sample_n(spark, sf_dir):
     """Balanced per-class sample: exactly 40 documents per language by
     smallest content-hash (ties by id) — one window per stratum,
@@ -3687,6 +3727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_ab_welch": q_ab_welch,
+        "q_chi_square": q_chi_square,
+        "q_spearman": q_spearman,
         "q_stratified_sample_n": q_stratified_sample_n,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
@@ -4401,6 +4444,116 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Identical decimal moments, identical Welch formula.
+        "q_ab_welch": """
+            WITH m AS (
+                SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb,
+                       sum(CASE WHEN event_type = 'view'
+                           THEN CAST(value AS DECIMAL(28,6)) END) AS sa,
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(28,6)) END) AS sb,
+                       sum(CASE WHEN event_type = 'view'
+                           THEN CAST(value AS DECIMAL(28,6))
+                                * CAST(value AS DECIMAL(28,6)) END) AS saa,
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(28,6))
+                                * CAST(value AS DECIMAL(28,6)) END) AS sbb
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ),
+            d AS (
+                SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+                       CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+                       CAST(saa AS DOUBLE) AS saa, CAST(sbb AS DOUBLE) AS sbb
+                FROM m
+            ),
+            v AS (
+                SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                       (saa - sa * sa / na) / (na - 1) AS va,
+                       (sbb - sb * sb / nb) / (nb - 1) AS vb
+                FROM d
+            )
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                   round(((va / na + vb / nb) * (va / na + vb / nb))
+                         / ((va / na) * (va / na) / (na - 1)
+                            + (vb / nb) * (vb / nb) / (nb - 1)), 2)
+                       AS df_welch
+            FROM v
+        """,
+        # Same observed/expected construction from integer counts.
+        "q_chi_square": """
+            WITH e AS (
+                SELECT event_type, CAST(user_id % 3 AS INT) AS bucket
+                FROM events
+            ),
+            obs AS (SELECT event_type, bucket, count(*) AS o
+                    FROM e GROUP BY 1, 2),
+            ra AS (SELECT event_type, count(*) AS ra FROM e GROUP BY 1),
+            rb AS (SELECT bucket, count(*) AS rb FROM e GROUP BY 1),
+            tot AS (SELECT count(*) AS n FROM e),
+            cells AS (
+                SELECT o, CAST(ra.ra AS DOUBLE) * rb.rb / n AS exp, n
+                FROM obs JOIN ra USING (event_type)
+                         JOIN rb USING (bucket), tot
+            )
+            SELECT round(sum((o - exp) * (o - exp) / exp), 6) AS chi2,
+                   CAST((SELECT (count(*) - 1) FROM ra)
+                        * (SELECT (count(*) - 1) FROM rb) AS INT) AS dof,
+                   CAST(first(n) AS BIGINT) AS n
+            FROM cells
+        """,
+        # Same midranks (histogram cumulative + (cnt+1)/2, exact
+        # decimals), same Pearson-over-ranks formula.
+        "q_spearman": """
+            WITH src AS (
+                SELECT l_quantity AS a, l_extendedprice AS b
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            ha AS (SELECT a AS v, count(*) AS cnt FROM src GROUP BY a),
+            rak AS (
+                SELECT v,
+                       CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)
+                           + (cnt + 1) / 2.0 AS DECIMAL(28,6)) AS r
+                FROM ha
+            ),
+            hb AS (SELECT b AS v, count(*) AS cnt FROM src GROUP BY b),
+            rbk AS (
+                SELECT v,
+                       CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)
+                           + (cnt + 1) / 2.0 AS DECIMAL(28,6)) AS r
+                FROM hb
+            ),
+            ranked AS (
+                SELECT rak.r AS ra, rbk.r AS rb
+                FROM src JOIN rak ON src.a = rak.v
+                         JOIN rbk ON src.b = rbk.v
+            ),
+            m AS (
+                SELECT count(*) AS n,
+                       sum(ra) AS sa, sum(rb) AS sb,
+                       sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+                       sum(ra * rb) AS sab
+                FROM ranked
+            )
+            SELECT round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                         / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                         6) AS rho,
+                   CAST(n AS BIGINT) AS n
+            FROM m
         """,
         # Same per-stratum hash rank, same cutoff.
         "q_stratified_sample_n": """

@@ -19,7 +19,8 @@ __all__ = ["summary_stats", "histogram", "describe",
            "moving_average", "zscore_by_group",
            "quantiles_exact", "quantiles_approx", "outliers_iqr",
            "grouped_quantiles", "histogram_equidepth",
-           "rank_normalize", "correlation_matrix"]
+           "rank_normalize", "correlation_matrix",
+           "ab_welch_t", "chi_square_independence", "spearman_corr"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -387,4 +388,136 @@ def correlation_matrix(
     return (
         wide.select(F.explode(F.array(*pairs)).alias("p"))
         .select("p.col_a", "p.col_b", "p.corr")
+    )
+
+
+def ab_welch_t(
+    df: DataFrame, group_col: str, value_col: str,
+    group_a, group_b, decimals: int = 6,
+) -> DataFrame:
+    """Welch's t statistic for value_col between two groups, computed
+    from exact DECIMAL moments folded in ONE aggregate pass — the
+    deterministic-across-engines A/B primitive (double sums are
+    summation-order-dependent; decimals are not). One row out:
+    (n_a, n_b, mean_a, mean_b, t_stat, df_welch)."""
+    d = F.col(value_col).cast("decimal(28,6)")
+    is_a = F.col(group_col) == group_a
+    is_b = F.col(group_col) == group_b
+    agg = df.where(is_a | is_b).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(is_a, d)).alias("sa"),
+        F.sum(F.when(is_b, d)).alias("sb"),
+        F.sum(F.when(is_a, d * d)).alias("saa"),
+        F.sum(F.when(is_b, d * d)).alias("sbb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (saa - sa * sa / na) / (na - 1)   # sample variance
+    vb = (sbb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma, decimals).alias("mean_a"),
+        F.round(mb, decimals).alias("mean_b"),
+        F.round(t, decimals).alias("t_stat"),
+        F.round(dof, 2).alias("df_welch"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str, decimals: int = 6
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two
+    categorical columns: observed counts in one groupBy, expected from
+    broadcast marginals — all counts integer-exact, so the statistic
+    is deterministic. One row: (chi2, dof, n)."""
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    ra = df.groupBy(col_a).agg(F.count(F.lit(1)).alias("ra"))
+    rb = df.groupBy(col_b).agg(F.count(F.lit(1)).alias("rb"))
+    tot = df.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        obs.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(rb), col_b)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("ra").cast("double") * F.col("rb")
+             / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    stat = cells.agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+              / F.col("e")).alias("chi2"),
+        F.first("n").alias("n"),
+    )
+    ka = ra.count()
+    kb = rb.count()
+    return stat.select(
+        F.round("chi2", decimals).alias("chi2"),
+        F.lit((ka - 1) * (kb - 1)).alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame, col_a: str, col_b: str, decimals: int = 6
+) -> DataFrame:
+    """Spearman rank correlation: Pearson over MIDRANKS (average rank
+    for ties — rank granularity 0.5, exact in decimal), each column's
+    midranks from its value histogram (cumulative counts — never a
+    global row sort), moments folded as exact decimals. Deterministic
+    across engines; one row: (rho, n)."""
+    from pyspark.sql import Window
+
+    def midranks(c):
+        hist = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1)
+        return hist.select(
+            F.col("v").alias(f"__{c}"),
+            (F.coalesce(F.sum("cnt").over(w), F.lit(0))
+             + (F.col("cnt") + 1) / 2).cast("decimal(28,6)")
+            .alias(f"__r_{c}"),
+        )
+    both = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias(f"__{col_a}"),
+             F.col(col_b).alias(f"__{col_b}"))
+    ranked = both.join(midranks(col_a), f"__{col_a}").join(
+        midranks(col_b), f"__{col_b}")
+    ra, rb = F.col(f"__r_{col_a}"), F.col(f"__r_{col_b}")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ra).alias("sa"), F.sum(rb).alias("sb"),
+        F.sum(ra * ra).alias("saa"), F.sum(rb * rb).alias("sbb"),
+        F.sum(ra * rb).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    rho = (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
+    return agg.select(
+        F.round(rho, decimals).alias("rho"),
+        F.col("n").cast("long").alias("n"),
     )

@@ -401,3 +401,43 @@ def test_stratified_sample_n_balanced(spark):
     again = stratified_sample_n(df.repartition(7), "cls", "id", 10)
     assert {r["id"] for r in out.collect()} == \
            {r["id"] for r in again.collect()}
+
+
+def test_statistics_trio_against_scipy_free_references(spark):
+    """Welch t / chi-square / Spearman checked against hand-computed
+    references on small inputs (no scipy in-container)."""
+    import math
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ab_welch_t,
+        chi_square_independence,
+        spearman_corr,
+    )
+
+    # Welch: groups with known means/vars
+    a_vals = [1.0, 2.0, 3.0, 4.0]      # mean 2.5, var 5/3
+    b_vals = [2.0, 4.0, 6.0]           # mean 4, var 4
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = ab_welch_t(df, "g", "x", "a", "b").collect()[0]
+    se2 = (5 / 3) / 4 + 4 / 3
+    t_ref = (2.5 - 4) / math.sqrt(se2)
+    assert abs(r["t_stat"] - round(t_ref, 6)) < 1e-9
+    assert r["n_a"] == 4 and r["n_b"] == 3
+
+    # chi-square: perfectly independent 2x2 -> statistic 0
+    ind = spark.createDataFrame(
+        [("x", 0)] * 10 + [("x", 1)] * 10 + [("y", 0)] * 30
+        + [("y", 1)] * 30, "c string, b int")
+    c = chi_square_independence(ind, "c", "b").collect()[0]
+    assert c["chi2"] == 0.0 and c["dof"] == 1 and c["n"] == 80
+
+    # Spearman: monotone -> 1, anti-monotone -> -1, ties handled
+    mono = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 40.0)],
+        "a double, b double")
+    assert spearman_corr(mono, "a", "b").collect()[0]["rho"] == 1.0
+    anti = spark.createDataFrame(
+        [(1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0)],
+        "a double, b double")
+    assert spearman_corr(anti, "a", "b").collect()[0]["rho"] == -1.0

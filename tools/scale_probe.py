@@ -104,6 +104,66 @@ def _cc_star(docs):
     return connected_components_star(pairs)
 
 
+def _sk():
+    from databricks_flight_etl_spark.operators import sketches
+
+    return sketches
+
+
+def _heavy(docs):
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w"))
+    return _sk().heavy_hitters(words, "w", min_fraction=0.01).count()
+
+
+def _quant(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+
+    lens = docs.select(F.length("text").cast("double").alias("x"))
+    return quantiles_exact(lens, "x", [0.25, 0.5, 0.9, 0.99]).count()
+
+
+def _semdedup(vecs):
+    from databricks_flight_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(vecs, threshold=0.9, n_lists=8,
+                          iters=1).count()
+
+
+def _pagerank(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.graph import pagerank
+
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 1000).alias("dst"),
+    )
+    return pagerank(edges, iters=3).count()
+
+
+def _zorder(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.relational import (
+        zorder_sort,
+    )
+
+    t = docs.select(
+        F.col("doc_id").cast("double").alias("a"),
+        F.length("text").cast("double").alias("b"),
+    )
+    return zorder_sort(t, "a", "b").count()
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from databricks_flight_etl_spark.session import get_spark
@@ -135,6 +195,13 @@ def main() -> None:
         "contamination": lambda d, v: _contamination(d).count(),
         "pack_shards": lambda d, v: _pack(d).count(),
         "cc_star": lambda d, v: _cc_star(d).count(),
+        "hll_build": lambda d, v: _sk().hll_build(
+            d, "doc_id", p=12).count(),
+        "heavy_hitters": lambda d, v: _heavy(d),
+        "quantiles_exact": lambda d, v: _quant(d),
+        "semantic_dedup": lambda d, v: _semdedup(v),
+        "pagerank": lambda d, v: _pagerank(d),
+        "zorder_sort": lambda d, v: _zorder(d),
     }
 
     results = {}
