@@ -482,6 +482,12 @@ def spearman_corr(
     across engines; one row: (rho, n)."""
     from pyspark.sql import Window
 
+    if col_a == col_b:
+        raise ValueError(
+            "spearman_corr needs two distinct columns "
+            f"(got {col_a!r} twice — rho of a column with itself is 1)"
+        )
+
     def midranks(c):
         hist = (
             df.where(F.col(c).isNotNull())

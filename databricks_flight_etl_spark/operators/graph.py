@@ -281,6 +281,8 @@ def pagerank(
     )
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )

@@ -324,6 +324,9 @@ def zorder_sort(
         F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
         F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
     ).collect()[0]
+    if bounds["a_min"] is None or bounds["b_min"] is None:
+        # empty (or all-null) input: nothing to cluster
+        return df.withColumn(out_col, F.lit(0).cast("long"))
     key = zorder_key(
         col_a, col_b,
         float(bounds["a_min"]), float(bounds["a_max"]),

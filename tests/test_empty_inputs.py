@@ -116,3 +116,68 @@ def test_round2_ops_empty_inputs(spark):
         [(1, "a"), (2, "b")], "doc_id long, text string"
     )
     assert dedup.dedup_survivors(full, pairs, "doc_id").count() == 2
+
+
+def test_empty_inputs_round3_ops(spark):
+    """The round-3 operators under the same 0-row hardening sweep."""
+    from databricks_flight_etl_spark.operators import graph, sampling, sketches
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+
+    # sketches
+    assert sketches.hll_build(ev, "event_id").count() == 0
+    assert sketches.hll_estimate(
+        sketches.hll_build(ev, "event_id")).collect()[0]["estimate"] == 0
+    assert sketches.bloom_build(ev, "event_id", n_words=64).count() == 0
+    empty_bloom = sketches.bloom_build(ev, "event_id", n_words=64)
+    flagged = spark.range(5).where(
+        sketches.bloom_might_contain(empty_bloom, F.col("id"), 64, 5))
+    assert flagged.count() == 0  # empty filter matches nothing
+    assert sketches.heavy_hitters(ev, "event_id", 0.5).count() == 0
+    assert sketches.hll_build_grouped(ev, ["user_id"], "event_id").count() == 0
+
+    # quantiles / stats
+    assert accuracy.quantiles_exact(ev, "value", [0.5]).count() == 0
+    assert accuracy.grouped_quantiles(ev, ["user_id"], "value", [0.5]).count() == 0
+    assert accuracy.outliers_iqr(ev, "value").count() == 0
+    assert accuracy.histogram_equidepth(ev, "value").count() == 0
+    assert accuracy.rank_normalize(ev, "value", ["event_id"]).count() == 0
+    assert accuracy.spearman_corr(
+        ev.withColumn("v2", F.col("user_id").cast("double")),
+        "value", "v2").collect()[0]["n"] == 0
+
+    # relational / sampling
+    assert relational.merge_upsert(ev, ev, ["event_id"], "value").count() == 0
+    assert relational.scd2_history(ev, ["user_id"], "ts", ["value"]).count() == 0
+    assert relational.fuzzy_join(docs, docs, "text", "text").count() == 0
+    assert relational.zorder_sort(ev, "user_id", "value").count() == 0
+    assert sampling.split_assign(ev, "event_id",
+                                 {"a": 0.5, "b": 0.5}).count() == 0
+    assert sampling.epoch_shuffle(ev, "event_id").count() == 0
+    assert sampling.sample_n(ev, "event_id", 5).count() == 0
+    assert sampling.stratified_sample_n(ev, "user_id", "event_id", 3).count() == 0
+
+    # graph
+    assert graph.connected_components(pairs).count() == 0
+    assert graph.pagerank(pairs, src="id_a", dst="id_b").count() == 0
+
+    # uniqueness extras
+    chk = uniqueness.table_checksum(ev).collect()[0]
+    assert chk["n_rows"] == 0 and chk["checksum"] == 0
+    assert uniqueness.diff_tables(ev, ev, ["event_id"]).count() == 0
+    assert uniqueness.skew_report(ev, ["user_id"]).count() == 0
+
+    # dedup extras
+    seen = dedup.corpus_digests(docs, "text")
+    assert dedup.incremental_dedup(docs, seen, "text", "doc_id").count() == 0
+
+    # similarity extras
+    assert similarity.quantize_embeddings(
+        spark.createDataFrame([], "id long, v array<double>"), "v"
+    ).count() == 0
+    assert similarity.group_vector_mean(
+        spark.createDataFrame([], "label int, embedding array<double>"),
+        "label").count() == 0
