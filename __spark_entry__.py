@@ -986,6 +986,19 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (CCNet-style, stupid
+    backoff): two count aggregates train the model, token-keyed joins
+    score every doc — the pretraining quality filter with no external
+    LM. Oracle replays counts and the mean log-probability."""
+    from databricks_flight_etl_spark.operators.text import (
+        ngram_lm_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_lm_score(docs, "text", "doc_id").orderBy("id")
+
+
 def q_ab_welch(spark, sf_dir):
     """Welch's t between view and purchase event values — exact
     decimal moments in one pass, so the statistic is deterministic
@@ -3727,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_lm_score": q_lm_score,
         "q_ab_welch": q_ab_welch,
         "q_chi_square": q_chi_square,
         "q_spearman": q_spearman,
@@ -4444,6 +4458,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same bigram/unigram counts, same mean ln(c12/c1) (the
+        # trained-on-self model makes the backoff branch unreachable).
+        "q_lm_score": """
+            WITH base AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            docs2 AS (SELECT id, t FROM base WHERE len(t) >= 2),
+            bigrams AS (
+                SELECT id, t[i] AS w1, t[i + 1] AS w2
+                FROM docs2, unnest(range(1, len(t))) AS u(i)
+            ),
+            uni AS (
+                SELECT w, count(*) AS cw FROM (
+                    SELECT unnest(t) AS w FROM docs2
+                ) GROUP BY w
+            ),
+            bg AS (
+                SELECT w1, w2, count(*) AS cbg FROM bigrams
+                GROUP BY w1, w2
+            )
+            SELECT b.id,
+                   count(*) AS n_bigrams,
+                   round(avg(ln(CAST(g.cbg AS DOUBLE) / u1.cw)), 6)
+                       AS lm_score
+            FROM bigrams b
+            JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+            JOIN uni u1 ON b.w1 = u1.w
+            GROUP BY b.id ORDER BY b.id
         """,
         # Identical decimal moments, identical Welch formula.
         "q_ab_welch": """

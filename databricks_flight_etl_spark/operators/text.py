@@ -38,6 +38,7 @@ __all__ = [
     "quality_signals",
     "contamination_overlap",
     "dedup_repeated_spans",
+    "ngram_lm_score",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -622,4 +623,76 @@ def winnow_fingerprints(
     return (
         hashed.select(F.col(id_col), F.explode(win_mins).alias("fp"))
         .distinct()
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.4,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style corpus LM quality score: train a bigram model ON THE
+    CORPUS ITSELF (token bigram counts + unigram counts, two hash
+    aggregates), then score each document by its mean bigram
+    log-probability with stupid-backoff smoothing (Brants et al. 2007):
+    P(w2|w1) = c(w1 w2)/c(w1), else alpha·c(w2)/N. Gibberish and
+    boilerplate score far below fluent text — the standard pretraining
+    quality filter when no external LM is available.
+
+    Plan: explode to bigrams (narrow), aggregate counts, join each
+    document's bigrams to the count tables (shuffles keyed on token
+    strings — co-partitioned, linear), average per doc. The model IS a
+    pair of DataFrames, so it scales with corpus vocabulary, never
+    driver memory. Output: (id, n_bigrams, lm_score)."""
+    toks = tokens(text_col)
+    base = spread(
+        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    ).where(F.size("__t") >= 2)
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"),
+                    F.element_at(F.col("__t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n_tokens = base.select(
+        F.sum(F.size("__t")).alias("n")
+    ).collect()[0]["n"]
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cbg")
+    )
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("cw").alias("c2")), "w2")
+        .select(
+            "id",
+            F.when(
+                F.col("cbg") > 0,
+                F.log(F.col("cbg").cast("double") / F.col("c1")),
+            ).otherwise(
+                F.log(F.lit(alpha) * F.col("c2") / F.lit(float(n_tokens)))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), decimals).alias("lm_score"),
+        )
     )

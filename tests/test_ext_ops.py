@@ -1471,3 +1471,25 @@ def test_decode_features_arrow_equals_pandas(spark):
     ar_out = {r["id"]: r["features"] for r in
               decode_features_arrow(df, "payload", "id").collect()}
     assert pd_out == ar_out
+
+
+def test_ngram_lm_score_ranks_fluent_above_gibberish(spark):
+    """Docs made of corpus-frequent bigrams score higher than a doc of
+    unique never-repeated bigrams; short docs (<2 tokens) drop."""
+    from databricks_flight_etl_spark.operators.text import (
+        ngram_lm_score,
+    )
+
+    fluent = "the cat sat on the mat " * 10
+    rows = [
+        (1, fluent),
+        (2, fluent),
+        (3, "zq xv jk wp mn bc df gh lr ts"),  # all-unique bigrams
+        (4, "one"),                             # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           ngram_lm_score(df, "text", "doc_id").collect()}
+    assert 4 not in got
+    assert got[1]["lm_score"] > got[3]["lm_score"]
+    assert got[1]["lm_score"] == got[2]["lm_score"]  # identical docs
