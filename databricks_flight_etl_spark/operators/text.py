@@ -630,63 +630,77 @@ def ngram_lm_score(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    train_df: DataFrame | None = None,
     alpha: float = 0.4,
     decimals: int = 6,
 ) -> DataFrame:
-    """CCNet-style corpus LM quality score: train a bigram model ON THE
-    CORPUS ITSELF (token bigram counts + unigram counts, two hash
-    aggregates), then score each document by its mean bigram
-    log-probability with stupid-backoff smoothing (Brants et al. 2007):
-    P(w2|w1) = c(w1 w2)/c(w1), else alpha·c(w2)/N. Gibberish and
-    boilerplate score far below fluent text — the standard pretraining
-    quality filter when no external LM is available.
+    """CCNet-style bigram LM quality score: train a bigram model on
+    ``train_df`` (default: the scored corpus itself), then score each
+    document by its mean bigram log-probability with stupid-backoff
+    smoothing (Brants et al. 2007): P(w2|w1) = c(w1 w2)/c(w1) when the
+    bigram was seen, else alpha·c(w2)/N, else alpha/N. Gibberish and
+    boilerplate hit the backoff and score far below fluent text — the
+    standard pretraining quality filter when no external LM exists.
+    NOTE the self-training degeneracy: scoring the training corpus
+    itself, never-repeated bigrams get c12/c1 = 1/1 → logprob 0; for
+    filtering, train on a REFERENCE corpus and score candidates.
 
-    Plan: explode to bigrams (narrow), aggregate counts, join each
-    document's bigrams to the count tables (shuffles keyed on token
-    strings — co-partitioned, linear), average per doc. The model IS a
-    pair of DataFrames, so it scales with corpus vocabulary, never
-    driver memory. Output: (id, n_bigrams, lm_score)."""
-    toks = tokens(text_col)
-    base = spread(
-        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    ).where(F.size("__t") >= 2)
-    bigrams = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.slice(F.col("__t"), 1, F.size("__t") - 1),
-                lambda w, i: F.struct(
-                    w.alias("w1"),
-                    F.element_at(F.col("__t"), i + 2).alias("w2"),
-                ),
+    Plan: explode to bigrams (narrow), two count aggregates train the
+    model, token-keyed joins score — the model is a pair of DataFrames
+    (scales with vocabulary, never driver memory). Output:
+    (id, n_bigrams, lm_score)."""
+    def prep(frame):
+        return spread(
+            frame.select(
+                F.col(id_col).alias("id"), tokens(text_col).alias("__t")
             )
-        ).alias("bg"),
-    ).select("id", "bg.w1", "bg.w2")
+        ).where(F.size("__t") >= 2)
+
+    def to_bigrams(frame):
+        return frame.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    lambda w, i: F.struct(
+                        w.alias("w1"),
+                        F.element_at(F.col("__t"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select("id", "bg.w1", "bg.w2")
+
+    train = prep(train_df if train_df is not None else df)
+    score = prep(df) if train_df is not None else train
     uni = (
-        base.select(F.explode("__t").alias("w"))
+        train.select(F.explode("__t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
     )
-    n_tokens = base.select(
+    n_tokens = train.select(
         F.sum(F.size("__t")).alias("n")
-    ).collect()[0]["n"]
-    bg_counts = bigrams.groupBy("w1", "w2").agg(
+    ).collect()[0]["n"] or 1
+    bg_counts = to_bigrams(train).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cbg")
     )
+    floor_lp = F.log(F.lit(alpha / float(n_tokens)))
     scored = (
-        bigrams.join(bg_counts, ["w1", "w2"])
+        to_bigrams(score)
+        .join(bg_counts, ["w1", "w2"], "left")
         .join(uni.select(F.col("w").alias("w1"),
-                         F.col("cw").alias("c1")), "w1")
+                         F.col("cw").alias("c1")), "w1", "left")
         .join(uni.select(F.col("w").alias("w2"),
-                         F.col("cw").alias("c2")), "w2")
+                         F.col("cw").alias("c2")), "w2", "left")
         .select(
             "id",
             F.when(
-                F.col("cbg") > 0,
+                F.col("cbg").isNotNull() & F.col("c1").isNotNull(),
                 F.log(F.col("cbg").cast("double") / F.col("c1")),
-            ).otherwise(
-                F.log(F.lit(alpha) * F.col("c2") / F.lit(float(n_tokens)))
-            ).alias("lp"),
+            ).when(
+                F.col("c2").isNotNull(),
+                F.log(F.lit(alpha) * F.col("c2")
+                      / F.lit(float(n_tokens))),
+            ).otherwise(floor_lp).alias("lp"),
         )
     )
     return (

@@ -1480,16 +1480,22 @@ def test_ngram_lm_score_ranks_fluent_above_gibberish(spark):
         ngram_lm_score,
     )
 
-    fluent = "the cat sat on the mat " * 10
+    fluent = "the cat sat on the mat and the dog sat on the rug "
+    train = spark.createDataFrame(
+        [(100 + i, fluent) for i in range(5)], "doc_id long, text string")
     rows = [
-        (1, fluent),
-        (2, fluent),
-        (3, "zq xv jk wp mn bc df gh lr ts"),  # all-unique bigrams
+        (1, "the cat sat on the rug"),          # seen bigrams
+        (2, "the cat sat on the rug"),
+        (3, "zq xv jk wp mn bc df gh lr ts"),   # unseen -> floor backoff
         (4, "one"),                             # too short
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r for r in
-           ngram_lm_score(df, "text", "doc_id").collect()}
+           ngram_lm_score(df, "text", "doc_id", train_df=train)
+           .collect()}
     assert 4 not in got
     assert got[1]["lm_score"] > got[3]["lm_score"]
     assert got[1]["lm_score"] == got[2]["lm_score"]  # identical docs
+    # self-trained scoring still works (harness mode)
+    self_scored = ngram_lm_score(df, "text", "doc_id")
+    assert self_scored.count() == 3
