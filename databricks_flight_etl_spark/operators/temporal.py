@@ -197,6 +197,16 @@ def asof_join_cogroup(
     rren = right.select(
         *[F.col(c).alias(f"__r_{c}") for c in right.columns]
     )
+    # Pin the cogroup's parallelism with an EXPLICIT key repartition:
+    # AQE coalesces the exchange by shuffle BYTES, and a few MB of
+    # key-grouped Arrow input coalesces to ~1 partition — serializing a
+    # stage whose cost is Python per GROUP, not bytes (measured 17 s →
+    # 3 s at sf0.1). Explicit repartition is exempt from AQE coalescing.
+    n_parts = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    lren = lren.repartition(n_parts, *[f"__l_{k}" for k in keys])
+    rren = rren.repartition(n_parts, *[f"__r_{k}" for k in keys])
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) + len(rpdf) > max_group_rows:
