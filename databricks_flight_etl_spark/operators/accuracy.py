@@ -97,6 +97,14 @@ def zscore_by_group(
     # column to Python, so an unpruned frame pays transfer for columns
     # the kernel never reads (visible as extra scan width in PLANS.md)
     df = df.select(*group_cols, id_col, value_col)
+    # pin parallelism: AQE coalesces by shuffle bytes, but this stage's
+    # cost is Python per GROUP — an explicit key repartition (exempt
+    # from coalescing) keeps the grouped kernel parallel (see
+    # temporal.asof_join_cogroup for the measured 13x effect)
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    df = df.repartition(n_parts, *group_cols)
     out_fields = [
         *[df.schema[c] for c in group_cols],
         df.schema[id_col],
