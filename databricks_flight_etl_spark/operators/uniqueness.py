@@ -128,6 +128,12 @@ def diff_tables(
     instead of full rows — at 100 TB that is the difference between
     shuffling the table and shuffling its keys."""
     use = compare_cols or [c for c in a.columns if c not in keys]
+    missing = [c for c in [*keys, *use] if c not in b.columns]
+    if missing:
+        raise ValueError(
+            f"diff_tables: columns {missing} absent from the right "
+            f"side — pass compare_cols restricted to the shared schema"
+        )
 
     def digested(df: DataFrame, name: str) -> DataFrame:
         digest = F.md5(F.concat_ws("\x1f", *[
