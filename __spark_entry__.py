@@ -986,6 +986,22 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_dataset_card(spark, sf_dir):
+    """One-pass per-column dataset card over orders: melt to (column,
+    value-string), one group-by on the pair, all stats from the count
+    table — the shuffle carries distinct (column, value) rows only.
+    String-typed min/max (a profile, not arithmetic); oracle replays
+    the melt."""
+    from databricks_flight_etl_spark.operators.completeness import (
+        dataset_card,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return dataset_card(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """Corpus-trained bigram LM quality score (CCNet-style, stupid
     backoff): two count aggregates train the model, token-keyed joins
@@ -3740,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_dataset_card": q_dataset_card,
         "q_lm_score": q_lm_score,
         "q_ab_welch": q_ab_welch,
         "q_chi_square": q_chi_square,
@@ -4458,6 +4475,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same melt -> (column, value) counts -> stats; ties toward
+        # the smaller string.
+        "q_dataset_card": """
+            WITH melted AS (
+                SELECT 'o_orderstatus' AS col, o_orderstatus AS value
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', o_orderpriority FROM orders
+                UNION ALL
+                SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+            ),
+            counts AS (
+                SELECT col, value, count(*) AS cnt FROM melted
+                WHERE value IS NOT NULL GROUP BY col, value
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY col ORDER BY cnt DESC, value ASC) AS rn
+                FROM counts
+            ),
+            stats AS (
+                SELECT col, CAST(sum(cnt) AS BIGINT) AS n_nonnull,
+                       count(*) AS n_distinct,
+                       min(value) AS min_v, max(value) AS max_v
+                FROM counts GROUP BY col
+            )
+            SELECT s.col AS "column", s.n_nonnull, s.n_distinct,
+                   s.min_v, s.max_v, r.value AS top_v,
+                   CAST(r.cnt AS BIGINT) AS top_n
+            FROM stats s LEFT JOIN ranked r
+              ON s.col = r.col AND r.rn = 1
+            ORDER BY s.col
         """,
         # Same bigram/unigram counts, same mean ln(c12/c1) (the
         # trained-on-self model makes the backoff branch unreachable).

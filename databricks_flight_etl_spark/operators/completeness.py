@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nonnull_counts", "drop_allnull_columns", "null_profile"]
+__all__ = ["nonnull_counts", "drop_allnull_columns", "null_profile"    "dataset_card",
+]
 
 
 def nonnull_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -62,3 +63,48 @@ def null_profile(df: DataFrame, cols: list[str] | None = None,
         F.col("n_null").cast("bigint").alias("n_null"),
         F.round(F.col("n_null") / F.col("__total"), ratio_decimals).alias("null_ratio"),
     )
+
+
+def dataset_card(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass per-column profile card — the 'dataset datasheet'
+    generator: (column, n_nonnull, n_distinct, min_v, max_v, top_v,
+    top_n). Every column melts to STRING (so one plan serves any
+    schema; min/max are therefore lexicographic — a profile, not
+    arithmetic), the melt groups once on (column, value), and all
+    stats derive from that count table: the shuffle carries one row
+    per distinct (column, value), never the data twice. Top value
+    ties break toward the smaller string for determinism."""
+    from pyspark.sql import Window
+
+    use = cols or df.columns
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in use
+            ])
+        ).alias("m")
+    ).select("m.column", "m.value")
+    counts = (
+        melted.where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    stats = counts.groupBy("column").agg(
+        F.sum("cnt").alias("n_nonnull"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    top = ranked.where(F.col("__rn") == 1).select(
+        "column", F.col("value").alias("top_v"),
+        F.col("cnt").alias("top_n"),
+    )
+    return stats.join(top, "column", "left").orderBy("column")

@@ -441,3 +441,20 @@ def test_statistics_trio_against_scipy_free_references(spark):
         [(1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0)],
         "a double, b double")
     assert spearman_corr(anti, "a", "b").collect()[0]["rho"] == -1.0
+
+
+def test_dataset_card_semantics(spark):
+    from databricks_flight_etl_spark.operators.completeness import (
+        dataset_card,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), (None, 2)],
+        "s string, x int")
+    card = {r["column"]: r for r in dataset_card(df).collect()}
+    assert card["s"]["n_nonnull"] == 3
+    assert card["s"]["n_distinct"] == 2
+    assert card["s"]["top_v"] == "a" and card["s"]["top_n"] == 2
+    assert card["x"]["n_nonnull"] == 3
+    assert card["x"]["top_v"] == "2"  # ties broken by count then value
+    assert card["x"]["min_v"] == "1" and card["x"]["max_v"] == "2"
