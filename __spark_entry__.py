@@ -986,6 +986,24 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_null_drift(spark, sf_dir):
+    """Null-rate drift between two table versions (the silent-upstream-
+    break monitor): version B deterministically nulls value for every
+    5th user — the drift column must surface exactly that. Two tiny
+    aggregates joined on column name; oracle replays both profiles."""
+    from databricks_flight_etl_spark.operators.completeness import (
+        null_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.withColumn(
+        "value",
+        F.when(F.col("user_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")),
+    )
+    return null_drift(ev, b, ["user_id", "event_type", "value"])
+
+
 def q_dataset_card(spark, sf_dir):
     """One-pass per-column dataset card over orders: melt to (column,
     value-string), one group-by on the pair, all stats from the count
@@ -3756,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_null_drift": q_null_drift,
         "q_dataset_card": q_dataset_card,
         "q_lm_score": q_lm_score,
         "q_ab_welch": q_ab_welch,
@@ -4475,6 +4494,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same two null profiles joined on column name.
+        "q_null_drift": """
+            WITH a AS (
+                SELECT count(*) AS total,
+                       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user,
+                       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_type,
+                       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_val
+                FROM events
+            ),
+            b AS (
+                SELECT count(*) AS total,
+                       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user,
+                       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_type,
+                       sum(CASE WHEN user_id % 5 = 0 OR value IS NULL
+                           THEN 1 ELSE 0 END) AS n_val
+                FROM events
+            ),
+            pa AS (
+                SELECT 'user_id' AS "column",
+                       round(CAST(n_user AS DOUBLE) / total, 6) AS ra FROM a
+                UNION ALL SELECT 'event_type',
+                       round(CAST(n_type AS DOUBLE) / total, 6) FROM a
+                UNION ALL SELECT 'value',
+                       round(CAST(n_val AS DOUBLE) / total, 6) FROM a
+            ),
+            pb AS (
+                SELECT 'user_id' AS "column",
+                       round(CAST(n_user AS DOUBLE) / total, 6) AS rb FROM b
+                UNION ALL SELECT 'event_type',
+                       round(CAST(n_type AS DOUBLE) / total, 6) FROM b
+                UNION ALL SELECT 'value',
+                       round(CAST(n_val AS DOUBLE) / total, 6) FROM b
+            )
+            SELECT pa."column", pa.ra AS null_ratio_a,
+                   pb.rb AS null_ratio_b,
+                   round(pb.rb - pa.ra, 6) AS drift
+            FROM pa JOIN pb USING ("column")
+            ORDER BY pa."column"
         """,
         # Same melt -> (column, value) counts -> stats; ties toward
         # the smaller string.

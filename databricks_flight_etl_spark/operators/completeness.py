@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["nonnull_counts", "drop_allnull_columns", "null_profile"    "dataset_card",
+    "null_drift",
 ]
 
 
@@ -108,3 +109,29 @@ def dataset_card(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         F.col("cnt").alias("top_n"),
     )
     return stats.join(top, "column", "left").orderBy("column")
+
+
+def null_drift(
+    a: DataFrame, b: DataFrame, cols: list[str] | None = None,
+    ratio_decimals: int = 6,
+) -> DataFrame:
+    """Per-column null-rate drift between two table versions — the
+    data-quality monitor for ingestion regressions (a column suddenly
+    going null-heavy is the classic silent upstream break). One tiny
+    aggregate per side, joined on the column name:
+    (column, null_ratio_a, null_ratio_b, drift = b − a)."""
+    pa = null_profile(a, cols, ratio_decimals).select(
+        "column", F.col("null_ratio").alias("null_ratio_a")
+    )
+    pb = null_profile(b, cols, ratio_decimals).select(
+        "column", F.col("null_ratio").alias("null_ratio_b")
+    )
+    return (
+        pa.join(pb, "column")
+        .select(
+            "column", "null_ratio_a", "null_ratio_b",
+            F.round(F.col("null_ratio_b") - F.col("null_ratio_a"),
+                    ratio_decimals).alias("drift"),
+        )
+        .orderBy("column")
+    )

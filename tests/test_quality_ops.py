@@ -458,3 +458,19 @@ def test_dataset_card_semantics(spark):
     assert card["x"]["n_nonnull"] == 3
     assert card["x"]["top_v"] == "2"  # ties broken by count then value
     assert card["x"]["min_v"] == "1" and card["x"]["max_v"] == "2"
+
+
+def test_null_drift_detects_regression(spark):
+    from databricks_flight_etl_spark.operators.completeness import (
+        null_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (4, "z")], "k int, v string")
+    b = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "z")], "k int, v string")
+    got = {r["column"]: r for r in null_drift(a, b).collect()}
+    assert got["v"]["null_ratio_a"] == 0.25
+    assert got["v"]["null_ratio_b"] == 0.75
+    assert got["v"]["drift"] == 0.5
+    assert got["k"]["drift"] == 0.0
