@@ -986,6 +986,28 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_set_similarity_join(spark, sf_dir):
+    """EXACT all-pairs Jaccard over token sets via PPJoin prefix
+    filtering — candidates meet only on rarest-first prefix tokens,
+    yet the oracle is the BRUTE-FORCE all-pairs scan: equality proves
+    the filter lossless (unlike max_df caps or MinHash recall)."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    docs = _docs_near_dup_base(spark, sf_dir)
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda t: t != "")
+        ).alias("toks"),
+    )
+    return set_similarity_join(
+        sets, "toks", "doc_id", threshold=0.97
+    ).orderBy("id_a", "id_b")
+
+
 def q_null_drift(spark, sf_dir):
     """Null-rate drift between two table versions (the silent-upstream-
     break monitor): version B deterministically nulls value for every
@@ -3774,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_set_similarity_join": q_set_similarity_join,
         "q_null_drift": q_null_drift,
         "q_dataset_card": q_dataset_card,
         "q_lm_score": q_lm_score,
@@ -4494,6 +4517,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # BRUTE-FORCE all-pairs Jaccard — equality with the engine's
+        # prefix-filtered join proves the filter lossless.
+        "q_set_similarity_join": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000,
+                       text || ' near duplicate tail'
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            sets AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split(lower(text), ' '),
+                           x -> x <> '')) AS s
+                FROM base
+            ),
+            nonempty AS (SELECT * FROM sets WHERE len(s) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS j
+                FROM nonempty a JOIN nonempty b
+                  ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.97
+            ORDER BY id_a, id_b
         """,
         # Same two null profiles joined on column name.
         "q_null_drift": """

@@ -46,6 +46,7 @@ __all__ = [
     "dedup_survivors",
     "incremental_dedup",
     "corpus_digests",
+    "set_similarity_join",
 ]
 
 
@@ -563,3 +564,86 @@ def corpus_digests(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("digest")
     ).distinct()
+
+
+def set_similarity_join(
+    df: DataFrame,
+    set_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    persist: bool = True,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join over token SETS via prefix
+    filtering (PPJoin family, Xiao et al. WWW'08): provably LOSSLESS,
+    unlike frequency-capped inverted indexes (``ngram_jaccard_pairs``
+    with max_df) and probabilistic MinHash.
+
+    The filter: order every set by one global token order (rarest
+    first — df ascending, token ascending); if J(a,b) ≥ t then
+    |a∩b| ≥ ⌈t·|a|⌉, so by pigeonhole the pair shares a token inside
+    each side's first |s| − ⌈t·|s|⌉ + 1 tokens. Candidates therefore
+    meet in an equi-join on PREFIX tokens only — and rare-first
+    ordering makes those prefixes the least-shared tokens, collapsing
+    the candidate count. Exact Jaccard verifies within candidates
+    (array_intersect/union on the per-doc arrays).
+
+    Plan: one df-count aggregate, one per-doc sort (array_sort over
+    (df, token) structs — inside the row, no shuffle), prefix explode
+    ≪ full explode, candidate equi-join on the token, narrow verify.
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(set_col)).alias("__s"),
+    ).where(F.size("__s") > 0)
+    tok_df = (
+        toks.select(F.explode("__s").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    with_order = (
+        toks.select("__id", F.explode("__s").alias("__t"))
+        .join(tok_df, "__t")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__df", "__t"))
+                ),
+                lambda s: s["__t"],
+            ).alias("__sorted")
+        )
+    )
+    sz = F.size("__sorted")
+    prefix_len = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    pref = with_order.select(
+        "__id", "__sorted",
+        F.slice("__sorted", 1, prefix_len).alias("__prefix"),
+    )
+    pref = _pin(pref, persist)
+    a = pref.select(
+        F.col("__id").alias("id_a"), F.col("__sorted").alias("__sa"),
+        F.explode("__prefix").alias("__t"),
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"), F.col("__sorted").alias("__sb"),
+        F.explode("__prefix").alias("__t"),
+    )
+    cands = (
+        a.join(b, "__t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    # filter on the EXACT ratio (the prefix guarantee is for exact
+    # J >= t); round only the reported value
+    ratio = inter.cast("double") / union
+    return (
+        cands.where(ratio >= threshold)
+        .select(
+            "id_a", "id_b", F.round(ratio, 6).alias("jaccard"),
+        )
+    )

@@ -1499,3 +1499,36 @@ def test_ngram_lm_score_ranks_fluent_above_gibberish(spark):
     # self-trained scoring still works (harness mode)
     self_scored = ngram_lm_score(df, "text", "doc_id")
     assert self_scored.count() == 3
+
+
+def test_set_similarity_join_lossless_vs_bruteforce(spark):
+    """The prefix filter finds EVERY pair the quadratic scan finds, at
+    several thresholds, on sets engineered to stress prefixes (shared
+    frequent tokens, rare discriminators)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),     # J(1,2)=3/5
+        (3, ["a", "b", "c", "d"]),     # J(1,3)=1
+        (4, ["x", "y"]),
+        (5, ["x", "y", "z"]),          # J(4,5)=2/3
+        (6, ["q"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    sets = {i: set(s) for i, s in rows}
+    for t in (0.5, 0.6, 0.9, 1.0):
+        got = {(r["id_a"], r["id_b"])
+               for r in set_similarity_join(df, "s", "id", t).collect()}
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+        }
+        assert got == want, t
