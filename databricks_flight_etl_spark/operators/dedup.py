@@ -590,7 +590,13 @@ def set_similarity_join(
     Plan: one df-count aggregate, one per-doc sort (array_sort over
     (df, token) structs — inside the row, no shuffle), prefix explode
     ≪ full explode, candidate equi-join on the token, narrow verify.
-    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Effectiveness caveat: prefix selectivity comes from the token
+    distribution's heavy tail (natural text). On a degenerate tiny-
+    vocabulary corpus where most pairs genuinely exceed the threshold,
+    the TRUE answer is O(n²) pairs and no exact algorithm beats
+    that — cap the input or raise the threshold there."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     toks = df.select(
