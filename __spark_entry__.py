@@ -986,6 +986,40 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_grouped_outliers(spark, sf_dir):
+    """Per-event-type Tukey fences (heteroscedastic segments get their
+    own quartiles) — grouped_quantiles keeps everything under
+    partitioned windows; fences join back as a narrow filter. Oracle
+    replays per-group fences."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_outliers_iqr,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        grouped_outliers_iqr(ev, ["event_type"], "value")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+def q_trailing_range_agg(spark, sf_dir):
+    """Event-TIME trailing window (RANGE frame over epoch seconds):
+    per-user 1-hour trailing count/sum/avg — irregular spacing handled
+    exactly where a rows frame would count events, not time. Oracle
+    replays the same range frame."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        trailing_range_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 15)
+    return trailing_range_agg(
+        ev, ["user_id"], "ts", "value", window_seconds=3600
+    ).select(
+        "user_id", "ts", "n_window", "sum_window", "avg_window"
+    ).orderBy("user_id", "ts", "n_window")
+
+
 def q_set_similarity_join(spark, sf_dir):
     """EXACT all-pairs Jaccard over token sets via PPJoin prefix
     filtering — candidates meet only on rarest-first prefix tokens,
@@ -3803,6 +3837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_grouped_outliers": q_grouped_outliers,
+        "q_trailing_range_agg": q_trailing_range_agg,
         "q_set_similarity_join": q_set_similarity_join,
         "q_null_drift": q_null_drift,
         "q_dataset_card": q_dataset_card,
@@ -4524,6 +4560,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # Same per-group quartiles (histogram rank rule) + fences.
+        "q_grouped_outliers": """
+            WITH v AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL),
+            hist AS (SELECT event_type, value, count(*) AS cnt
+                     FROM v GROUP BY event_type, value),
+            cum AS (
+                SELECT event_type, value,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY value
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            ),
+            t AS (SELECT CAST(unnest([0.25, 0.75]) AS DOUBLE) AS q),
+            quart AS (
+                SELECT cum.event_type, t.q, min(cum.value) AS value
+                FROM t JOIN cum
+                  ON cum.cum >= floor(t.q * (cum.n - 1)) + 1
+                GROUP BY cum.event_type, t.q
+            ),
+            fence AS (
+                SELECT event_type,
+                       min(CASE WHEN q = 0.25 THEN value END)
+                       - 1.5 * (min(CASE WHEN q = 0.75 THEN value END)
+                                - min(CASE WHEN q = 0.25 THEN value END))
+                           AS lo,
+                       min(CASE WHEN q = 0.75 THEN value END)
+                       + 1.5 * (min(CASE WHEN q = 0.75 THEN value END)
+                                - min(CASE WHEN q = 0.25 THEN value END))
+                           AS hi
+                FROM quart GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN fence f ON e.event_type = f.event_type
+            WHERE e.value < f.lo OR e.value > f.hi
+            ORDER BY e.event_id
+        """,
+        # Same RANGE frame over epoch seconds.
+        "q_trailing_range_agg": """
+            SELECT user_id, ts,
+                   count(*) OVER w AS n_window,
+                   round(sum(value) OVER w, 6) AS sum_window,
+                   round(avg(value) OVER w, 6) AS avg_window
+            FROM events WHERE user_id < 15
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch(ts)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts, n_window
         """,
         # BRUTE-FORCE all-pairs Jaccard — equality with the engine's
         # prefix-filtered join proves the filter lossless.

@@ -20,7 +20,8 @@ __all__ = ["summary_stats", "histogram", "describe",
            "quantiles_exact", "quantiles_approx", "outliers_iqr",
            "grouped_quantiles", "histogram_equidepth",
            "rank_normalize", "correlation_matrix",
-           "ab_welch_t", "chi_square_independence", "spearman_corr"]
+           "ab_welch_t", "chi_square_independence", "spearman_corr",
+           "grouped_outliers_iqr", "trailing_range_agg"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -534,4 +535,59 @@ def spearman_corr(
     return agg.select(
         F.round(rho, decimals).alias("rho"),
         F.col("n").cast("long").alias("n"),
+    )
+
+
+def grouped_outliers_iqr(
+    df: DataFrame, group_cols: list[str], col: str,
+    factor: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outliers: each group gets its OWN exact
+    quartile fences (heteroscedastic data makes global fences either
+    blind or trigger-happy per segment). Fences from
+    :func:`grouped_quantiles` — everything stays under partitioned
+    windows — joined back on the group key as a narrow filter."""
+    qdf = grouped_quantiles(df, group_cols, col, [0.25, 0.75])
+    fences = qdf.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == 0.25, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("q") == 0.75, F.col("value"))).alias("q3"),
+    ).select(
+        *group_cols,
+        (F.col("q1") - factor * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + factor * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        df.join(fences, group_cols)
+        .where((F.col(col) < F.col("lo")) | (F.col(col) > F.col("hi")))
+        .drop("lo", "hi")
+    )
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Event-TIME trailing aggregate: for every row, the sum/count/avg
+    of ``value_col`` over the previous ``window_seconds`` (inclusive)
+    within its partition — a RANGE window frame over the epoch
+    seconds, so irregular event spacing is handled exactly (a rows
+    frame would count events, not time). One exchange per partition
+    key; rows stream through the frame sorted by time."""
+    from pyspark.sql import Window
+
+    secs = F.col(ts_col).cast("long")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(secs)
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.select(
+        *partition_cols, ts_col, value_col,
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.sum(value_col).over(w), decimals).alias("sum_window"),
+        F.round(F.avg(value_col).over(w), decimals).alias("avg_window"),
     )

@@ -474,3 +474,37 @@ def test_null_drift_detects_regression(spark):
     assert got["v"]["null_ratio_b"] == 0.75
     assert got["v"]["drift"] == 0.5
     assert got["k"]["drift"] == 0.0
+
+
+def test_grouped_outliers_and_trailing_range(spark):
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_outliers_iqr,
+        trailing_range_agg,
+    )
+
+    # group 'a' tight around 10 with one spike; 'b' wide (no outlier)
+    rows = ([("a", float(v)) for v in [9, 10, 10, 11, 10, 9, 11, 10]]
+            + [("a", 100.0)]
+            + [("b", float(v)) for v in [0, 50, 100, 150, 200]])
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = [(r["g"], r["x"])
+           for r in grouped_outliers_iqr(df, ["g"], "x").collect()]
+    assert out == [("a", 100.0)]
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    ev = spark.createDataFrame(
+        [(1, base, 10.0),
+         (1, base + dt.timedelta(minutes=30), 20.0),
+         (1, base + dt.timedelta(minutes=61), 5.0),   # 12:00 expired
+         (2, base, 7.0)],
+        "u long, ts timestamp, v double")
+    got = {(r["u"], r["ts"]): (r["n_window"], r["sum_window"])
+           for r in trailing_range_agg(ev, ["u"], "ts", "v", 3600)
+           .collect()}
+    assert got[(1, base)] == (1, 10.0)
+    assert got[(1, base + dt.timedelta(minutes=30))] == (2, 30.0)
+    # at +61min the 12:00 row (3660s ago) is outside the 3600s frame
+    assert got[(1, base + dt.timedelta(minutes=61))] == (2, 25.0)
+    assert got[(2, base)] == (1, 7.0)
