@@ -986,6 +986,37 @@ def q_bloom_bitmap(spark, sf_dir):
     return bloom_build(keys, "key", n_words=256, k=5).orderBy("word")
 
 
+def q_containment_join(spark, sf_dir):
+    """Asymmetric near-subset pairs (|A∩B|/|A| ≥ 0.98) — the page-vs-
+    page-plus-boilerplate case Jaccard misses. One-sided prefix filter
+    (A-prefix × full B index); the brute-force oracle proves it
+    lossless. Same degenerate-vocabulary input cap as the Jaccard
+    twin."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        containment_join,
+    )
+
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 800
+    )
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda t: t != "")
+        ).alias("toks"),
+    )
+    pairs = containment_join(sets, "toks", "doc_id", threshold=0.98)
+    # the tiny-vocabulary corpus makes pairwise output quadratic (most
+    # sets ARE subsets of each other) — certify via the per-doc
+    # container count instead, which still pins every pair
+    return (
+        pairs.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_containers"))
+        .orderBy("id_a")
+    )
+
+
 def q_grouped_outliers(spark, sf_dir):
     """Per-event-type Tukey fences (heteroscedastic segments get their
     own quartiles) — grouped_quantiles keeps everything under
@@ -3837,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
         "q_decode_features_arrow": q_decode_features_arrow,
+        "q_containment_join": q_containment_join,
         "q_grouped_outliers": q_grouped_outliers,
         "q_trailing_range_agg": q_trailing_range_agg,
         "q_set_similarity_join": q_set_similarity_join,
@@ -4560,6 +4592,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pos // 62 AS INT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
             FROM pos GROUP BY word ORDER BY word
+        """,
+        # BRUTE-FORCE asymmetric containment — equality proves the
+        # one-sided prefix filter lossless.
+        "q_containment_join": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000,
+                       text || ' near duplicate tail'
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            capped AS (
+                SELECT * FROM base WHERE doc_id % 200000 < 800
+            ),
+            sets AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split(lower(text), ' '),
+                           x -> x <> '')) AS s
+                FROM capped
+            ),
+            nonempty AS (SELECT * FROM sets WHERE len(s) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(a.s) AS c
+                FROM nonempty a JOIN nonempty b
+                  ON a.doc_id <> b.doc_id
+            )
+            SELECT id_a, count(*) AS n_containers
+            FROM pairs WHERE c >= 0.98
+            GROUP BY id_a ORDER BY id_a
         """,
         # Same per-group quartiles (histogram rank rule) + fences.
         "q_grouped_outliers": """

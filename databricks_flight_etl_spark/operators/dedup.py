@@ -47,6 +47,7 @@ __all__ = [
     "incremental_dedup",
     "corpus_digests",
     "set_similarity_join",
+    "containment_join",
 ]
 
 
@@ -652,4 +653,78 @@ def set_similarity_join(
         .select(
             "id_a", "id_b", F.round(ratio, 6).alias("jaccard"),
         )
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    set_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    persist: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-subset detection: pairs where
+    |A∩B| / |A| ≥ threshold — A's content is (almost) contained in B.
+    Jaccard misses these (a page plus a long boilerplate footer has low
+    Jaccard against the bare page but containment ≈ 1), which is why
+    crawl dedup wants both joins.
+
+    Prefix filter, one-sided: |A∩B| ≥ ⌈t·|A|⌉ means B must hit a token
+    in A's rarest-first prefix of length |A| − ⌈t·|A|⌉ + 1; B itself
+    gets NO prefix restriction (containment is not symmetric), so
+    candidates meet in an equi-join between A-prefix tokens and B's
+    full token index. Exact verify within candidates. Lossless — the
+    oracle is the brute-force scan. Output: (id_a, id_b, containment)
+    for a ≠ b, both directions reported independently."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(set_col)).alias("__s"),
+    ).where(F.size("__s") > 0)
+    tok_df = (
+        toks.select(F.explode("__s").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    with_order = (
+        toks.select("__id", F.explode("__s").alias("__t"))
+        .join(tok_df, "__t")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__t"))),
+                lambda s: s["__t"],
+            ).alias("__sorted")
+        )
+    )
+    sz = F.size("__sorted")
+    prefix_len = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    pref = _pin(
+        with_order.select(
+            "__id", "__sorted",
+            F.slice("__sorted", 1, prefix_len).alias("__prefix"),
+        ),
+        persist,
+    )
+    a = pref.select(
+        F.col("__id").alias("id_a"), F.col("__sorted").alias("__sa"),
+        F.explode("__prefix").alias("__t"),
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"), F.col("__sorted").alias("__sb"),
+        F.explode("__sorted").alias("__t"),  # FULL index on the B side
+    )
+    cands = (
+        a.join(b, "__t")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    ratio = inter.cast("double") / F.size("__sa")
+    return (
+        cands.where(ratio >= threshold)
+        .select("id_a", "id_b",
+                F.round(ratio, 6).alias("containment"))
     )

@@ -1532,3 +1532,22 @@ def test_set_similarity_join_lossless_vs_bruteforce(spark):
             if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
         }
         assert got == want, t
+
+
+def test_containment_join_asymmetric(spark):
+    """Page-plus-boilerplate: containment catches what Jaccard misses,
+    direction matters, and the filter equals brute force."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        containment_join,
+        set_similarity_join,
+    )
+
+    page = [f"w{i}" for i in range(10)]
+    boiler = page + [f"b{i}" for i in range(30)]
+    rows = [(1, page), (2, boiler), (3, ["x", "y", "z"])]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_join(df, "s", "id", 0.9).collect()}
+    assert got == {(1, 2): 1.0}  # page ⊂ boiler, NOT the reverse
+    # Jaccard at the same bar finds nothing (10/40 = 0.25)
+    assert set_similarity_join(df, "s", "id", 0.9).count() == 0
