@@ -889,6 +889,23 @@ def q_span_dedup(spark, sf_dir):
     return dedup_repeated_spans(docs, "text", "doc_id", span_words=10)
 
 
+def q_boilerplate(spark, sf_dir):
+    """Frequency-threshold boilerplate removal (CCNet/RefinedWeb
+    'drop frequent lines'): every 10-word span occurring in ≥2
+    distinct documents is dropped from ALL of them (keep-first would
+    bless the first carrier); docs rebuilt from surviving spans.
+    Certified cell-exact against a DuckDB oracle doing the same
+    doc-frequency threshold and rebuild."""
+    from databricks_flight_etl_spark.operators.text import (
+        drop_boilerplate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_boilerplate_spans(
+        docs, "text", "doc_id", span_words=10, min_docs=2
+    )
+
+
 def q_cms_sketch(spark, sf_dir):
     """Count-Min sketch (Cormode & Muthukrishnan 2005) over all document
     tokens — built in one pass, a few KB regardless of corpus size,
@@ -1179,6 +1196,26 @@ def q_stratified_sample_n(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = stratified_sample_n(docs, "lang", "doc_id", 40)
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def q_resample_mix(spark, sf_dir):
+    """Domain-mixing resampler: each language hits an EXACT target row
+    count — de upsampled (replication with copy_idx), en/es
+    downsampled, zh dropped, fr passed through — via integer base+
+    remainder on the content-hash rank (no float thresholds). Oracle
+    replays the same rank and generate_series replication."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        resample_to_target,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resample_to_target(
+        docs, "lang", "doc_id",
+        {"de": 1500, "en": 100, "es": 80, "zh": 0},
+    )
+    return out.select("doc_id", "lang", "copy_idx").orderBy(
+        "lang", "doc_id", "copy_idx"
+    )
 
 
 def q_sql_ddl(spark, sf_dir):
@@ -1619,6 +1656,23 @@ def q_vector_mean(spark, sf_dir):
     return out.select(
         "label", "idx", F.round("mean", 9).alias("mean_r")
     ).orderBy("label", "idx")
+
+
+def q_centroid_outliers(spark, sf_dir):
+    """Semantic-outlier curation scores: cosine of each vector to its
+    LABEL's centroid — dim scalar avgs in one hash aggregate, tiny
+    centroid table broadcast back, deterministic zip_with-fold cosine.
+    Rounded to 6 dp on both sides (centroid avg order is the only
+    cross-engine freedom)."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        centroid_outlier_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_outlier_scores(emb, "label")
+    return out.select(
+        "vec_id", "label", F.round("cos_centroid", 6).alias("cos_r")
+    ).orderBy("label", "vec_id")
 
 
 def q_sample_n(spark, sf_dir):
@@ -3854,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_span_dedup": q_span_dedup,
+        "q_boilerplate": q_boilerplate,
         "q_cms_sketch": q_cms_sketch,
         "q_cms_merge": q_cms_merge,
         "q_hll_registers": q_hll_registers,
@@ -3879,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chi_square": q_chi_square,
         "q_spearman": q_spearman,
         "q_stratified_sample_n": q_stratified_sample_n,
+        "q_resample_mix": q_resample_mix,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_embed_dup_int8": q_embed_dup_int8,
@@ -3898,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_checksum": q_table_checksum,
         "q_fuzzy_join": q_fuzzy_join,
         "q_vector_mean": q_vector_mean,
+        "q_centroid_outliers": q_centroid_outliers,
         "q_sample_n": q_sample_n,
         "q_event_funnel": q_event_funnel,
         "q_cube_counts": q_cube_counts,
@@ -4935,6 +4992,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
         """,
+        # Same per-group hash rank, integer base+remainder copies,
+        # generate_series replication.
+        "q_resample_mix": """
+            WITH c AS (
+                SELECT lang, count(*) AS c FROM documents GROUP BY 1
+            ),
+            t AS (
+                SELECT lang, c,
+                       CASE lang WHEN 'de' THEN 1500 WHEN 'en' THEN 100
+                                 WHEN 'es' THEN 80 WHEN 'zh' THEN 0
+                                 ELSE c END AS tgt
+                FROM c
+            ),
+            r AS (
+                SELECT d.doc_id, d.lang, t.c, t.tgt,
+                       row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 12), d.doc_id) AS rn
+                FROM documents d JOIN t USING (lang)
+            ),
+            x AS (
+                SELECT doc_id, lang,
+                       (tgt // c)
+                       + CASE WHEN rn <= tgt % c THEN 1 ELSE 0 END AS copies
+                FROM r
+            )
+            SELECT doc_id, lang,
+                   unnest(generate_series(1, copies)) AS copy_idx
+            FROM x WHERE copies >= 1
+            ORDER BY lang, doc_id, copy_idx
+        """,
         # The INSERT filter replayed on the source.
         "q_sql_ddl": """
             SELECT o_orderstatus, count(*) AS n,
@@ -5376,6 +5465,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(x), 9) AS mean_r
             FROM ex GROUP BY label, idx ORDER BY label, idx
         """,
+        # Same per-(label, idx) avg centroid, same dot/norm cosine.
+        "q_centroid_outliers": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            ex AS (
+                SELECT label,
+                       generate_subscripts(v, 1) AS idx,
+                       unnest(v) AS x
+                FROM e
+            ),
+            c AS (
+                SELECT label, idx, avg(x) AS m
+                FROM ex GROUP BY label, idx
+            ),
+            cent AS (
+                SELECT label, list(m ORDER BY idx) AS cv
+                FROM c GROUP BY label
+            )
+            SELECT e.vec_id, e.label,
+                   round(list_dot_product(v, cv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_r
+            FROM e JOIN cent USING (label)
+            ORDER BY label, vec_id
+        """,
         # Same md5 coordinate order, same tie-break, same n.
         "q_sample_n": """
             SELECT doc_id, lang FROM documents
@@ -5708,6 +5825,45 @@ def oracle_sql() -> dict[str, str]:
         # docs rebuilt in span order. The oracle joins on span TEXT
         # where Spark joins on its md5 digest — same result,
         # digest-sized shuffle.
+        # Same span split, doc-frequency >= 2 threshold, drop-ALL
+        # semantics, position-order rebuild.
+        "q_boilerplate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id, tk,
+                       unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS idx
+                FROM toks WHERE len(tk) > 0
+            ),
+            occ AS (
+                SELECT doc_id, idx,
+                       array_to_string(list_slice(tk,
+                           CAST(idx * 10 + 1 AS INT),
+                           CAST(idx * 10 + 10 AS INT)), ' ') AS span
+                FROM sp
+            ),
+            boiler AS (
+                SELECT span FROM occ
+                GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT doc_id, idx, span FROM occ
+                WHERE span NOT IN (SELECT span FROM boiler)
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_spans FROM occ GROUP BY 1),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(span, ' ' ORDER BY idx) AS clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(r.clean, '') AS clean, t.n_spans,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM totals t LEFT JOIN reb r USING (doc_id)
+        """,
         "q_span_dedup": """
             WITH toks AS (
                 SELECT doc_id,

@@ -15,9 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nonnull_counts", "drop_allnull_columns", "null_profile"    "dataset_card",
-    "null_drift",
-]
+__all__ = ["nonnull_counts", "drop_allnull_columns", "null_profile",
+           "dataset_card", "null_drift"]
 
 
 def nonnull_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -629,19 +629,33 @@ def set_similarity_join(
         F.slice("__sorted", 1, prefix_len).alias("__prefix"),
     )
     pref = _pin(pref, persist)
+    # candidates meet on BARE IDS: dedupe (id_a, id_b) while the rows
+    # are two longs wide, then re-join the pinned per-doc arrays for
+    # the verify — shuffling the full token arrays once per candidate
+    # duplicate through dropDuplicates is the expensive shape at scale
     a = pref.select(
-        F.col("__id").alias("id_a"), F.col("__sorted").alias("__sa"),
-        F.explode("__prefix").alias("__t"),
+        F.col("__id").alias("id_a"), F.explode("__prefix").alias("__t")
     )
     b = pref.select(
-        F.col("__id").alias("id_b"), F.col("__sorted").alias("__sb"),
-        F.explode("__prefix").alias("__t"),
+        F.col("__id").alias("id_b"), F.explode("__prefix").alias("__t")
     )
-    cands = (
+    pairs = (
         a.join(b, "__t")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cands = (
+        pairs.join(
+            pref.select(F.col("__id").alias("id_a"),
+                        F.col("__sorted").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            pref.select(F.col("__id").alias("id_b"),
+                        F.col("__sorted").alias("__sb")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size("__sa") + F.size("__sb") - inter
@@ -707,19 +721,32 @@ def containment_join(
         ),
         persist,
     )
+    # same narrow-dedupe-then-fetch shape as set_similarity_join:
+    # pair ids meet and dedupe as two longs, arrays re-attach after
     a = pref.select(
-        F.col("__id").alias("id_a"), F.col("__sorted").alias("__sa"),
-        F.explode("__prefix").alias("__t"),
+        F.col("__id").alias("id_a"), F.explode("__prefix").alias("__t")
     )
     b = pref.select(
-        F.col("__id").alias("id_b"), F.col("__sorted").alias("__sb"),
+        F.col("__id").alias("id_b"),
         F.explode("__sorted").alias("__t"),  # FULL index on the B side
     )
-    cands = (
+    pairs = (
         a.join(b, "__t")
         .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cands = (
+        pairs.join(
+            pref.select(F.col("__id").alias("id_a"),
+                        F.col("__sorted").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            pref.select(F.col("__id").alias("id_b"),
+                        F.col("__sorted").alias("__sb")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
     ratio = inter.cast("double") / F.size("__sa")

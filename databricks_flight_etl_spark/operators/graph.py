@@ -274,6 +274,12 @@ def pagerank(
     1. Plan per round: one co-partitioned join + one hash agg, both
     keyed on node ids; ``localCheckpoint`` truncates lineage so the
     plan stays O(1) across rounds like connected_components."""
+    # pin the edge list FIRST: it is re-joined every power-iteration
+    # round, and without a lineage cut each round would re-run the
+    # caller's whole upstream plan (e.g. a fact⋈fact join + distinct)
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -285,7 +291,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
-    )
+    ).localCheckpoint(eager=True)  # re-joined every round
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         with_deg = ranks.join(out_deg, "node", "left")

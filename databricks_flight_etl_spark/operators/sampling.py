@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
            "pack_by_token_budget", "split_assign", "epoch_shuffle",
-           "sample_n", "stratified_sample_n"]
+           "sample_n", "stratified_sample_n", "resample_to_target",
+           "temperature_targets"]
 
 _PREFIX_LEN = 12
 
@@ -246,3 +247,102 @@ def stratified_sample_n(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def resample_to_target(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    targets: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Resample each group to an EXACT target row count — the domain-
+    mixing step of a training-data pipeline (e.g. 'the next corpus is
+    40% wiki, 60% crawl, 10M docs total'), covering both DOWNsampling
+    over-represented groups and UPsampling (replication with
+    replacement) under-represented ones in one deterministic pass.
+
+    Exact-integer semantics (no fractional keep probabilities, no
+    float thresholds — bit-identical on any engine): within a group of
+    ``c`` rows and target ``n``, every row gets ``n DIV c`` base
+    copies, and the ``n MOD c`` rows with the smallest content-hash
+    coordinate (ties by key) get one extra — so the output has exactly
+    ``n`` rows per group, every original row appears ``⌊n/c⌋`` or
+    ``⌈n/c⌉`` times, and which rows got the extra copy is an auditable
+    function of content. Groups absent from ``targets`` pass through
+    unchanged (copies = 1).
+
+    Plan: one tiny per-group count (broadcast back), one per-group
+    window rank (shuffle on group — scales with group count), then a
+    narrow ``explode(sequence(1, copies))``. Output: the original
+    columns plus ``copy_idx`` (1-based replica index; downsampled and
+    pass-through rows all carry copy_idx = 1).
+    """
+    from pyspark.sql import Window
+
+    for g, n in targets.items():
+        if n < 0:
+            raise ValueError(f"target for {g!r} must be >= 0, got {n}")
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tgt = None
+    for g, n in sorted(targets.items()):
+        cond = F.col(group_col) == g
+        tgt = (F.when(cond, F.lit(int(n))) if tgt is None
+               else tgt.when(cond, F.lit(int(n))))
+    # groups without a target keep every row exactly once
+    tgt = (tgt.otherwise(F.col("__c")) if tgt is not None
+           else F.col("__c")).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key, salt), F.col(key)
+    )
+    t = (
+        df.join(F.broadcast(counts), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__tgt", tgt)
+        # DIV: exact long division (a / b is DOUBLE division in Spark
+        # and misrounds once targets exceed 2^53)
+        .withColumn("__copies",
+                    F.expr("__tgt DIV __c")
+                    + F.when(F.col("__rn") <= F.col("__tgt") % F.col("__c"),
+                             F.lit(1)).otherwise(F.lit(0)))
+    )
+    # sequence(1, 0) would auto-step DOWN to [1, 0]; rows with zero
+    # copies must be dropped before the explode
+    return (
+        t.where(F.col("__copies") >= 1)
+        .select(
+            *[F.col(c) for c in df.columns],
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__copies"))
+            ).alias("copy_idx"),
+        )
+    )
+
+
+def temperature_targets(
+    counts: dict[str, int], alpha: float, total: int | None = None
+) -> dict[str, int]:
+    """Driver-side helper: turn observed group counts into
+    :func:`resample_to_target` targets via temperature sampling
+    (multilingual-corpus standard): p_g ∝ count_g^alpha, renormalized
+    over ``total`` (default: the observed total, i.e. reshape the mix
+    without changing corpus size). alpha = 1 keeps proportions,
+    alpha = 0 equalizes groups, 0 < alpha < 1 up-weights the tail.
+    Rounding: largest-remainder so the targets sum exactly to total."""
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    n_total = int(total if total is not None else sum(counts.values()))
+    weights = {g: float(c) ** alpha for g, c in counts.items()}
+    z = sum(weights.values())
+    raw = {g: n_total * w / z for g, w in weights.items()}
+    base = {g: int(r) for g, r in raw.items()}
+    short = n_total - sum(base.values())
+    # largest fractional remainder gets the leftover units; ties by
+    # group name so the result is deterministic
+    for g in sorted(raw, key=lambda g: (-(raw[g] - base[g]), g))[:short]:
+        base[g] += 1
+    return base

@@ -29,9 +29,10 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "hyperplane_bucket", "ann_topk_lsh", "ann_topk_lsh_multiprobe",
            "cosine_near_dup_pairs",
            "ivf_centroids", "ivf_assign", "ivf_assign_pandas",
-           "ann_topk_ivf", "ann_topk_ivf_batch"           "quantize_embeddings", "dequantize_embeddings",
+           "ann_topk_ivf", "ann_topk_ivf_batch",
+           "quantize_embeddings", "dequantize_embeddings",
            "semantic_dedup",
-           "group_vector_mean",
+           "group_vector_mean", "centroid_outlier_scores",
 ]
 
 
@@ -786,3 +787,48 @@ def group_vector_mean(
     ).alias("p")
     return agg.select(group_col, pairs).select(
         group_col, "p.idx", "p.mean")
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic-outlier scores for curation (SemDeDup-adjacent): each
+    row's cosine to its GROUP's mean embedding — mislabeled or noisy
+    documents sit far from their class prototype, so the curation
+    filter is 'drop the bottom quantile of cos_centroid per group'.
+
+    Plan: the centroid is ``dim`` scalar avg aggregates in ONE hash
+    aggregate (the :func:`group_vector_mean` shape — partial sums
+    through the exchange, never a dim× posexplode blowup); the
+    |groups|-row centroid table broadcasts back onto the membership
+    (explicit hint — it is tiny by construction); the cosine is the
+    deterministic zip_with/fold. One shuffle total, then narrow maps.
+    Output: (id, group, cos_centroid) — ranking/thresholding is the
+    caller's policy.
+    """
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, {group_col} string, cos_centroid double"
+        )
+    dim = len(first[0])
+    v = _as_double(vec_col)
+    cent = (
+        df.groupBy(group_col)
+        .agg(*[F.avg(v[i]).alias(f"__m_{i}") for i in range(dim)])
+        .select(
+            group_col,
+            F.array(*[F.col(f"__m_{i}") for i in range(dim)]).alias("__cent"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cent), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            cosine(v, F.col("__cent")).alias("cos_centroid"),
+        )
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "quality_signals",
     "contamination_overlap",
     "dedup_repeated_spans",
+    "drop_boilerplate_spans",
     "ngram_lm_score",
 ]
 
@@ -382,6 +383,81 @@ def dedup_repeated_spans(
         (F.col("__h") == F.col("__fh"))
         & (F.struct("__id", "__idx") == F.col("__mk")),
     ).select("__id", "__idx", "__span")
+    totals = spans.groupBy("__id").agg(F.count(F.lit(1)).alias("n_spans"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__span"))),
+                lambda s: s["__span"],
+            ),
+            " ",
+        ).alias("clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def drop_boilerplate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet/RefinedWeb
+    'drop frequent lines' pass, complementary to
+    :func:`dedup_repeated_spans`'s keep-first semantics): any tumbling
+    ``span_words``-word span that occurs in ≥ ``min_docs`` DISTINCT
+    documents is boilerplate, and EVERY occurrence is dropped (nav
+    bars, cookie banners, license footers — keep-first would wrongly
+    bless the first page that carried them). Documents are rebuilt
+    from their surviving spans in position order.
+
+    Output: (id, clean, n_spans, n_kept) — same shape as
+    dedup_repeated_spans so the two passes compose in a pipeline.
+
+    Plan shape: narrow explode; the doc-frequency aggregate keys on
+    the span's 16-byte md5 digest (count_distinct(doc) per digest —
+    partial aggregation applies); the boilerplate digest set prunes
+    via LEFT ANTI join on the digest (AQE broadcasts it when small —
+    it is the FREQUENT span set, bounded by corpus_spans / min_docs);
+    the rebuild groups by doc id. Three digest-keyed shuffles, all on
+    bounded keys — linear at corpus scale.
+    """
+    toks = tokens(F.col("__raw"))
+    n_spans_c = F.ceil(F.size(toks) / span_words).cast("int")
+    span_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans_c - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = spread(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")),
+        "__id",
+    ).select(
+        "__id", F.posexplode(span_arr).alias("__idx", "__span")
+    ).withColumn("__h", F.md5("__span"))
+    boiler = (
+        spans.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    kept = spans.join(boiler, "__h", "left_anti").select(
+        "__id", "__idx", "__span"
+    )
     totals = spans.groupBy("__id").agg(F.count(F.lit(1)).alias("n_spans"))
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(

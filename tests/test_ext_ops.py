@@ -1551,3 +1551,114 @@ def test_containment_join_asymmetric(spark):
     assert got == {(1, 2): 1.0}  # page ⊂ boiler, NOT the reverse
     # Jaccard at the same bar finds nothing (10/40 = 0.25)
     assert set_similarity_join(df, "s", "id", 0.9).count() == 0
+
+
+def test_resample_to_target_exact_counts(spark):
+    """Every targeted group lands on EXACTLY its target; untargeted
+    groups pass through; copies differ by at most one per row."""
+    from databricks_flight_etl_spark.operators import sampling
+
+    df = spark.range(300).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+        "ELSE 'c' END AS g",
+    )
+    out = sampling.resample_to_target(
+        df, "g", "k", {"a": 250, "b": 40, "c": 0}
+    )
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 250, "b": 40}
+    # upsampled group: every source row appears floor or ceil times
+    per_row = [r["n"] for r in out.where("g = 'a'")
+               .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert set(per_row) <= {2, 3} and len(per_row) == 100  # 250/100
+    # copy_idx is 1..copies per row
+    bad = out.where("g = 'a'").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy_idx").alias("m"),
+        F.min("copy_idx").alias("lo")).where("n != m OR lo != 1")
+    assert bad.count() == 0
+    # downsampled rows are a deterministic subset: rerun identical
+    again = sorted((r["k"], r["copy_idx"])
+                   for r in sampling.resample_to_target(
+                       df, "g", "k", {"a": 250, "b": 40, "c": 0}
+                   ).where("g = 'b'").collect())
+    first = sorted((r["k"], r["copy_idx"])
+                   for r in out.where("g = 'b'").collect())
+    assert again == first
+    # untargeted group untouched
+    out2 = sampling.resample_to_target(df, "g", "k", {"a": 50})
+    assert out2.where("g = 'b'").count() == 100
+    assert out2.where("g = 'c'").count() == 100
+
+
+def test_temperature_targets(spark):
+    from databricks_flight_etl_spark.operators.sampling import (
+        temperature_targets,
+    )
+
+    counts = {"en": 8000, "de": 1500, "sw": 500}
+    # alpha=1 keeps proportions exactly
+    assert temperature_targets(counts, 1.0) == counts
+    # alpha=0 equalizes (largest-remainder keeps the sum exact)
+    eq = temperature_targets(counts, 0.0)
+    assert sum(eq.values()) == 10000
+    assert max(eq.values()) - min(eq.values()) <= 1
+    # 0<alpha<1 up-weights the tail monotonically
+    mid = temperature_targets(counts, 0.5)
+    assert sum(mid.values()) == 10000
+    assert counts["sw"] < mid["sw"] < eq["sw"] + 2
+    assert eq["en"] < mid["en"] < counts["en"]
+    # explicit total rescales
+    tot = temperature_targets(counts, 1.0, total=1000)
+    assert sum(tot.values()) == 1000
+
+
+def test_centroid_outlier_scores(spark):
+    """An on-axis cluster plus one orthogonal outlier: the member
+    scores beat the outlier's, and empty input yields empty output."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        centroid_outlier_scores,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0], "a"),
+        (3, [0.0, 0.0, 1.0], "a"),   # the outlier
+        (4, [0.0, 1.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {r["vec_id"]: r["cos_centroid"]
+           for r in centroid_outlier_scores(df, "label").collect()}
+    assert len(got) == 4
+    assert got[3] < got[1] and got[3] < got[2]
+    assert abs(got[4] - 1.0) < 1e-12   # singleton group: cos to itself
+    empty = centroid_outlier_scores(df.limit(0), "label")
+    assert empty.count() == 0
+
+
+def test_drop_boilerplate_spans(spark):
+    """A footer shared by 3 docs is dropped from ALL of them (including
+    the first carrier — the semantics keep-first would get wrong);
+    unique content survives; an all-boilerplate doc rebuilds empty."""
+    from databricks_flight_etl_spark.operators.text import (
+        drop_boilerplate_spans,
+    )
+
+    footer = "visit our site for more info"
+    rows = [
+        (1, "alpha beta gamma " + footer),
+        (2, "delta epsilon zeta " + footer),
+        (3, footer),
+        (4, "totally unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in drop_boilerplate_spans(
+        df, "text", "doc_id", span_words=3, min_docs=3).collect()}
+    # span_words=3 makes the footer two exact spans shared by docs 1-3
+    assert footer not in out[1]["clean"] and footer not in out[3]["clean"]
+    assert out[3]["clean"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean"] == "totally unique words here"
+    assert out[1]["n_spans"] > out[1]["n_kept"] > 0

@@ -46,3 +46,21 @@ def test_driver_window_queries_scalar_only(spark):
             if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
         ]
         assert not bad, (name, bad)
+
+
+def test_all_exports_exist():
+    """Every name in every module's __all__ must resolve — a missing
+    comma in the list silently concatenates two names into one bogus
+    entry (found twice in review)."""
+    import importlib
+    import pkgutil
+
+    import databricks_flight_etl_spark as pkg
+
+    bad = []
+    for mi in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        m = importlib.import_module(mi.name)
+        for n in getattr(m, "__all__", []):
+            if not hasattr(m, n):
+                bad.append((mi.name, n))
+    assert bad == []
