@@ -164,6 +164,65 @@ def _zorder(docs):
     return zorder_sort(t, "a", "b").count()
 
 
+def _shingle_sets(docs, k=5):
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n = F.size(toks) - k + 1
+    sh = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", sh.alias("s"))
+
+
+def _setsim(docs):
+    from databricks_flight_etl_spark.operators import dedup
+
+    return dedup.set_similarity_join(
+        _shingle_sets(docs), "s", "doc_id", threshold=0.8
+    ).count()
+
+
+def _containment(docs):
+    from databricks_flight_etl_spark.operators import dedup
+
+    return dedup.containment_join(
+        _shingle_sets(docs), "s", "doc_id", threshold=0.95
+    ).count()
+
+
+def _boiler(docs):
+    from databricks_flight_etl_spark.operators import text
+
+    return text.drop_boilerplate_spans(
+        docs, "text", "doc_id", span_words=10, min_docs=2
+    ).count()
+
+
+def _resample(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators import sampling
+
+    g = docs.withColumn("grp", (F.col("doc_id") % 4).cast("string"))
+    return sampling.resample_to_target(
+        g, "grp", "doc_id", {"0": 20000, "1": 500, "2": 0}
+    ).count()
+
+
+def _centroid(vecs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators import similarity
+
+    g = vecs.withColumn("label", (F.col("vec_id") % 8).cast("int"))
+    return similarity.centroid_outlier_scores(g, "label").count()
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     from databricks_flight_etl_spark.session import get_spark
@@ -202,6 +261,11 @@ def main() -> None:
         "semantic_dedup": lambda d, v: _semdedup(v),
         "pagerank": lambda d, v: _pagerank(d),
         "zorder_sort": lambda d, v: _zorder(d),
+        "set_similarity": lambda d, v: _setsim(d),
+        "containment": lambda d, v: _containment(d),
+        "boilerplate": lambda d, v: _boiler(d),
+        "resample_mix": lambda d, v: _resample(d),
+        "centroid_outlier": lambda d, v: _centroid(v),
     }
 
     results = {}
