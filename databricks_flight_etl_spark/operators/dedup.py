@@ -168,6 +168,22 @@ def _signed64(v: int) -> int:
     return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
 
 
+def _require_non_ansi(df: DataFrame, op: str) -> None:
+    """The affine permutation family is WRAPPING 64-bit arithmetic — a
+    bijection on Z/2^64 — which an ANSI-enabled session (Spark 4's
+    out-of-the-box default) turns into a mid-job ARITHMETIC_OVERFLOW
+    deep inside the signature aggregate. Fail fast at the API boundary
+    with an actionable message instead. (Every other operator in this
+    package is ANSI-clean — audited; this family is the one that
+    semantically NEEDS the wrap.)"""
+    if df.sparkSession.conf.get("spark.sql.ansi.enabled", "false") == "true":
+        raise ValueError(
+            f"{op} uses wrapping 64-bit permutation arithmetic and cannot "
+            "run with spark.sql.ansi.enabled=true. Apply session.tune() "
+            "or set spark.sql.ansi.enabled=false for this session."
+        )
+
+
 def _base_hash(col: Column, hash_family: str) -> Column:
     """Shingle base hash. ``xxhash64`` (default): fastest, JVM-native.
     ``md5``: first 15 hex digits of md5 as a positive 60-bit long — an
@@ -207,6 +223,7 @@ def minhash_signatures(
       function lambdas evaluate interpreted per element, while explode +
       hash-agg stays in whole-stage codegen.
     """
+    _require_non_ansi(df, "minhash_signatures")
     base = _base_hash(F.col("__sh"), hash_family)
     sh = _shingle_table(df, text_col, id_col, shingle_k).select(
         "__id", base.alias("__h")

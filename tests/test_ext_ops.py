@@ -1662,3 +1662,22 @@ def test_drop_boilerplate_spans(spark):
     assert out[3]["clean"] == "" and out[3]["n_kept"] == 0
     assert out[4]["clean"] == "totally unique words here"
     assert out[1]["n_spans"] > out[1]["n_kept"] > 0
+
+
+def test_minhash_fails_fast_under_ansi(spark):
+    """The affine permutation family needs wrapping 64-bit arithmetic;
+    under an ANSI session it must raise a clear error at the API
+    boundary, not ARITHMETIC_OVERFLOW mid-job."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(ValueError, match="ansi"):
+            dedup.minhash_signatures(docs, "text", "doc_id")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    # and runs fine once ANSI is off again
+    assert dedup.minhash_signatures(docs, "text", "doc_id").count() == 1
