@@ -742,6 +742,32 @@ def q_minhash_certified(spark, sf_dir):
     )
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup probe vs a persisted LSH index: the
+    accepted corpus is banded ONCE (minhash_bands — the persistable
+    index); the crawl increment (perturbed clones) bands only itself
+    and equi-joins the index, verifying candidates exactly. md5 hash
+    family: the DuckDB oracle replays the full pipeline and restricts
+    to the (corpus, increment) cross pairs — certifying that the probe
+    equals a full run's cross subset bit-for-bit."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_bands,
+        minhash_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inc = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    idx = minhash_bands(docs, "text", "doc_id",
+                        shingle_k=7, hash_family="md5")
+    return minhash_probe(
+        inc, docs, idx, "text", "doc_id",
+        threshold=0.8, shingle_k=7, hash_family="md5",
+    ).orderBy("new_id", "corpus_id")
+
+
 def q_winnow_certified(spark, sf_dir):
     """X4 winnowing fingerprints (MOSS) with the md5 hash family: the
     ordered k-gram hash sequence, sliding-window minima, and distinct
@@ -3872,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
+        "q_minhash_incremental": q_minhash_incremental,
         "q_simhash_certified": q_simhash_certified,
         "q_dedup_survivors": q_dedup_survivors,
         # -- X2 similarity ----------------------------------------------
@@ -4469,6 +4496,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
             FROM cand
             WHERE bit_count(xor(sa, sb)) <= 6
+        """,
+        # Same full MinHash replay as q_minhash_certified, with the
+        # candidate set restricted to (corpus, increment) CROSS pairs —
+        # the incremental probe must equal that subset bit-for-bit.
+        "q_minhash_incremental": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM base
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN length(t) >= 7
+                           THEN list_transform(range(1, length(t) - 5),
+                                i -> substring(t, CAST(i AS INT), 7))
+                           ELSE [t] END)) AS s
+                FROM norm
+            ),
+            bh AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+                FROM sh
+            ),
+            perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
+            sig AS (
+                SELECT doc_id, j,
+                       min(CAST(CASE WHEN u >= 9223372036854775808
+                                THEN u - 18446744073709551616 ELSE u END
+                           AS BIGINT)) AS mh
+                FROM (
+                    SELECT doc_id, j,
+                           (CAST(a AS HUGEINT) * h + b)
+                               % 18446744073709551616 AS u
+                    FROM bh, perms
+                )
+                GROUP BY 1, 2
+            ),
+            band AS (
+                SELECT doc_id, j // 8 AS band,
+                       CAST('0x' || substring(md5(
+                           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)
+                           || '|' || CAST(j // 8 AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS bhsh
+                FROM sig GROUP BY doc_id, j // 8
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM band x JOIN band y
+                  ON x.band = y.band AND x.bhsh = y.bhsh
+                WHERE x.doc_id < 200000 AND y.doc_id >= 200000
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+                GROUP BY 1, 2
+            )
+            SELECT i.id_b AS new_id, i.id_a AS corpus_id,
+                   round(shared * 1.0 / (sa.sz + sb.sz - shared), 6)
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+            ORDER BY new_id, corpus_id
         """,
         # Full MinHash+LSH replay: md5 base hash (15 hex → 60-bit long),
         # the same 32 splitmix64 affine permutations under 64-bit signed

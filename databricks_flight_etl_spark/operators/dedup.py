@@ -38,6 +38,8 @@ __all__ = [
     "exact_dedup",
     "char_shingles",
     "minhash_signatures",
+    "minhash_bands",
+    "minhash_probe",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
     "simhash64",
@@ -238,26 +240,18 @@ def minhash_signatures(
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
 
-def minhash_candidate_pairs(
+def minhash_bands(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
-    persist: bool = True,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of any band become a
-    candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
-
-    Plan: signature → (id, band, band_hash) via stack → self-equi-join
-    on (band, band_hash). The join key is 12 bytes — the corpus text
-    never moves. Band collisions only create candidates; the verified
-    Jaccard filter (minhash_dedup_pairs) removes false positives.
-
-    Tuning: the S-curve midpoint is ≈(1/bands)^(rows/num_perm⁻¹) —
-    bands=4, rows=8 targets J≈0.84 (pairs well below that rarely become
-    candidates, which is what keeps the candidate set sub-quadratic on
-    corpora with high background similarity). Use more bands only when
-    hunting lower-similarity pairs, and expect more candidates.
-    """
+    """The persistable LSH INDEX of a corpus: (id, band, band_hash) —
+    ``bands`` rows per document, 12 bytes of key each. Write this to
+    parquet once per accepted corpus; :func:`minhash_probe` joins a new
+    crawl increment against it WITHOUT recomputing the corpus
+    signatures (the num_perm × shingle hash work, the expensive part).
+    The band hash is the same derivation :func:`minhash_candidate_pairs`
+    uses, so index-vs-probe collisions are identical to a full run's."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(
@@ -282,8 +276,91 @@ def minhash_candidate_pairs(
     stack = "stack({n}, {args}) as (band, band_hash)".format(
         n=bands, args=", ".join(f"{b}, bh_{b}" for b in range(bands))
     )
+    return banded.select(F.col(id_col), F.expr(stack))
+
+
+def minhash_probe(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
+    persist: bool = True,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """INCREMENTAL near-dup: which new documents near-duplicate the
+    ACCEPTED corpus? Bands only the increment (tiny vs the corpus),
+    equi-joins it against the persisted :func:`minhash_bands` index,
+    then exact-Jaccard-verifies candidates — shingling only the
+    candidate-touched docs on either side (``_jaccard_verified``'s
+    left-semi prune). The corpus signature work is never redone; the
+    per-increment cost is O(increment) + O(candidates).
+
+    ``corpus_df`` supplies (id, text) for the verify step only — at
+    scale, the same parquet the corpus was released from. New-vs-new
+    pairs are NOT reported (run minhash_dedup_pairs on the increment
+    for those). Results are bit-identical to the cross-pairs subset of
+    a full minhash_dedup_pairs run over corpus ∪ increment with the
+    same parameters (unit-certified). Output: (new_id, corpus_id,
+    jaccard).
+    """
+    new_bands = _pin(
+        minhash_bands(
+            new_df, text_col, id_col, num_perm, bands, shingle_k,
+            hash_family,
+        ).select(F.col(id_col).alias("id_a"), "band", "band_hash"),
+        persist,
+    )
+    idx = index_bands.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    cands = _pin(
+        new_bands.join(idx, ["band", "band_hash"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct(),
+        persist,
+    )
+    both = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus_df.select(F.col(id_col), F.col(text_col))
+    )
+    out = _jaccard_verified(
+        both, text_col, id_col, cands, threshold, shingle_k, persist
+    )
+    return out.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
+    persist: bool = True,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
+
+    Plan: signature → (id, band, band_hash) via stack → self-equi-join
+    on (band, band_hash). The join key is 12 bytes — the corpus text
+    never moves. Band collisions only create candidates; the verified
+    Jaccard filter (minhash_dedup_pairs) removes false positives.
+
+    Tuning: the S-curve midpoint is ≈(1/bands)^(rows/num_perm⁻¹) —
+    bands=4, rows=8 targets J≈0.84 (pairs well below that rarely become
+    candidates, which is what keeps the candidate set sub-quadratic on
+    corpora with high background similarity). Use more bands only when
+    hunting lower-similarity pairs, and expect more candidates.
+    """
     long = _pin(
-        banded.select(F.col(id_col).alias("__id"), F.expr(stack)), persist
+        minhash_bands(
+            df, text_col, id_col, num_perm, bands, shingle_k, hash_family
+        ).select(F.col(id_col).alias("__id"), "band", "band_hash"),
+        persist,
     )
     left = long.select(
         F.col("__id").alias("id_a"), "band", "band_hash"

@@ -1681,3 +1681,42 @@ def test_minhash_fails_fast_under_ansi(spark):
         spark.conf.set("spark.sql.ansi.enabled", "false")
     # and runs fine once ANSI is off again
     assert dedup.minhash_signatures(docs, "text", "doc_id").count() == 1
+
+
+def test_minhash_probe_matches_full_run_cross_pairs(spark):
+    """Incremental probe vs persisted index must equal the cross-pairs
+    subset of a full minhash run over corpus ∪ increment — bit-identical
+    candidates and verified Jaccard."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    base = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30), "
+        "i -> element_at(array('ga','bo','ce','du','el','fo','gu','ha'), "
+        "cast(pmod(xxhash64(id, i), 8) + 1 AS int)))) AS text",
+    )
+    # increment: clones of every 4th corpus doc (tail-perturbed) plus
+    # some fresh docs
+    clones = base.where("doc_id % 4 = 0").selectExpr(
+        "doc_id + 1000 AS doc_id", "concat(text, ' zz') AS text"
+    )
+    fresh = spark.range(2000, 2010).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30), "
+        "i -> element_at(array('pa','qo','re','su','tu','vo','wu','xa'), "
+        "cast(pmod(xxhash64(id, i), 8) + 1 AS int)))) AS text",
+    )
+    inc = clones.unionByName(fresh)
+
+    idx = dedup.minhash_bands(base, "text", "doc_id", shingle_k=3)
+    probe = {(r["new_id"], r["corpus_id"], r["jaccard"])
+             for r in dedup.minhash_probe(
+                 inc, base, idx, "text", "doc_id",
+                 threshold=0.5, shingle_k=3).collect()}
+
+    full = dedup.minhash_dedup_pairs(
+        base.unionByName(inc), "text", "doc_id",
+        threshold=0.5, shingle_k=3)
+    cross = {(r["id_b"], r["id_a"], r["jaccard"])
+             for r in full.where("id_a < 1000 AND id_b >= 1000").collect()}
+    assert probe == cross and len(probe) > 0
