@@ -1224,6 +1224,24 @@ def q_stratified_sample_n(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI distribution-drift monitor between two event-table versions
+    (version B shifts every 4th value by +50 and nulls every 10th —
+    exact ops only, per the cross-engine float rules): per-bucket
+    counts are exact integers; Laplace-smoothed rates and the ln-based
+    psi_term round to 6 dp. Two narrow scans + k-row join."""
+    from databricks_flight_etl_spark.operators.accuracy import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.when(F.col("event_id") % 10 == 7, F.lit(None).cast("double"))
+        .when(F.col("event_id") % 4 == 0, F.col("value") + 50)
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    return psi_drift(ev, b, "value", [10.0, 25.0, 50.0, 100.0, 200.0])
+
+
 def q_resample_mix(spark, sf_dir):
     """Domain-mixing resampler: each language hits an EXACT target row
     count — de upsampled (replication with copy_idx), en/es
@@ -1271,6 +1289,48 @@ def q_sql_ddl(spark, sf_dir):
            FROM t_orders_ddl GROUP BY o_orderstatus
            ORDER BY o_orderstatus"""
     )
+
+
+def q_streaming_minhash(spark, sf_dir):
+    """Streaming near-dup candidate detection against a STATIC
+    minhash_bands index: the crawl increment (perturbed clones)
+    replayed as a stream, row-wise band computation (no streaming
+    aggregate), stream-static broadcast join on the 12-byte band key,
+    streaming pair dedup. md5 family — the DuckDB oracle replays the
+    full banding and restricts to the (corpus, increment) cross
+    candidates."""
+    import tempfile
+
+    from databricks_flight_etl_spark.operators.dedup import minhash_bands
+    from databricks_flight_etl_spark.streaming import (
+        streaming_minhash_candidates,
+    )
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inc = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+    )
+    stage = tempfile.mkdtemp(prefix="flight_etl_smh_")
+    inc.write.mode("overwrite").parquet(stage)
+    idx = minhash_bands(docs, "text", "doc_id",
+                        shingle_k=7, hash_family="md5")
+    stream = spark.readStream.schema(inc.schema).format("parquet").load(
+        stage
+    )
+    out = streaming_minhash_candidates(
+        stream, idx, "text", "doc_id", shingle_k=7, hash_family="md5"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("smh_out").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("smh_out").orderBy("new_id", "corpus_id")
 
 
 def q_streaming_enrich(spark, sf_dir):
@@ -3898,7 +3958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
-        "q_minhash_incremental": q_minhash_incremental,
         "q_simhash_certified": q_simhash_certified,
         "q_dedup_survivors": q_dedup_survivors,
         # -- X2 similarity ----------------------------------------------
@@ -3918,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textprep_full_certified": q_textprep_full_certified,
         "q_corpus_release": q_corpus_release,
         "q_streaming_day_counts": q_streaming_day_counts,
+        "q_minhash_incremental": q_minhash_incremental,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
         "q_window_topk_per_group": q_window_topk_per_group,
@@ -3962,8 +4022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spearman": q_spearman,
         "q_stratified_sample_n": q_stratified_sample_n,
         "q_resample_mix": q_resample_mix,
+        "q_psi_drift": q_psi_drift,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
+        "q_streaming_minhash": q_streaming_minhash,
         "q_embed_dup_int8": q_embed_dup_int8,
         "q_cms_join_size": q_cms_join_size,
         "q_streaming_interval_join": q_streaming_interval_join,
@@ -4496,6 +4558,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
             FROM cand
             WHERE bit_count(xor(sa, sb)) <= 6
+        """,
+        # The streaming candidate detector must emit exactly the
+        # band-collision cross pairs the full md5-family replay finds.
+        "q_streaming_minhash": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            ),
+            norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM base
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(CASE WHEN length(t) >= 7
+                           THEN list_transform(range(1, length(t) - 5),
+                                i -> substring(t, CAST(i AS INT), 7))
+                           ELSE [t] END)) AS s
+                FROM norm
+            ),
+            bh AS (
+                SELECT doc_id,
+                       CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+                FROM sh
+            ),
+            perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
+            sig AS (
+                SELECT doc_id, j,
+                       min(CAST(CASE WHEN u >= 9223372036854775808
+                                THEN u - 18446744073709551616 ELSE u END
+                           AS BIGINT)) AS mh
+                FROM (
+                    SELECT doc_id, j,
+                           (CAST(a AS HUGEINT) * h + b)
+                               % 18446744073709551616 AS u
+                    FROM bh, perms
+                )
+                GROUP BY 1, 2
+            ),
+            band AS (
+                SELECT doc_id, j // 8 AS band,
+                       CAST('0x' || substring(md5(
+                           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)
+                           || '|' || CAST(j // 8 AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS bhsh
+                FROM sig GROUP BY doc_id, j // 8
+            )
+            SELECT DISTINCT y.doc_id AS new_id, x.doc_id AS corpus_id
+            FROM band x JOIN band y
+              ON x.band = y.band AND x.bhsh = y.bhsh
+            WHERE x.doc_id < 200000 AND y.doc_id >= 200000
+            ORDER BY new_id, corpus_id
         """,
         # Same full MinHash replay as q_minhash_certified, with the
         # candidate set restricted to (corpus, increment) CROSS pairs —
@@ -5092,6 +5210,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
+        """,
+        # Same frozen-breaks bucket chain, Laplace smoothing, ln term.
+        "q_psi_drift": """
+            WITH a AS (
+                SELECT CASE WHEN value IS NULL THEN -1
+                            WHEN value < 10 THEN 0
+                            WHEN value < 25 THEN 1
+                            WHEN value < 50 THEN 2
+                            WHEN value < 100 THEN 3
+                            WHEN value < 200 THEN 4
+                            ELSE 5 END AS bucket
+                FROM events
+            ),
+            bv AS (
+                SELECT CASE WHEN event_id % 10 = 7 THEN NULL
+                            WHEN event_id % 4 = 0 THEN value + 50
+                            ELSE value END AS value
+                FROM events
+            ),
+            b AS (
+                SELECT CASE WHEN value IS NULL THEN -1
+                            WHEN value < 10 THEN 0
+                            WHEN value < 25 THEN 1
+                            WHEN value < 50 THEN 2
+                            WHEN value < 100 THEN 3
+                            WHEN value < 200 THEN 4
+                            ELSE 5 END AS bucket
+                FROM bv
+            ),
+            ca AS (SELECT bucket, count(*) AS n_a FROM a GROUP BY 1),
+            cb AS (SELECT bucket, count(*) AS n_b FROM b GROUP BY 1),
+            j AS (
+                SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+                       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+                FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+            ),
+            t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+            SELECT bucket, n_a, n_b,
+                   round((n_a + 0.5) / (ta + 0.5 * 7), 6) AS rate_a,
+                   round((n_b + 0.5) / (tb + 0.5 * 7), 6) AS rate_b,
+                   round(((n_b + 0.5) / (tb + 0.5 * 7)
+                          - (n_a + 0.5) / (ta + 0.5 * 7))
+                         * ln(((n_b + 0.5) / (tb + 0.5 * 7))
+                              / ((n_a + 0.5) / (ta + 0.5 * 7))), 6)
+                       AS psi_term
+            FROM j, t ORDER BY bucket
         """,
         # Same per-group hash rank, integer base+remainder copies,
         # generate_series replication.

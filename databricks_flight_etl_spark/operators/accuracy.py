@@ -21,7 +21,8 @@ __all__ = ["summary_stats", "histogram", "describe",
            "grouped_quantiles", "histogram_equidepth",
            "rank_normalize", "correlation_matrix",
            "ab_welch_t", "chi_square_independence", "spearman_corr",
-           "grouped_outliers_iqr", "trailing_range_agg"]
+           "grouped_outliers_iqr", "trailing_range_agg",
+           "psi_drift"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -590,4 +591,72 @@ def trailing_range_agg(
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.round(F.sum(value_col).over(w), decimals).alias("sum_window"),
         F.round(F.avg(value_col).over(w), decimals).alias("avg_window"),
+    )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    breaks: list[float],
+    laplace: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two table versions — the
+    distribution-drift monitor (complementing :func:`null_drift`'s
+    nullness check): did ``col``'s distribution shift between the
+    reference snapshot ``a`` and the new snapshot ``b``?
+
+    Explicit ``breaks`` (typically version A's quantiles, frozen when
+    the monitor is set up) cut the domain into len(breaks)+1 buckets;
+    NULLs get their own bucket (-1) so a null-rate shift also
+    registers. Per bucket: counts, Laplace-smoothed rates (the
+    standard guard against ln(0) on empty buckets), and the PSI term
+    (rate_b − rate_a)·ln(rate_b / rate_a). Sum of psi_term is the PSI;
+    the usual reading is <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+
+    Plan: each side is ONE narrow map (a when-chain over the frozen
+    breaks — no per-row join) into a k-bucket hash aggregate, then a
+    k-row outer join. Cost is two scans regardless of bucket count;
+    at 100 TB this is the cheapest shape a two-snapshot comparison can
+    have. Counts are exact integers (certifiable cross-engine); the
+    smoothed rates and ln-based psi_term are rounded to ``decimals``.
+    """
+    if sorted(breaks) != list(breaks) or len(set(breaks)) != len(breaks):
+        raise ValueError("breaks must be strictly increasing")
+
+    def bucket_of(x):
+        expr = F.when(x.isNull(), F.lit(-1))
+        for i, brk in enumerate(breaks):
+            expr = expr.when(x < F.lit(float(brk)), F.lit(i))
+        return expr.otherwise(F.lit(len(breaks)))
+
+    def side(df, name):
+        return (
+            df.select(bucket_of(F.col(col)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+
+    k = len(breaks) + 2  # value buckets + the null bucket
+    joined = side(a, "a").join(side(b, "b"), "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    rate_a = (F.col("n_a") + laplace) / (F.col("__ta") + laplace * k)
+    rate_b = (F.col("n_b") + laplace) / (F.col("__tb") + laplace * k)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "n_a", "n_b",
+            F.round(rate_a, decimals).alias("rate_a"),
+            F.round(rate_b, decimals).alias("rate_b"),
+            F.round((rate_b - rate_a) * F.log(rate_b / rate_a),
+                    decimals).alias("psi_term"),
+        )
+        .orderBy("bucket")
     )

@@ -39,6 +39,7 @@ __all__ = [
     "char_shingles",
     "minhash_signatures",
     "minhash_bands",
+    "minhash_bands_rowwise",
     "minhash_probe",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
@@ -277,6 +278,74 @@ def minhash_bands(
         n=bands, args=", ".join(f"{b}, bh_{b}" for b in range(bands))
     )
     return banded.select(F.col(id_col), F.expr(stack))
+
+
+def minhash_bands_rowwise(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """:func:`minhash_bands` computed entirely PER ROW — higher-order
+    expressions over the in-row shingle array, no explode-groupBy
+    aggregate, therefore NO SHUFFLE. Values are bit-identical to the
+    aggregate path (min over the same distinct-shingle affine values;
+    unit-certified). ~2× slower per row than the agg form (HOF lambdas
+    evaluate interpreted — see minhash_signatures' docstring), which
+    buys the property that matters for STREAMING: a stateless narrow
+    projection is legal on an unbounded DataFrame, where the agg form
+    would need a streaming aggregate. Use the agg form for batch."""
+    assert num_perm % bands == 0
+    _require_non_ansi(df, "minhash_bands_rowwise")
+    rows = num_perm // bands
+
+    def base(s: Column) -> Column:
+        if hash_family == "xxhash64":
+            return F.xxhash64(s)
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    norm = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
+    )
+    hs = norm.select(
+        F.col(id_col),
+        F.transform(
+            _shingles_of(F.col("__t"), shingle_k), lambda s: base(s)
+        ).alias("__hs"),
+    )
+    def _affine(j: int):
+        # bind the coefficients OUTSIDE the lambda: a defaulted second
+        # lambda param (lambda h, j=j: ...) is misread by Spark's HOF
+        # signature inspection as the element-index variable
+        a = F.lit(_signed64(_splitmix64(2 * j) | 1))
+        b = F.lit(_signed64(_splitmix64(2 * j + 1)))
+        return lambda h: h * a + b
+
+    sig = hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("__hs"), _affine(j)))
+            .alias(f"mh_{j}")
+            for j in range(num_perm)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        if hash_family == "md5":
+            bh = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", *cols, F.lit(b))), 1, 15
+                ), 16, 10,
+            ).cast("long")
+        else:
+            bh = F.xxhash64(*cols, F.lit(b))
+        band_cols.append(bh.alias(f"bh_{b}"))
+    stack = "stack({n}, {args}) as (band, band_hash)".format(
+        n=bands, args=", ".join(f"{b}, bh_{b}" for b in range(bands))
+    )
+    return sig.select(F.col(id_col), *band_cols).select(
+        F.col(id_col), F.expr(stack)
+    )
 
 
 def minhash_probe(

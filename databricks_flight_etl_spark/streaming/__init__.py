@@ -15,6 +15,7 @@ from .jobs import (
     streaming_interval_join,
     streaming_enrich,
     streaming_dedup,
+    streaming_minhash_candidates,
     streaming_running_counts,
     streaming_running_counts_tws,
     streaming_sessionize,
@@ -27,6 +28,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_enrich",
     "streaming_dedup",
+    "streaming_minhash_candidates",
     "streaming_running_counts",
     "streaming_running_counts_tws",
     "streaming_sessionize",

@@ -23,6 +23,7 @@ __all__ = [
     "streaming_hll",
     "streaming_interval_join",
     "streaming_enrich",
+    "streaming_minhash_candidates",
 ]
 
 
@@ -329,3 +330,48 @@ def streaming_enrich(
     restarting the query). The everyday 'attach user/product metadata
     to a live feed' shape; stateless, so any output mode works."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    index_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Streaming near-dup candidate detection against a STATIC
+    ``dedup.minhash_bands`` index — 'flag incoming documents that look
+    like something already in the accepted corpus, as they arrive'.
+
+    The stream side uses the ROW-WISE band computation
+    (``minhash_bands_rowwise``: higher-order expressions, no shuffle —
+    a streaming aggregate would otherwise be required), then a
+    stream-static broadcast equi-join on the 12-byte (band, band_hash)
+    key, then streaming dropDuplicates on the pair. State is one entry
+    per DISTINCT emitted pair (bounded by true candidates, not by
+    stream length). After a full replay the result equals the batch
+    index-probe candidate set — which is what the certification
+    compares, and the oracle SQL replays for the md5 family.
+
+    Candidates only: exact-Jaccard VERIFY needs the corpus text — run
+    ``dedup.minhash_probe`` (batch) over the flagged ids, or a
+    foreachBatch hook, as the second stage.
+    """
+    from ..operators.dedup import minhash_bands_rowwise
+
+    nb = minhash_bands_rowwise(
+        stream.select(F.col(id_col), F.col(text_col)),
+        text_col, id_col, num_perm, bands, shingle_k, hash_family,
+    ).withColumnRenamed(id_col, "new_id")
+    idx = index_bands.select(
+        F.col(id_col).alias("corpus_id"), "band", "band_hash"
+    )
+    return (
+        nb.join(F.broadcast(idx), ["band", "band_hash"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )

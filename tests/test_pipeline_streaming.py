@@ -586,3 +586,67 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
     got = {(r["le"], r["re"])
            for r in spark.table("ssj_t").collect()}
     assert got == {(100, 200), (100, 201)}
+
+
+def test_minhash_bands_rowwise_matches_agg(spark):
+    """The shuffle-free row-wise band computation must be bit-identical
+    to the aggregate path, for both hash families."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    docs = spark.range(30).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 25), "
+        "i -> element_at(array('ka','lo','me','nu','op','pe','qu','ra'), "
+        "cast(pmod(xxhash64(id, i), 8) + 1 AS int)))) AS text",
+    )
+    for fam in ("xxhash64", "md5"):
+        agg = {(r["doc_id"], r["band"], r["band_hash"])
+               for r in dedup.minhash_bands(
+                   docs, "text", "doc_id", shingle_k=4,
+                   hash_family=fam).collect()}
+        row = {(r["doc_id"], r["band"], r["band_hash"])
+               for r in dedup.minhash_bands_rowwise(
+                   docs, "text", "doc_id", shingle_k=4,
+                   hash_family=fam).collect()}
+        assert agg == row and len(agg) == 30 * 4
+
+
+def test_streaming_minhash_candidates(spark, tmp_path):
+    """Streamed increment vs static index equals the batch candidate
+    cross-join after full replay."""
+    from databricks_flight_etl_spark.operators import dedup
+    from databricks_flight_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streaming_minhash_candidates,
+    )
+
+    base = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 25), "
+        "i -> element_at(array('ka','lo','me','nu','op','pe','qu','ra'), "
+        "cast(pmod(xxhash64(id, i), 8) + 1 AS int)))) AS text",
+    )
+    inc = base.where("doc_id % 5 = 0").selectExpr(
+        "doc_id + 1000 AS doc_id", "concat(text, ' zz') AS text"
+    )
+    src = str(tmp_path / "inc_src")
+    inc.write.parquet(src)
+    idx = dedup.minhash_bands(base, "text", "doc_id", shingle_k=4)
+
+    got = run_stream_to_memory(
+        spark, src, inc.schema,
+        lambda s: streaming_minhash_candidates(
+            s, idx, "text", "doc_id", shingle_k=4),
+        query_name="smc_out", output_mode="append",
+    )
+    got_pairs = {(r["new_id"], r["corpus_id"]) for r in got.collect()}
+
+    nb = dedup.minhash_bands(inc, "text", "doc_id", shingle_k=4)
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in nb.selectExpr("doc_id AS id_a", "band", "band_hash")
+        .join(idx.selectExpr("doc_id AS id_b", "band", "band_hash"),
+              ["band", "band_hash"])
+        .select("id_a", "id_b").distinct().collect()
+    }
+    assert got_pairs == batch and len(got_pairs) > 0

@@ -508,3 +508,29 @@ def test_grouped_outliers_and_trailing_range(spark):
     # at +61min the 12:00 row (3660s ago) is outside the 3600s frame
     assert got[(1, base + dt.timedelta(minutes=61))] == (2, 25.0)
     assert got[(2, base)] == (1, 7.0)
+
+
+def test_psi_drift(spark):
+    """Identical snapshots give ~zero PSI; a shifted snapshot moves
+    mass between buckets and every psi_term is finite (Laplace guard
+    covers empty buckets); the null bucket registers nullness drift."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.accuracy import psi_drift
+
+    a = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = psi_drift(a, a, "v", [25.0, 50.0, 75.0]).collect()
+    assert sum(abs(r["psi_term"]) for r in same) < 1e-9
+    b = spark.range(1000).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN NULL "
+        "ELSE CAST(id % 100 AS DOUBLE) + 30 END AS v"
+    )
+    out = psi_drift(a, b, "v", [25.0, 50.0, 75.0]).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    assert by_bucket[-1]["n_a"] == 0 and by_bucket[-1]["n_b"] == 200
+    psi = sum(r["psi_term"] for r in out)
+    assert psi > 0.1  # the standard "drifting" threshold
+    assert all(r["psi_term"] == r["psi_term"] for r in out)  # no NaN
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        psi_drift(a, b, "v", [50.0, 25.0])
