@@ -1224,6 +1224,35 @@ def q_stratified_sample_n(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-cutoff curve: tokens by desc frequency with running
+    coverage — top 40 types. Single ordered window over the VOCAB
+    (≪ corpus), exact integer cumsum, division rounded to 6 dp.
+    Oracle replays the same total order and running sum."""
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", k=40).orderBy("rank")
+
+
+def q_fill_forward(spark, sf_dir):
+    """Per-user gap fill: every 5th value nulled, then last-
+    observation-carried-forward (+ bfill for leading nulls) over the
+    event order. One key-partitioned window per direction. Oracle
+    replays last_value IGNORE NULLS both ways."""
+    from databricks_flight_etl_spark.operators.temporal import fill_forward
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    out = fill_forward(ev, ["user_id"], "event_id", ["v"], backward=True)
+    return out.select("event_id", "user_id", "v", "v_filled").orderBy(
+        "user_id", "event_id"
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI distribution-drift monitor between two event-table versions
     (version B shifts every 4th value by +50 and nulls every 10th —
@@ -4023,6 +4052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample_n": q_stratified_sample_n,
         "q_resample_mix": q_resample_mix,
         "q_psi_drift": q_psi_drift,
+        "q_fill_forward": q_fill_forward,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_streaming_minhash": q_streaming_minhash,
@@ -5210,6 +5241,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
+        """,
+        # Same (n desc, token) total order, integer running sum / total.
+        "q_vocab_coverage": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents
+            ),
+            c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c),
+            r AS (
+                SELECT token, CAST(n AS BIGINT) AS n,
+                       row_number() OVER (ORDER BY n DESC, token) AS rank,
+                       sum(n) OVER (ORDER BY n DESC, token
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum
+                FROM c
+            )
+            SELECT token, n, CAST(rank AS INT) AS rank,
+                   round(cum * 1.0 / tot, 6) AS coverage
+            FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same nulling, ffill via last_value IGNORE NULLS, bfill via
+        # the reversed frame (nearest following non-null).
+        "q_fill_forward": """
+            WITH v AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 5 = 0 THEN NULL
+                            ELSE value END AS v
+                FROM events
+            )
+            SELECT event_id, user_id, v,
+                   coalesce(
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                   ) AS v_filled
+            FROM v ORDER BY user_id, event_id
         """,
         # Same frozen-breaks bucket chain, Laplace smoothing, ln term.
         "q_psi_drift": """

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "asof_join_cogroup", "range_join_time"]
+__all__ = ["asof_join", "asof_join_cogroup", "range_join_time",
+           "fill_forward"]
 
 
 def asof_join(
@@ -248,4 +249,50 @@ def asof_join_cogroup(
     )
     if how == "inner":
         out = out.where(F.col("__matched_ts").isNotNull())
+    return out
+
+
+def fill_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_cols: list[str],
+    backward: bool = False,
+) -> DataFrame:
+    """Per-key last-observation-carried-forward over ``order_col`` —
+    the gap-fill step of sensor/metric backfills (and the usual prelude
+    to an as-of join when the right side is sparse). Each column in
+    ``value_cols`` gets a ``{col}_filled`` twin holding the most recent
+    non-null value at or before the row (with ``backward=True``, a
+    second pass also pulls the NEXT non-null value back across leading
+    nulls — standard bfill-after-ffill).
+
+    Plan: one window sort per direction, partitioned on the keys —
+    shuffles once on the key, scales with key cardinality like every
+    per-key window here. ``F.last(ignorenulls)`` over an unbounded-
+    preceding frame is whole-stage-codegen'd; no Python."""
+    from pyspark.sql import Window
+
+    fwd = Window.partitionBy(*key_cols).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_filled", F.last(F.col(c), ignorenulls=True).over(fwd)
+        )
+    if backward:
+        bwd = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for c in value_cols:
+            # last(ignorenulls) over the DESCENDING frame = the nearest
+            # FOLLOWING non-null (first() there would grab the farthest)
+            out = out.withColumn(
+                f"{c}_filled",
+                F.coalesce(
+                    F.col(f"{c}_filled"),
+                    F.last(F.col(c), ignorenulls=True).over(bwd),
+                ),
+            )
     return out

@@ -27,6 +27,7 @@ __all__ = [
     "bpe_ish_tokens",
     "token_counts",
     "token_top_k",
+    "vocab_coverage",
     "text_quality",
     "lang_id",
     "fingerprint",
@@ -103,6 +104,47 @@ def token_top_k(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, k: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """The vocabulary-cutoff curve: tokens by descending corpus
+    frequency with the RUNNING coverage of all token occurrences —
+    answers 'how many vocabulary types cover 95% of the corpus', the
+    sizing question behind tokenizer vocab and UNK thresholds.
+    Output: (token, n, rank, coverage), ties broken by token so the
+    order is total and engine-reproducible; ``k`` truncates the curve.
+
+    Plan shape: explode (narrow) → hash agg on the token (map-side
+    partials collapse heavy hitters) → ONE ordered window over the
+    VOCABULARY — |distinct tokens| rows, ≪ corpus size, the same
+    bounded-sort justification as quantiles_exact's value histogram.
+    The corpus itself is never globally sorted."""
+    from pyspark.sql import Window
+
+    toks = spread(df.select(F.col(text_col))).select(
+        F.explode(tokens(text_col)).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__tot"))
+    w = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token", "n",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("token"))
+            ).alias("rank"),
+            F.round(
+                F.sum("n").over(w) / F.col("__tot"), decimals
+            ).alias("coverage"),
+        )
+    )
+    return out.where(F.col("rank") <= k) if k is not None else out
 
 
 def text_quality(df: DataFrame, text_col: str, id_col: str,

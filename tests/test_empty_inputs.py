@@ -181,3 +181,32 @@ def test_empty_inputs_round3_ops(spark):
     assert similarity.group_vector_mean(
         spark.createDataFrame([], "label int, embedding array<double>"),
         "label").count() == 0
+
+
+def test_empty_inputs_round3_additions(spark):
+    """Empty-input sweep for this round's operators."""
+    from databricks_flight_etl_spark.operators import sampling
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    sets = spark.createDataFrame([], "doc_id long, s array<string>")
+
+    assert sampling.resample_to_target(
+        docs, "text", "doc_id", {"x": 10}).count() == 0
+    assert sampling.temperature_targets({}, 0.5) == {}
+    assert similarity.centroid_outlier_scores(vecs, "label").count() == 0
+    assert text.drop_boilerplate_spans(docs, "text", "doc_id").count() == 0
+    assert dedup.set_similarity_join(sets, "s", "doc_id").count() == 0
+    assert dedup.containment_join(sets, "s", "doc_id").count() == 0
+    # empty sides produce no bucket rows (same absent-empty-buckets
+    # convention as accuracy.histogram) — and must not divide-by-zero
+    assert accuracy.psi_drift(ev, ev, "value", [1.0, 2.0]).count() == 0
+    idx = dedup.minhash_bands(docs, "text", "doc_id")
+    assert idx.count() == 0
+    assert dedup.minhash_probe(docs, docs, idx, "text", "doc_id").count() == 0
+    assert dedup.minhash_bands_rowwise(docs, "text", "doc_id").count() == 0

@@ -534,3 +534,19 @@ def test_psi_drift(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         psi_drift(a, b, "v", [50.0, 25.0])
+
+
+def test_vocab_coverage(spark):
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    out = sorted(
+        ((r["rank"], r["token"], r["n"], r["coverage"])
+         for r in vocab_coverage(df, "text").collect())
+    )
+    assert out == [
+        (1, "a", 3, 0.5), (2, "b", 2, round(5 / 6, 6)), (3, "c", 1, 1.0)
+    ]
+    assert vocab_coverage(df, "text", k=2).count() == 2

@@ -185,3 +185,26 @@ def test_asof_join_cogroup_skew_guard(spark):
     # generous guard: identical result to the JVM form
     ok = asof_join_cogroup(left, right, ["k"], max_group_rows=1000)
     assert ok.count() == 50
+
+
+def test_fill_forward(spark):
+    """ffill carries the last non-null forward per key; bfill-after-
+    ffill covers leading nulls with the NEAREST following value."""
+    from databricks_flight_etl_spark.operators.temporal import fill_forward
+
+    rows = [
+        (1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, None),
+        (1, 5, 50.0),
+        (2, 1, 7.0), (2, 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    ff = {(r["k"], r["t"]): r["v_filled"]
+          for r in fill_forward(df, ["k"], "t", ["v"]).collect()}
+    assert ff[(1, 1)] is None          # leading null stays (no bfill)
+    assert ff[(1, 3)] == 10.0 and ff[(1, 4)] == 10.0
+    assert ff[(1, 5)] == 50.0 and ff[(2, 2)] == 7.0
+    fb = {(r["k"], r["t"]): r["v_filled"]
+          for r in fill_forward(df, ["k"], "t", ["v"],
+                                backward=True).collect()}
+    assert fb[(1, 1)] == 10.0          # NEAREST following, not 50.0
+    assert fb[(1, 4)] == 10.0          # ffill wins where it applies
