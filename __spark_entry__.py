@@ -3182,6 +3182,26 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(emb, pairs, "vec_id").select("vec_id", "label")
 
 
+def q_dedup_survivors_by(spark, sf_dir):
+    """Quality-aware survivor selection: same clusters as
+    q_dedup_survivors, but each keeps its HIGHEST-scoring member
+    (score = vec_id % 7 — deterministic, with real ties; ties →
+    smallest id) instead of the arbitrary min id. Struct-max argmax
+    per component; drop-list anti-join. Oracle: recursive-CTE
+    components + the same argmax."""
+    from databricks_flight_etl_spark.operators.graph import (
+        dedup_survivors_by,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "score", (F.col("vec_id") % 7).cast("double")
+    )
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    return dedup_survivors_by(emb, pairs, "vec_id", "score").select(
+        "vec_id", "label"
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """X6 token-budget shard packing via a distributed prefix sum
     (range-bucket partials + broadcast offsets + per-bucket window) —
@@ -4007,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_release": q_corpus_release,
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_minhash_incremental": q_minhash_incremental,
+        "q_dedup_survivors_by": q_dedup_survivors_by,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
         "q_window_topk_per_group": q_window_topk_per_group,
@@ -7433,6 +7454,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same pairs + closure as q_dedup_clusters, then keep only each
         # component's min-id member plus all unpaired rows.
+        # Same components; per-cluster argmax on (score, -id) instead
+        # of min id.
+        "q_dedup_survivors_by": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, label,
+                       CAST(vec_id % 7 AS DOUBLE) AS score,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            best AS (
+                SELECT component,
+                       (array_agg(node ORDER BY s.score DESC, node ASC))[1]
+                           AS keep
+                FROM comp JOIN v s ON s.vec_id = comp.node
+                GROUP BY component
+            ),
+            losers AS (
+                SELECT node FROM comp
+                WHERE node NOT IN (SELECT keep FROM best)
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM losers)
+        """,
         "q_dedup_survivors": """
             WITH RECURSIVE v AS (
                 SELECT vec_id, label,

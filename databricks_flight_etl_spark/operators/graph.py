@@ -34,6 +34,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "dedup_survivors",
+    "dedup_survivors_by",
     "pagerank",
 ]
 
@@ -151,6 +152,53 @@ def dedup_survivors(
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
+    if broadcast_max_rows and drop.count() <= broadcast_max_rows:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
+
+
+def dedup_survivors_by(
+    df: DataFrame, pairs: DataFrame, id_col: str, score_col: str,
+    src: str = "id_a", dst: str = "id_b",
+    broadcast_max_rows: int = 8_000_000,
+) -> DataFrame:
+    """Quality-aware survivor selection: keep the HIGHEST-``score_col``
+    member of each near-dup cluster (ties → smallest id) plus every
+    unpaired row — the curation-grade variant of
+    :func:`dedup_survivors` (min-id keeps an arbitrary copy; real
+    pipelines keep the longest / highest-quality / least-boilerplate
+    copy of each duplicate family).
+
+    Plan: components as usual; scores attach to the O(clustered docs)
+    member list (semi-pruned before the join — full corpus rows never
+    enter); the per-cluster argmax is one struct-max aggregate
+    max(struct(score, -id))-style with the tie encoded as a NEGATED id
+    inside the struct (struct max orders field-by-field); the final
+    drop-list anti-join is size-gated exactly like dedup_survivors.
+    """
+    cc = connected_components(pairs, src, dst)  # (node, component)
+    members = cc.select(F.col("node").alias(id_col), "component")
+    scored = members.join(
+        df.select(F.col(id_col), F.col(score_col).alias("__score")),
+        id_col,
+    )
+    # argmax by (score asc→max, then SMALLEST id): negate the id so the
+    # struct max prefers the smaller id on score ties
+    best = (
+        scored.select(
+            "component",
+            F.struct(
+                F.col("__score").alias("s"),
+                (-F.col(id_col)).alias("neg_id"),
+            ).alias("__k"),
+        )
+        .groupBy("component")
+        .agg(F.max("__k").alias("__mk"))
+        .select((-F.col("__mk.neg_id")).alias("__keep"))
+    )
+    drop = scored.join(
+        best, scored[id_col] == best["__keep"], "left_anti"
+    ).select(F.col(id_col))
     if broadcast_max_rows and drop.count() <= broadcast_max_rows:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")

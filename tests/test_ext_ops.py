@@ -1720,3 +1720,24 @@ def test_minhash_probe_matches_full_run_cross_pairs(spark):
     cross = {(r["id_b"], r["id_a"], r["jaccard"])
              for r in full.where("id_a < 1000 AND id_b >= 1000").collect()}
     assert probe == cross and len(probe) > 0
+
+
+def test_dedup_survivors_by(spark):
+    """Highest-score member survives each cluster (ties -> smallest
+    id); unpaired rows always survive."""
+    from databricks_flight_etl_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )  # cluster {1,2,3}; 4 and 5 unpaired
+    kept = {r["doc_id"] for r in graph.dedup_survivors_by(
+        df, pairs, "doc_id", "q").collect()}
+    assert kept == {2, 4, 5}  # 2 beats 3 on the id tie, beats 1 on score
+    # contrast: min-id policy keeps 1
+    kept_min = {r["doc_id"] for r in graph.dedup_survivors(
+        df, pairs, "doc_id").collect()}
+    assert kept_min == {1, 4, 5}
