@@ -1224,6 +1224,25 @@ def q_stratified_sample_n(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_join_probe(spark, sf_dir):
+    """Pre-join skew probe: hottest user_ids among views vs purchases
+    and the per-key output product — the emitted-row bound of the
+    view⋈purchase join per user. Two grouped counts + a 2k-row join;
+    oracle replays the same top-k and product."""
+    from databricks_flight_etl_spark.operators.relational import (
+        join_explosion_probe,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("key")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    )
+    return join_explosion_probe(views, buys, "key", k=15)
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary-cutoff curve: tokens by desc frequency with running
     coverage — top 40 types. Single ordered window over the VOCAB
@@ -4075,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_fill_forward": q_fill_forward,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_join_probe": q_join_probe,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_streaming_minhash": q_streaming_minhash,
@@ -5262,6 +5282,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
+        """,
+        # Same per-side top-k (count desc, key asc), zero-coalesced
+        # product.
+        "q_join_probe": """
+            WITH va AS (
+                SELECT user_id AS key, count(*) AS n_a FROM events
+                WHERE event_type = 'view' GROUP BY 1
+                ORDER BY n_a DESC, key ASC LIMIT 15
+            ),
+            vb AS (
+                SELECT user_id AS key, count(*) AS n_b FROM events
+                WHERE event_type = 'purchase' GROUP BY 1
+                ORDER BY n_b DESC, key ASC LIMIT 15
+            )
+            SELECT coalesce(va.key, vb.key) AS key,
+                   CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                   CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+                   CAST(coalesce(n_a, 0) * coalesce(n_b, 0) AS BIGINT)
+                       AS out_rows
+            FROM va FULL OUTER JOIN vb ON va.key = vb.key
+            ORDER BY out_rows DESC, key ASC
         """,
         # Same (n desc, token) total order, integer running sum / total.
         "q_vocab_coverage": """

@@ -24,6 +24,7 @@ __all__ = [
     "fuzzy_join",
     "zorder_key",
     "zorder_sort",
+    "join_explosion_probe",
 ]
 
 
@@ -333,3 +334,42 @@ def zorder_sort(
         float(bounds["b_min"]), float(bounds["b_max"]),
     )
     return df.withColumn(out_col, key).orderBy(out_col)
+
+
+def join_explosion_probe(
+    a: DataFrame, b: DataFrame, key: str, k: int = 20
+) -> DataFrame:
+    """Pre-flight skew/explosion diagnostic for an equi-join: the
+    top-``k`` hottest join keys on each side, with the per-key OUTPUT
+    row product — the number a fact⋈fact join will actually emit for
+    that key. At 100 TB, running this first is the difference between
+    'the join finished' and 'one reducer got 10¹¹ rows': a key whose
+    product dwarfs the rest wants salting (``salted_join``), pre-
+    aggregation, or a rethink.
+
+    Plan: two grouped counts (map-side partials), per-side top-k
+    (TakeOrderedAndProject), then a k-row full outer join — cost is
+    two scans, output is ≤ 2k rows. Keys hot on only one side show
+    NULL-as-zero counts on the other. Output: (key, n_a, n_b,
+    out_rows), ordered by out_rows desc then key.
+    """
+    def topk(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(key))
+            .agg(F.count(F.lit(1)).alias(name))
+            .orderBy(F.desc(name), F.asc(key))
+            .limit(k)
+        )
+
+    ta, tb = topk(a, "n_a"), topk(b, "n_b")
+    return (
+        ta.join(tb, key, "full_outer")
+        .select(
+            F.col(key),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            (F.coalesce("n_a", F.lit(0))
+             * F.coalesce("n_b", F.lit(0))).alias("out_rows"),
+        )
+        .orderBy(F.desc("out_rows"), F.asc(key))
+    )

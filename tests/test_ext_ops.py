@@ -1741,3 +1741,21 @@ def test_dedup_survivors_by(spark):
     kept_min = {r["doc_id"] for r in graph.dedup_survivors(
         df, pairs, "doc_id").collect()}
     assert kept_min == {1, 4, 5}
+
+
+def test_join_explosion_probe(spark):
+    from databricks_flight_etl_spark.operators.relational import (
+        join_explosion_probe,
+    )
+
+    a = spark.createDataFrame(
+        [(1,)] * 100 + [(2,)] * 3 + [(3,)] * 1, "key long"
+    )
+    b = spark.createDataFrame([(1,)] * 50 + [(4,)] * 7, "key long")
+    out = {r["key"]: (r["n_a"], r["n_b"], r["out_rows"])
+           for r in join_explosion_probe(a, b, "key", k=10).collect()}
+    assert out[1] == (100, 50, 5000)     # the explosion
+    assert out[2] == (3, 0, 0)           # one-sided keys show zero
+    assert out[4] == (0, 7, 0)
+    top = join_explosion_probe(a, b, "key", k=10).first()
+    assert top["key"] == 1               # ordered by product
