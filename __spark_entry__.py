@@ -1224,6 +1224,39 @@ def q_stratified_sample_n(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located fact⋈fact join on PRE-BUCKETED tables: both sides
+    written bucketBy(8, key) + sortBy, so the join plan has NO
+    Exchange and no Sort (each task zips bucket i with bucket i —
+    pay the shuffle once at write, never per query; the 100 TB
+    repeated-join pattern). Values certified against the plain SQL
+    join; the shuffle-free plan is pinned by tests."""
+    from databricks_flight_etl_spark.sources import write_bucketed
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "bq_orders", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(li, "bq_lineitem", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+    j = spark.table("bq_orders").join(
+        spark.table("bq_lineitem"), "o_orderkey"
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+             .cast("double")).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_join_probe(spark, sf_dir):
     """Pre-join skew probe: hottest user_ids among views vs purchases
     and the per-key output product — the emitted-row bound of the
@@ -4095,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fill_forward": q_fill_forward,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
+        "q_bucketed_join": q_bucketed_join,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_streaming_minhash": q_streaming_minhash,
@@ -5282,6 +5316,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
+        """,
+        # The same join + aggregate, bucketing being a physical-layout
+        # concern the values must not depend on.
+        "q_bucketed_join": """
+            SELECT o.o_orderstatus,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4)))
+                        AS DOUBLE) AS total_qty
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
         """,
         # Same per-side top-k (count desc, key asc), zero-coalesced
         # product.
