@@ -1825,6 +1825,24 @@ def q_vector_mean(spark, sf_dir):
     ).orderBy("label", "idx")
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1-sign projection 64→16 (scale 1/√16 =
+    0.25, exact in binary): per-coordinate chains of ±element adds in
+    whole-stage codegen, no shuffle. The SAME Python-derived sign
+    matrix stamps the Spark expression and the SQL oracle; identical
+    left-assoc add order makes the sums bit-identical before the 6 dp
+    round. posexploded to scalar rows for the harness."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = project_embeddings(emb, out_dim=16)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "value")
+    ).orderBy("vec_id", "j")
+
+
 def q_centroid_outliers(spark, sf_dir):
     """Semantic-outlier curation scores: cosine of each vector to its
     LABEL's centroid — dim scalar avgs in one hash aggregate, tiny
@@ -4150,6 +4168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_vector_mean": q_vector_mean,
         "q_centroid_outliers": q_centroid_outliers,
+        "q_jl_project": q_jl_project,
         "q_sample_n": q_sample_n,
         "q_event_funnel": q_event_funnel,
         "q_cube_counts": q_cube_counts,
@@ -4245,6 +4264,33 @@ def _minhash_perm_values() -> str:
         b = _splitmix64(2 * j + 1)
         rows.append(f"({j}, {a}, {b})")
     return ", ".join(rows)
+
+
+def _jl_project_sql() -> str:
+    """The 64→16 ±1-sign JL projection as one UNION ALL per output
+    coordinate — the SAME Python sign derivation the Spark operator
+    bakes into its expression, same left-assoc add order."""
+    from databricks_flight_etl_spark.operators.similarity import _jl_signs
+
+    signs = _jl_signs(64, 16)
+    parts = []
+    for j, row in enumerate(signs):
+        terms = "".join(
+            (" + " if s > 0 else " - ") + f"v[{i + 1}]"
+            for i, s in enumerate(row)
+        )
+        # leading " + " folds into a unary no-op; " - v[1]" negates
+        expr = terms[3:] if terms.startswith(" + ") else terms.lstrip()
+        parts.append(
+            f"SELECT vec_id, {j} AS j, "
+            f"round(({expr}) * CAST(0.25 AS DOUBLE), 6) AS value FROM e"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY vec_id, j"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5438,6 +5484,9 @@ def oracle_sql() -> dict[str, str]:
                        AS psi_term
             FROM j, t ORDER BY bucket
         """,
+        # Same sign matrix, same add order (generated; see
+        # _jl_project_sql).
+        "q_jl_project": _jl_project_sql(),
         # Same per-group hash rank, integer base+remainder copies,
         # generate_series replication.
         "q_resample_mix": """

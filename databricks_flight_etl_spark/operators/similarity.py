@@ -33,6 +33,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "quantize_embeddings", "dequantize_embeddings",
            "semantic_dedup",
            "group_vector_mean", "centroid_outlier_scores",
+           "project_embeddings",
 ]
 
 
@@ -832,3 +833,61 @@ def centroid_outlier_scores(
             cosine(v, F.col("__cent")).alias("cos_centroid"),
         )
     )
+
+
+def _jl_signs(dim: int, out_dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the JL projection, derived from
+    md5 (hashlib — plain public derivation, reproducible anywhere):
+    sign[j][i] = +1 if the first hex nibble of md5(f"{seed}|{j}|{i}")
+    is < 8 else -1. Engine-independent by construction: the same
+    Python derivation stamps both the Spark expression and the SQL
+    oracle, so certification covers the projection algebra."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(
+                f"{seed}|{j}|{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    seed: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): out_j = Σᵢ sᵢⱼ·vᵢ / √out_dim. Pairwise
+    distances survive within (1 ± ε) for out_dim = O(log n / ε²) — the
+    standard pre-shrink before ANN indexing or near-dup banding when
+    the raw embedding is wide.
+
+    The signs are CONSTANTS baked into the expression (no per-row
+    hashing): each output coordinate compiles to a chain of ±element
+    adds inside whole-stage codegen — a narrow map, no shuffle, no
+    Python. Output: (id, proj array<double>, rounded to ``decimals``).
+    """
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, proj array<double>"
+        )
+    dim = len(first[0])
+    signs = _jl_signs(dim, out_dim, seed)
+    v = _as_double(vec_col)
+    scale = 1.0 / math.sqrt(out_dim)
+    outs = []
+    for j in range(out_dim):
+        term = None
+        for i, s in enumerate(signs[j]):
+            t = v[i] if s > 0 else -v[i]
+            term = t if term is None else term + t
+        outs.append(F.round(term * F.lit(scale), decimals))
+    return df.select(F.col(id_col), F.array(*outs).alias("proj"))

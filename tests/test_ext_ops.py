@@ -1759,3 +1759,38 @@ def test_join_explosion_probe(spark):
     assert out[4] == (0, 7, 0)
     top = join_explosion_probe(a, b, "key", k=10).first()
     assert top["key"] == 1               # ordered by product
+
+
+def test_project_embeddings_preserves_distance(spark):
+    """JL with +/-1 signs: deterministic across runs, and pairwise
+    distances survive approximately (the point of the projection)."""
+    import math
+    import random
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    random.seed(4)
+    rows = [(i, [random.gauss(0, 1) for _ in range(64)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["proj"]
+           for r in project_embeddings(df, out_dim=16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    again = {r["vec_id"]: r["proj"]
+             for r in project_embeddings(df, out_dim=16).collect()}
+    assert out == again
+    # distance preservation in aggregate: mean ratio near 1
+    orig = dict(rows)
+    ratios = []
+    for a in range(0, 20, 3):
+        for b in range(1, 20, 4):
+            if a == b:
+                continue
+            d0 = math.dist(orig[a], orig[b])
+            d1 = math.dist(out[a], out[b])
+            ratios.append(d1 / d0)
+    m = sum(ratios) / len(ratios)
+    assert 0.8 < m < 1.2
+    assert project_embeddings(df.limit(0)).count() == 0
