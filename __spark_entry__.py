@@ -1224,6 +1224,36 @@ def q_stratified_sample_n(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_partitioned_scan(spark, sf_dir):
+    """Hive-partitioned write + pruned read: events written
+    partitionBy(event_type), then one partition read back with the
+    filter landing as PartitionFilters (the scan never opens the
+    other directories — pinned by tests; values certified against the
+    plain filtered aggregate)."""
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out_dir = tempfile.mkdtemp(prefix="flight_etl_part_")
+    write_partitioned(ev, out_dir, ["event_type"])
+    back = spark.read.parquet(out_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,4)"))
+             .cast("double")).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_bucketed_join(spark, sf_dir):
     """Co-located fact⋈fact join on PRE-BUCKETED tables: both sides
     written bucketBy(8, key) + sortBy, so the join plan has NO
@@ -4147,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
+        "q_partitioned_scan": q_partitioned_scan,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_streaming_minhash": q_streaming_minhash,
@@ -5362,6 +5393,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
+        """,
+        # The same filtered aggregate; partition layout must not change
+        # the answer.
+        "q_partitioned_scan": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY event_type ORDER BY event_type
         """,
         # The same join + aggregate, bucketing being a physical-layout
         # concern the values must not depend on.
