@@ -286,6 +286,14 @@ def resample_to_target(
     counts = df.groupBy(F.col(group_col)).agg(
         F.count(F.lit(1)).alias("__c")
     )
+    # the per-group count table is two columns × |groups| rows — tiny
+    # for domain/language mixes; gate the hint anyway so a pathological
+    # high-cardinality group column degrades to a shuffle join, not an
+    # executor OOM
+    if counts.count() > 8_000_000:
+        broadcast_counts = counts
+    else:
+        broadcast_counts = F.broadcast(counts)
     tgt = None
     for g, n in sorted(targets.items()):
         cond = F.col(group_col) == g
@@ -298,7 +306,7 @@ def resample_to_target(
         hash_bucket(key, salt), F.col(key)
     )
     t = (
-        df.join(F.broadcast(counts), group_col)
+        df.join(broadcast_counts, group_col)
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__tgt", tgt)
         # DIV: exact long division (a / b is DOUBLE division in Spark

@@ -795,6 +795,7 @@ def centroid_outlier_scores(
     group_col: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_max_groups: int = 100_000,
 ) -> DataFrame:
     """Semantic-outlier scores for curation (SemDeDup-adjacent): each
     row's cosine to its GROUP's mean embedding — mislabeled or noisy
@@ -804,11 +805,14 @@ def centroid_outlier_scores(
     Plan: the centroid is ``dim`` scalar avg aggregates in ONE hash
     aggregate (the :func:`group_vector_mean` shape — partial sums
     through the exchange, never a dim× posexplode blowup); the
-    |groups|-row centroid table broadcasts back onto the membership
-    (explicit hint — it is tiny by construction); the cosine is the
-    deterministic zip_with/fold. One shuffle total, then narrow maps.
-    Output: (id, group, cos_centroid) — ranking/thresholding is the
-    caller's policy.
+    |groups|-row centroid table joins back onto the membership, with
+    the broadcast hint GATED on a measured group count (millions of
+    groups × dim doubles would OOM under an unconditional hint — the
+    dedup_survivors lesson; above the gate AQE still broadcasts at
+    runtime if stats allow); the cosine is the deterministic
+    zip_with/fold. One shuffle total, then narrow maps. Output:
+    (id, group, cos_centroid) — ranking/thresholding is the caller's
+    policy.
     """
     first = df.select(vec_col).first()
     if first is None or first[0] is None:
@@ -825,8 +829,10 @@ def centroid_outlier_scores(
             F.array(*[F.col(f"__m_{i}") for i in range(dim)]).alias("__cent"),
         )
     )
+    if broadcast_max_groups and cent.count() <= broadcast_max_groups:
+        cent = F.broadcast(cent)
     return (
-        df.join(F.broadcast(cent), group_col)
+        df.join(cent, group_col)
         .select(
             F.col(id_col),
             F.col(group_col),

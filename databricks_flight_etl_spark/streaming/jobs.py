@@ -341,6 +341,7 @@ def streaming_minhash_candidates(
     bands: int = 4,
     shingle_k: int = 5,
     hash_family: str = "xxhash64",
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Streaming near-dup candidate detection against a STATIC
     ``dedup.minhash_bands`` index — 'flag incoming documents that look
@@ -349,12 +350,16 @@ def streaming_minhash_candidates(
     The stream side uses the ROW-WISE band computation
     (``minhash_bands_rowwise``: higher-order expressions, no shuffle —
     a streaming aggregate would otherwise be required), then a
-    stream-static broadcast equi-join on the 12-byte (band, band_hash)
-    key, then streaming dropDuplicates on the pair. State is one entry
-    per DISTINCT emitted pair (bounded by true candidates, not by
-    stream length). After a full replay the result equals the batch
-    index-probe candidate set — which is what the certification
-    compares, and the oracle SQL replays for the md5 family.
+    stream-static equi-join on the 12-byte (band, band_hash) key, then
+    streaming dropDuplicates on the pair. The broadcast hint on the
+    index is GATED on its measured size (the index is O(corpus ×
+    bands) — billions of rows for a large accepted corpus; an
+    unconditional hint would OOM); above the gate the join shuffles
+    the micro-batch instead. State is one entry per DISTINCT emitted
+    pair (bounded by true candidates, not by stream length). After a
+    full replay the result equals the batch index-probe candidate
+    set — which is what the certification compares, and the oracle SQL
+    replays for the md5 family.
 
     Candidates only: exact-Jaccard VERIFY needs the corpus text — run
     ``dedup.minhash_probe`` (batch) over the flagged ids, or a
@@ -369,8 +374,10 @@ def streaming_minhash_candidates(
     idx = index_bands.select(
         F.col(id_col).alias("corpus_id"), "band", "band_hash"
     )
+    if broadcast_max_rows and idx.count() <= broadcast_max_rows:
+        idx = F.broadcast(idx)
     return (
-        nb.join(F.broadcast(idx), ["band", "band_hash"])
+        nb.join(idx, ["band", "band_hash"])
         .where(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
