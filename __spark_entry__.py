@@ -2067,18 +2067,18 @@ def q_semantic_dedup_exact(spark, sf_dir):
 
 
 def q_semantic_dedup(spark, sf_dir):
-    """Production SemDeDup shape: 8 hash-seeded k-means lists, within-
-    list pairs only — approximate by construction (cross-cluster dups
-    survive), so rows-only at the driver; the algorithm itself is
-    certified by q_semantic_dedup_exact."""
+    """Production SemDeDup shape with the CORPUS-SCALED cluster count
+    (n_lists=None → ~256 rows per cluster; a fixed list count made
+    per-cluster pair work quadratic — 102× time at 30× data in the
+    scale probe), within-list pairs only — approximate by construction
+    (cross-cluster dups survive), so rows-only at the driver; the
+    algorithm itself is certified by q_semantic_dedup_exact."""
     from databricks_flight_etl_spark.operators.similarity import (
         semantic_dedup,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(
-        emb, threshold=0.35, n_lists=8, iters=1
-    )
+    out = semantic_dedup(emb, threshold=0.35, iters=1)
     return out.select("vec_id", "label").orderBy("vec_id")
 
 

@@ -727,8 +727,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     iters: int = 2,
+    target_cluster_rows: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): rows
     whose embeddings are near-identical in meaning collapse to one
@@ -745,12 +746,35 @@ def semantic_dedup(
     construction (the SemDeDup trade-off); ``n_lists=1`` degrades to
     exact brute force, which is what the certification query runs.
 
+    ``n_lists=None`` (default) CORPUS-SCALES the cluster count to
+    ~``target_cluster_rows`` rows per cluster — a FIXED n_lists makes
+    per-cluster pair work (N/k)²·k = N²/k, i.e. quadratic in the
+    corpus (measured 102× time at 30× data in the scale probe before
+    this default). With scaled k the pair stage is ~target·N — linear.
+    Assignment cost is N·k dot products; above 64 lists it runs as one
+    numpy matmul per Arrow batch (``ivf_assign_pandas``), whose
+    constant keeps it off the critical path well past 10⁶ lists; the
+    auto value caps at 4096 — beyond that (N ≫ 10⁶ rows), pass an
+    explicit ``n_lists`` sized to your cluster budget or pre-cluster
+    hierarchically (two-level IVF) before calling this.
+
     Returns the surviving rows of ``df`` (schema unchanged)."""
     from .graph import dedup_survivors
 
+    if n_lists is None:
+        n = df.count()
+        if n == 0:
+            return df
+        n_lists = max(
+            1, min(4096, n, max(16, -(-n // target_cluster_rows)))
+        )
     cents = ivf_centroids(df, id_col, vec_col, n_lists=n_lists,
                           iters=iters)
-    assigned = ivf_assign(df, cents, vec_col, out_col="__list")
+    if n_lists > 64:
+        assigned = ivf_assign_pandas(df, cents, vec_col,
+                                     out_col="__list")
+    else:
+        assigned = ivf_assign(df, cents, vec_col, out_col="__list")
     pairs = cosine_near_dup_pairs(
         assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_col="__list",

@@ -134,8 +134,10 @@ def _semdedup(vecs):
         semantic_dedup,
     )
 
-    return semantic_dedup(vecs, threshold=0.9, n_lists=8,
-                          iters=1).count()
+    # n_lists=None: the corpus-scaled default (~256 rows/cluster) —
+    # the fixed-8 form this probe previously used showed 102x time at
+    # 30x data (per-cluster pair work is quadratic at fixed k)
+    return semantic_dedup(vecs, threshold=0.9, iters=1).count()
 
 
 def _pagerank(docs):
