@@ -92,3 +92,35 @@ def test_merge_upsert_matches_dict_semantics(spark, base, upd):
     want = {k: f"b{v}" for k, v in base.items()}
     want.update({k: f"u{v}" for k, v in upd.items()})
     assert got == want
+
+
+@given(counts=st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                              st.integers(1, 30),
+                              min_size=1, max_size=3),
+       targets=st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                               st.integers(0, 80),
+                               min_size=1, max_size=3))
+@SET
+def test_resample_to_target_exactness_property(spark, counts, targets):
+    """For ANY group sizes and targets: targeted groups land on
+    exactly their target; untargeted groups are untouched; per-row
+    copies differ by at most one within a group."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        resample_to_target,
+    )
+
+    rows, k = [], 0
+    for g, c in counts.items():
+        for _ in range(c):
+            rows.append((k, g)); k += 1
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = resample_to_target(df, "g", "k", targets)
+    got = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for g, c in counts.items():
+        want = targets.get(g, c)
+        assert got.get(g, 0) == want, (g, want, got)
+    per_row = out.groupBy("g", "k").agg(F.count(F.lit(1)).alias("n"))
+    spread_ = per_row.groupBy("g").agg(
+        (F.max("n") - F.min("n")).alias("d")).collect()
+    assert all(r["d"] <= 1 for r in spread_)
