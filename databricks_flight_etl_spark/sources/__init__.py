@@ -260,6 +260,20 @@ def write_bucketed(
     pay the shuffle once at write, never per query
     (tests/test_pipeline_streaming pins the shuffle-free plan).
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # with the default in-memory catalog, a location written by a
+        # PREVIOUS session is orphaned (no catalog entry) and blocks
+        # saveAsTable with LOCATION_ALREADY_EXISTS — clear it
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.mode(mode).format("parquet").bucketBy(
         n_buckets, *bucket_cols
     )
