@@ -33,7 +33,7 @@ __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "cosine_topk_batch",
            "quantize_embeddings", "dequantize_embeddings",
            "semantic_dedup",
            "group_vector_mean", "centroid_outlier_scores",
-           "project_embeddings",
+           "project_embeddings", "project_embeddings_pandas",
 ]
 
 
@@ -921,3 +921,48 @@ def project_embeddings(
             term = t if term is None else term + t
         outs.append(F.round(term * F.lit(scale), decimals))
     return df.select(F.col(id_col), F.array(*outs).alias("proj"))
+
+
+def project_embeddings_pandas(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    seed: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`project_embeddings` with the projection computed as ONE
+    numpy matmul per Arrow batch ((batch × dim) @ (dim × out_dim)
+    sign matrix) instead of 16 codegen'd add chains — the compile-free
+    production path (the expression form pays ~seconds of one-time
+    janino work for 1024-term chains; this form pays Arrow transfer).
+    Same sign matrix and scale; values agree with the expression path
+    to the rounding decimals (numpy's pairwise summation vs the
+    left-assoc chain differ only in the last ulp — pinned by test).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, proj array<double>"
+        )
+    dim = len(first[0])
+    S = np.asarray(_jl_signs(dim, out_dim, seed), dtype=np.float64).T
+    S *= 1.0 / math.sqrt(out_dim)                 # dim × out_dim
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("proj", T.ArrayType(T.DoubleType())),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            m = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            p = np.round(m @ S, decimals)
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, out_schema)

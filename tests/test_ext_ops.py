@@ -1794,3 +1794,28 @@ def test_project_embeddings_preserves_distance(spark):
     m = sum(ratios) / len(ratios)
     assert 0.8 < m < 1.2
     assert project_embeddings(df.limit(0)).count() == 0
+
+
+def test_project_embeddings_pandas_matches_expression(spark):
+    """The matmul JL twin agrees with the certified expression path to
+    the rounding decimals."""
+    import random
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        project_embeddings,
+        project_embeddings_pandas,
+    )
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(64)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["proj"]
+         for r in project_embeddings(df, out_dim=16, decimals=5).collect()}
+    b = {r["vec_id"]: r["proj"]
+         for r in project_embeddings_pandas(
+             df, out_dim=16, decimals=5).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert all(abs(x - y) < 2e-5 for x, y in zip(a[k], b[k]))
+    assert project_embeddings_pandas(df.limit(0)).count() == 0
