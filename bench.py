@@ -52,6 +52,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from databricks_flight_etl_spark.session import get_spark
 
+    # 48g heap (the box has 128 GiB and this is the only JVM): at the
+    # 16g default, major-GC stalls add 3-8 s spikes to individual
+    # queries and ~20% to the suite total (measured 270 s vs 224 s)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("flight-etl-bench")
 
     # warm the JVM / codegen / parquet footer caches so per-query numbers

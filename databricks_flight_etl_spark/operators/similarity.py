@@ -375,7 +375,18 @@ def ivf_centroids(
 
         vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
-        assigned = vecs.withColumn("__list", _nearest_list(F.col("__v"), cents))
+        # above ~8 lists the literal-fold expression's one-time janino
+        # compile (n_lists × dim literals, recompiled EVERY round since
+        # the centroid constants change) dominates the Lloyd step —
+        # measured 30 s vs 5 s on the sf0.1 bench at 20 lists; the
+        # Arrow argmax kernel is compile-free and assignment-identical
+        # (pinned by test)
+        if n_lists > 8:
+            assigned = ivf_assign_pandas(vecs, cents, "__v", "__list")
+        else:
+            assigned = vecs.withColumn(
+                "__list", _nearest_list(F.col("__v"), cents)
+            )
         # per-list elementwise mean as ``dim`` scalar avg aggregates in
         # ONE hash agg — no posexplode (dim× row blowup through the
         # shuffle) and no collect_list/array_sort regroup
@@ -751,7 +762,7 @@ def semantic_dedup(
     per-cluster pair work (N/k)²·k = N²/k, i.e. quadratic in the
     corpus (measured 102× time at 30× data in the scale probe before
     this default). With scaled k the pair stage is ~target·N — linear.
-    Assignment cost is N·k dot products; above 64 lists it runs as one
+    Assignment cost is N·k dot products; above 8 lists it runs as one
     numpy matmul per Arrow batch (``ivf_assign_pandas``), whose
     constant keeps it off the critical path well past 10⁶ lists; the
     auto value caps at 4096 — beyond that (N ≫ 10⁶ rows), pass an
@@ -770,7 +781,7 @@ def semantic_dedup(
         )
     cents = ivf_centroids(df, id_col, vec_col, n_lists=n_lists,
                           iters=iters)
-    if n_lists > 64:
+    if n_lists > 8:
         assigned = ivf_assign_pandas(df, cents, vec_col,
                                      out_col="__list")
     else:
