@@ -124,3 +124,29 @@ def test_resample_to_target_exactness_property(spark, counts, targets):
     spread_ = per_row.groupBy("g").agg(
         (F.max("n") - F.min("n")).alias("d")).collect()
     assert all(r["d"] <= 1 for r in spread_)
+
+
+@given(sets=st.lists(
+    st.sets(st.sampled_from("abcdefghij"), min_size=1, max_size=6),
+    min_size=2, max_size=10),
+    thr=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+@SET
+def test_set_similarity_join_lossless_property(spark, sets, thr):
+    """The prefix filter must be LOSSLESS for any input/threshold:
+    results equal the brute-force all-pairs Jaccard scan."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [(i, sorted(s)) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           set_similarity_join(df, "s", "id", thr, persist=False).collect()}
+    want = set()
+    for i, a in enumerate(sets):
+        for j, b in enumerate(sets):
+            if i < j:
+                jac = len(a & b) / len(a | b)
+                if jac >= thr:
+                    want.add((i, j))
+    assert got == want
