@@ -1224,6 +1224,39 @@ def q_stratified_sample_n(spark, sf_dir):
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolving ingestion: batch 1 written without the
+    ``quality`` column (events with even ids), batch 2 with it (odd
+    ids, quality = value × 2 exactly); mergeSchema unions the footers
+    and backfills batch 1 with NULLs. Aggregate certifies counts and
+    sums against a UNION ALL replay with the NULL literal."""
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import (
+        read_parquet_evolving,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="flight_etl_evo_")
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{base}/b1"
+    )
+    ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "quality", F.col("value") * 2
+    ).write.mode("overwrite").parquet(f"{base}/b2")
+    merged = read_parquet_evolving(spark, f"{base}/b1", f"{base}/b2")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("n_quality"),
+        (F.sum(F.col("quality").cast("decimal(18,4)"))
+         .cast("double")).alias("sum_quality"),
+        (F.sum(F.col("value").cast("decimal(18,4)"))
+         .cast("double")).alias("sum_value"),
+    )
+
+
 def q_partitioned_scan(spark, sf_dir):
     """Hive-partitioned write + pruned read: events written
     partitionBy(event_type), then one partition read back with the
@@ -4178,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
         "q_partitioned_scan": q_partitioned_scan,
+        "q_schema_evolution": q_schema_evolution,
         "q_sql_ddl": q_sql_ddl,
         "q_streaming_enrich": q_streaming_enrich,
         "q_streaming_minhash": q_streaming_minhash,
@@ -5393,6 +5427,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang FROM r WHERE rn <= 40
             ORDER BY lang, doc_id
+        """,
+        # UNION ALL replay of the two write batches with the NULL
+        # literal standing in for the pre-evolution column.
+        "q_schema_evolution": """
+            WITH merged AS (
+                SELECT event_id, user_id, value,
+                       CAST(NULL AS DOUBLE) AS quality
+                FROM events WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT event_id, user_id, value, value * 2 AS quality
+                FROM events WHERE event_id % 2 = 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(quality) AS BIGINT) AS n_quality,
+                   CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_quality,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_value
+            FROM merged
         """,
         # The same filtered aggregate; partition layout must not change
         # the answer.

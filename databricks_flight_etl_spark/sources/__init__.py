@@ -22,6 +22,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_parquet_evolving",
     "read_orc",
     "read_text",
     "read_avro",
@@ -299,3 +300,14 @@ def compact_parquet(
         read_parquet(spark, src), dst,
         target_mb=target_mb, compression=compression,
     )
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added
+    over time across ingestion batches): ``mergeSchema`` unions the
+    per-file footers into one superset schema, with files missing a
+    column yielding NULLs — the lakehouse reality where yesterday's
+    writer didn't know about today's column. Kept off by default in
+    plain reads because footer-merging costs one extra pass over file
+    metadata; turn it on only at evolution boundaries."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
