@@ -3315,6 +3315,27 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(emb, pairs, "vec_id").select("vec_id", "label")
 
 
+def q_cluster_sizes(spark, sf_dir):
+    """Dedup-funnel reporting: the near-dup CLUSTER-SIZE histogram
+    (how much of the corpus sits in 2-member vs 10-member duplicate
+    families — the number that justifies the dedup pass). Components
+    → per-component size → size histogram; oracle replays via the
+    recursive CTE."""
+    from databricks_flight_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("sz")
+    )
+
+
 def q_dedup_survivors_by(spark, sf_dir):
     """Quality-aware survivor selection: same clusters as
     q_dedup_survivors, but each keeps its HIGHEST-scoring member
@@ -4161,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_minhash_incremental": q_minhash_incremental,
         "q_dedup_survivors_by": q_dedup_survivors_by,
+        "q_cluster_sizes": q_cluster_sizes,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
         "q_window_topk_per_group": q_window_topk_per_group,
@@ -7682,6 +7704,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same pairs + closure as q_dedup_clusters, then keep only each
         # component's min-id member plus all unpaired rows.
+        # Same recursive-CTE components; size histogram on top.
+        "q_cluster_sizes": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS ve,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            sizes AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS sz
+                FROM comp GROUP BY component
+            )
+            SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY sz ORDER BY sz
+        """,
         # Same components; per-cluster argmax on (score, -id) instead
         # of min id.
         "q_dedup_survivors_by": """
