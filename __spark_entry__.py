@@ -1350,6 +1350,25 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: users cohorted by first-
+    activity week (both engines truncate weeks to Monday), later weeks
+    count returning users. Two user-keyed hash aggregates + one tiny
+    count — no windows. Oracle replays the same truncation and
+    datediff/7 arithmetic."""
+    from databricks_flight_etl_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", period="week")
+    # dates stringify on both sides (cross-engine date rendering)
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "periods_since", "n_users",
+    ).orderBy("cohort", "periods_since")
+
+
 def q_fill_forward(spark, sf_dir):
     """Per-user gap fill: every 5th value nulled, then last-
     observation-carried-forward (+ bfill for leading nulls) over the
@@ -4229,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_mix": q_resample_mix,
         "q_psi_drift": q_psi_drift,
         "q_fill_forward": q_fill_forward,
+        "q_cohort_retention": q_cohort_retention,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5530,6 +5550,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same Monday-truncated weeks, same min-week cohort, same
+        # datediff/7.
+        "q_cohort_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(date_trunc('week', ts) AS DATE) AS p
+                FROM events
+            ),
+            coh AS (SELECT u, min(p) AS c FROM act GROUP BY u)
+            SELECT strftime(c, '%Y-%m-%d') AS cohort,
+                   CAST(datediff('day', c, p) / 7 AS BIGINT)
+                       AS periods_since,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN coh USING (u)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Same nulling, ffill via last_value IGNORE NULLS, bfill via
         # the reversed frame (nearest following non-null).

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["sessionize", "session_counts", "funnel_steps",
-           "funnel_conversion"]
+           "funnel_conversion", "cohort_retention"]
 
 
 def sessionize(
@@ -124,3 +124,51 @@ def funnel_conversion(
     ).alias("s")
     return wide.select(pairs).select("s.step", "s.step_name",
                                      "s.n_users")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics
+    triangle: users are cohorted by their FIRST-activity period, and
+    each later period counts how many of the cohort came back.
+    Output: (cohort, periods_since, n_users) with periods_since = 0
+    being the cohort size itself.
+
+    Plan: one groupBy(user) min-ts aggregate for the cohort label
+    (shuffled on the user key), joined back onto the per-user-period
+    activity set (also user-keyed — the partitioning is reused), then
+    a small (cohorts × horizon) count aggregate. No windows, no
+    per-event sort; at 100 TB every stage is a user-keyed hash
+    aggregate.
+
+    ``period``: any unit date_trunc accepts ('day', 'week', 'month').
+    periods_since counts WHOLE period boundaries between the cohort
+    period and the activity period (datediff over the truncated
+    dates, divided by the period length in days for day/week;
+    months_between for month).
+    """
+    p = period.lower()
+    if p not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period}")
+    bucket = F.date_trunc(p, F.col(ts_col)).cast("date")
+    activity = df.select(
+        F.col(user_col).alias("__u"), bucket.alias("__p")
+    ).distinct()
+    cohorts = activity.groupBy("__u").agg(F.min("__p").alias("__c"))
+    joined = activity.join(cohorts, "__u")
+    if p == "month":
+        since = F.months_between("__p", "__c").cast("long")
+    else:
+        days = 1 if p == "day" else 7
+        since = (F.datediff("__p", "__c") / days).cast("long")
+    return (
+        joined.select(F.col("__c").alias("cohort"),
+                      since.alias("periods_since"))
+        .groupBy("cohort", "periods_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "periods_since")
+    )

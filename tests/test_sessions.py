@@ -156,3 +156,32 @@ def test_funnel_steps_and_conversion(spark):
             funnel_conversion(df, "u", "t", "typ", ["A", "B", "C"])
             .collect()}
     assert conv == {1: 3, 2: 1, 3: 1}
+
+
+def test_cohort_retention(spark):
+    """Hand-built cohorts: user 1 active weeks 0 and 2; user 2 only
+    week 0; user 3 joins in week 1 and returns week 2."""
+    from databricks_flight_etl_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-15"),
+        (2, "2024-01-02"),
+        (3, "2024-01-08"), (3, "2024-01-16"),
+        (3, "2024-01-17"),   # same week twice -> still one activity
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP) AS ts"
+    )
+    got = {(str(r["cohort"]), r["periods_since"]): r["n_users"]
+           for r in cohort_retention(df, "user_id", "ts", "week").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 2
+        ("2024-01-01", 2): 1,   # user 1 returns
+        ("2024-01-08", 0): 1,   # user 3's cohort
+        ("2024-01-08", 1): 1,   # user 3 returns
+    }
+    import pytest as _p
+    with _p.raises(ValueError):
+        cohort_retention(df, "user_id", "ts", "fortnight")
