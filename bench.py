@@ -52,9 +52,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from databricks_flight_etl_spark.session import get_spark
 
-    # 48g heap (the box has 128 GiB and this is the only JVM): at the
-    # 16g default, major-GC stalls add 3-8 s spikes to individual
-    # queries and ~20% to the suite total (measured 270 s vs 224 s)
+    # 48g heap (the box has 128 GiB and this is the only JVM): GC
+    # headroom for a 200+-query run. Note: suite totals still vary
+    # ±15% run-to-run from HOST-level noise (measured 198-270 s across
+    # identical code; an inter-query System.gc() experiment changed
+    # nothing) — compare per-query medians, not single totals.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("flight-etl-bench")
 
