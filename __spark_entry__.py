@@ -1350,6 +1350,28 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency check: which (user_id, event day) pairs
+    map to MULTIPLE event types (lhs → rhs violated)? One hash
+    aggregate with a map-side-combining collect_set, narrow size
+    filter; example values joined to a scalar string for the harness.
+    Oracle replays the distinct-set size and sorted example list."""
+    from databricks_flight_etl_spark.operators.consistency import (
+        fd_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    out = fd_violations(ev, ["user_id", "day"], "event_type")
+    return out.select(
+        "user_id", "day", "n_rhs_values",
+        F.array_join("examples", ",").alias("example_values"),
+    ).orderBy("user_id", "day")
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle: users cohorted by first-
     activity week (both engines truncate weeks to Monday), later weeks
@@ -4249,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_fill_forward": q_fill_forward,
         "q_cohort_retention": q_cohort_retention,
+        "q_fd_violations": q_fd_violations,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5550,6 +5573,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same distinct-set size and sorted example list per lhs key.
+        "q_fd_violations": """
+            WITH v AS (
+                SELECT user_id,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       list_sort(list(DISTINCT event_type)) AS vals
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT user_id, day,
+                   CAST(len(vals) AS INT) AS n_rhs_values,
+                   array_to_string(vals[1:3], ',') AS example_values
+            FROM v WHERE len(vals) >= 2
+            ORDER BY user_id, day
         """,
         # Same Monday-truncated weeks, same min-week cohort, same
         # datediff/7.

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["string_columns", "value_frequencies", "value_frequencies_capped"]
+__all__ = ["string_columns", "value_frequencies",
+           "value_frequencies_capped", "fd_violations"]
 
 
 def string_columns(df: DataFrame) -> list[str]:
@@ -71,3 +72,36 @@ def value_frequencies_capped(
     )
     approx_long = approx.select(F.expr(stack))
     return capped.join(F.broadcast(approx_long), "column", "left")
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: str,
+    max_examples: int = 3,
+) -> DataFrame:
+    """Functional-dependency violation detector: keys where ``lhs → rhs``
+    does NOT hold (one lhs value maps to ≥2 distinct rhs values) — the
+    consistency check behind 'same order key must mean one order
+    status', 'one user one signup country'. NULL rhs values are ignored
+    (unknown doesn't contradict known).
+
+    Output per violating key: the lhs columns, ``n_rhs_values`` and up
+    to ``max_examples`` offending rhs values (sorted — deterministic).
+
+    Plan: ONE hash aggregate on the lhs key (collect_set of rhs, which
+    partial-aggregates map-side and is bounded per key by the true
+    violation width — cap it upstream if a key can map to millions of
+    values), then a narrow filter on set size. No join, no window.
+    """
+    agg = (
+        df.where(F.col(rhs).isNotNull())
+        .groupBy(*[F.col(c) for c in lhs])
+        .agg(F.collect_set(F.col(rhs)).alias("__vals"))
+        .where(F.size("__vals") >= 2)
+    )
+    return agg.select(
+        *lhs,
+        F.size("__vals").alias("n_rhs_values"),
+        F.slice(F.array_sort("__vals"), 1, max_examples).alias("examples"),
+    )

@@ -550,3 +550,20 @@ def test_vocab_coverage(spark):
         (1, "a", 3, 0.5), (2, "b", 2, round(5 / 6, 6)), (3, "c", 1, 1.0)
     ]
     assert vocab_coverage(df, "text", k=2).count() == 2
+
+
+def test_fd_violations(spark):
+    from databricks_flight_etl_spark.operators.consistency import (
+        fd_violations,
+    )
+
+    rows = [
+        (1, "US"), (1, "US"),           # consistent
+        (2, "US"), (2, "DE"), (2, "FR"),  # violation, 3 values
+        (3, None), (3, "JP"),           # null doesn't contradict
+    ]
+    df = spark.createDataFrame(rows, "user_id long, country string")
+    got = {r["user_id"]: (r["n_rhs_values"], r["examples"])
+           for r in fd_violations(df, ["user_id"], "country",
+                                  max_examples=2).collect()}
+    assert got == {2: (3, ["DE", "FR"])}
