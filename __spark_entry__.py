@@ -1350,6 +1350,21 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """Outlier-robust per-type center: 10%-rank-trimmed mean of event
+    value per event_type (percent_rank window + decimal-exact mean of
+    the kept rows). Oracle replays the identical percent_rank
+    selection and the decimal sum."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        trimmed_mean_by_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean_by_group(
+        ev, ["event_type"], "value", trim=0.1
+    ).orderBy("event_type")
+
+
 def q_fd_violations(spark, sf_dir):
     """Functional-dependency check: which (user_id, event day) pairs
     map to MULTIPLE event types (lhs → rhs violated)? One hash
@@ -4272,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fill_forward": q_fill_forward,
         "q_cohort_retention": q_cohort_retention,
         "q_fd_violations": q_fd_violations,
+        "q_trimmed_mean": q_trimmed_mean,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5573,6 +5589,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same percent_rank selection, same decimal-exact mean.
+        "q_trimmed_mean": """
+            WITH r AS (
+                SELECT event_type, value,
+                       percent_rank() OVER (
+                           PARTITION BY event_type ORDER BY value) AS pr
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                              AS DOUBLE) / count(*), 6) AS trimmed_mean
+            FROM r WHERE pr >= 0.1 AND pr <= 0.9
+            GROUP BY event_type ORDER BY event_type
         """,
         # Same distinct-set size and sorted example list per lhs key.
         "q_fd_violations": """

@@ -22,7 +22,7 @@ __all__ = ["summary_stats", "histogram", "describe",
            "rank_normalize", "correlation_matrix",
            "ab_welch_t", "chi_square_independence", "spearman_corr",
            "grouped_outliers_iqr", "trailing_range_agg",
-           "psi_drift"]
+           "psi_drift", "trimmed_mean_by_group"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -659,4 +659,47 @@ def psi_drift(
                     decimals).alias("psi_term"),
         )
         .orderBy("bucket")
+    )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group TRIMMED mean — the outlier-robust center (drop each
+    tail's ``trim`` fraction BY RANK, then average what remains; a few
+    corrupt extreme values stop moving the estimate). Rank-based
+    trimming (percent_rank ∈ [trim, 1 − trim]) keeps the selection a
+    deterministic function of the data, so any engine replays it.
+
+    Plan: one window rank per group (shuffle on the group key, per-
+    group sort) + one hash aggregate reusing the same partitioning.
+    The mean divides an exact DECIMAL sum by the kept-row count —
+    deterministic across engines (double sum order is not).
+    Output: (group..., n_kept, trimmed_mean)."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    pr = F.percent_rank().over(w)
+    kept = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__pr", pr)
+        .where((F.col("__pr") >= trim) & (F.col("__pr") <= 1.0 - trim))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        kept.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            cnt.alias("n_kept"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,4)"))
+                .cast("double") / cnt,
+                decimals,
+            ).alias("trimmed_mean"),
+        )
     )

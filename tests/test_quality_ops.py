@@ -567,3 +567,23 @@ def test_fd_violations(spark):
            for r in fd_violations(df, ["user_id"], "country",
                                   max_examples=2).collect()}
     assert got == {2: (3, ["DE", "FR"])}
+
+
+def test_trimmed_mean_by_group(spark):
+    """A wild outlier moves the plain mean but not the trimmed one."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        trimmed_mean_by_group,
+    )
+
+    vals = list(range(1, 20)) + [100000]           # 20 rows, one bomb
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in vals], "g string, v double"
+    )
+    out = trimmed_mean_by_group(df, ["g"], "v", trim=0.1).collect()[0]
+    # pr = (rank-1)/(n-1), n=20: kept are values 3..18 (16 rows,
+    # pr in [0.1, 0.9]) -> the outlier is gone, the center mid-range
+    assert out["n_kept"] == 16
+    assert 9 < out["trimmed_mean"] < 12
+    import pytest as _p
+    with _p.raises(ValueError):
+        trimmed_mean_by_group(df, ["g"], "v", trim=0.5)
