@@ -1350,6 +1350,26 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_linear_trend(spark, sf_dir):
+    """Per-event-type value trend: OLS slope/intercept over day
+    offsets (small x keeps the decimal moment sums far from their 28-
+    digit capacity — raw epoch seconds squared would overflow at
+    scale), one grouped aggregate of exact decimal moments. Oracle
+    replays the same moments and closed form."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        group_linear_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return group_linear_trend(ev, ["event_type"], "x", "y").orderBy(
+        "event_type"
+    )
+
+
 def q_trimmed_mean(spark, sf_dir):
     """Outlier-robust per-type center: 10%-rank-trimmed mean of event
     value per event_type (percent_rank window + decimal-exact mean of
@@ -4288,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": q_cohort_retention,
         "q_fd_violations": q_fd_violations,
         "q_trimmed_mean": q_trimmed_mean,
+        "q_linear_trend": q_linear_trend,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5589,6 +5610,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same decimal moments, same closed-form OLS solve.
+        "q_linear_trend": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS DECIMAL(28,6))
+                           AS x,
+                       CAST(value AS DECIMAL(28,6)) AS y
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy
+                FROM b GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                       AS slope,
+                   round((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n, 9)
+                       AS intercept
+            FROM m ORDER BY event_type
         """,
         # Same percent_rank selection, same decimal-exact mean.
         "q_trimmed_mean": """

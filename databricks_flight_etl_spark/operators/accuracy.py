@@ -22,7 +22,7 @@ __all__ = ["summary_stats", "histogram", "describe",
            "rank_normalize", "correlation_matrix",
            "ab_welch_t", "chi_square_independence", "spearman_corr",
            "grouped_outliers_iqr", "trailing_range_agg",
-           "psi_drift", "trimmed_mean_by_group"]
+           "psi_drift", "trimmed_mean_by_group", "group_linear_trend"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -702,4 +702,50 @@ def trimmed_mean_by_group(
                 decimals,
             ).alias("trimmed_mean"),
         )
+    )
+
+
+def group_linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 9,
+) -> DataFrame:
+    """Per-group OLS trend line y = slope·x + intercept — 'is this
+    user's/metric's value drifting over time, and how fast' — from
+    exact DECIMAL moments in ONE grouped aggregate (the
+    correlation_matrix recipe): sums, squares, and cross-products
+    accumulate in decimal so the result is deterministic across
+    engines and partitionings; the closed-form solve is a few scalar
+    double ops at the end. Rows with a null in either column drop.
+    Groups with < 2 points or zero x-variance yield NULL slope.
+    Output: (group..., n, slope, intercept)."""
+    dx = F.col(x_col).cast("decimal(28,6)")
+    dy = F.col(y_col).cast("decimal(28,6)")
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    g = (
+        df.where(both)
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dx).alias("__sx"),
+            F.sum(dy).alias("__sy"),
+            F.sum(dx * dx).alias("__sxx"),
+            F.sum(dx * dy).alias("__sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    intercept = F.when(denom != 0, (sy - slope * sx) / n)
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
     )

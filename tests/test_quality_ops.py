@@ -587,3 +587,24 @@ def test_trimmed_mean_by_group(spark):
     import pytest as _p
     with _p.raises(ValueError):
         trimmed_mean_by_group(df, ["g"], "v", trim=0.5)
+
+
+def test_group_linear_trend(spark):
+    """Exact line recovered; degenerate groups yield NULL slope."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        group_linear_trend,
+    )
+
+    rows = (
+        [("up", float(x), 3.0 * x + 2.0) for x in range(10)]
+        + [("flat", float(x), 7.0) for x in range(10)]
+        + [("const_x", 5.0, float(y)) for y in range(3)]  # zero x-var
+        + [("single", 1.0, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["slope"], r["intercept"], r["n"])
+           for r in group_linear_trend(df, ["g"], "x", "y").collect()}
+    assert got["up"] == (3.0, 2.0, 10)
+    assert got["flat"] == (0.0, 7.0, 10)
+    assert got["const_x"][0] is None
+    assert got["single"][0] is None
