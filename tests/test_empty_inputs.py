@@ -210,3 +210,29 @@ def test_empty_inputs_round3_additions(spark):
     assert idx.count() == 0
     assert dedup.minhash_probe(docs, docs, idx, "text", "doc_id").count() == 0
     assert dedup.minhash_bands_rowwise(docs, "text", "doc_id").count() == 0
+
+
+def test_empty_inputs_late_round3_additions(spark):
+    from databricks_flight_etl_spark.operators import (
+        relational,
+        sampling,  # noqa: F401  (sweep symmetry)
+        sessions,
+    )
+    from databricks_flight_etl_spark.operators.temporal import fill_forward
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    assert consistency.fd_violations(docs, ["doc_id"], "text").count() == 0
+    assert accuracy.trimmed_mean_by_group(ev, ["user_id"], "value").count() == 0
+    assert accuracy.group_linear_trend(
+        ev, ["user_id"], "event_id", "value").count() == 0
+    assert sessions.cohort_retention(ev, "user_id", "ts").count() == 0
+    assert fill_forward(ev, ["user_id"], "ts", ["value"],
+                        backward=True).count() == 0
+    assert text.vocab_coverage(docs, "text").count() == 0
+    assert relational.join_explosion_probe(ev, ev, "user_id").count() == 0
+    assert similarity.project_embeddings(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+    ).count() == 0
