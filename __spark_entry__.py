@@ -1350,6 +1350,19 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_concentration(spark, sf_dir):
+    """Distribution-concentration screen over the string columns of
+    events ∪ documents columns of interest: entropy / Gini / top-value
+    share per column from one unioned frequency plan. Oracle replays
+    the same frequencies and p·ln p arithmetic (rounded 6 dp)."""
+    from databricks_flight_etl_spark.operators.consistency import (
+        concentration_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    return concentration_profile(ev, ["event_type", "props"])
+
+
 def q_linear_trend(spark, sf_dir):
     """Per-event-type value trend: OLS slope/intercept over day
     offsets (small x keeps the decimal moment sums far from their 28-
@@ -4309,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fd_violations": q_fd_violations,
         "q_trimmed_mean": q_trimmed_mean,
         "q_linear_trend": q_linear_trend,
+        "q_concentration": q_concentration,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5610,6 +5624,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same per-column frequencies (NULL as a value), same
+        # entropy/gini/top-share arithmetic.
+        "q_concentration": """
+            WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM events),
+            f AS (
+                SELECT 'event_type' AS "column", event_type AS value,
+                       count(*) AS n
+                FROM events GROUP BY 2
+                UNION ALL
+                SELECT 'props' AS "column", props AS value, count(*) AS n
+                FROM events GROUP BY 2
+            )
+            SELECT "column",
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(-sum((n / tot) * ln(n / tot)), 6) AS entropy,
+                   round(1.0 - sum((n / tot) * (n / tot)), 6) AS gini,
+                   round(max(n / tot), 6) AS top_share
+            FROM f, t GROUP BY "column" ORDER BY "column"
         """,
         # Same decimal moments, same closed-form OLS solve.
         "q_linear_trend": """

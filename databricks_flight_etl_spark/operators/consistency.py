@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["string_columns", "value_frequencies",
-           "value_frequencies_capped", "fd_violations"]
+           "value_frequencies_capped", "fd_violations",
+           "concentration_profile"]
 
 
 def string_columns(df: DataFrame) -> list[str]:
@@ -104,4 +105,40 @@ def fd_violations(
         *lhs,
         F.size("__vals").alias("n_rhs_values"),
         F.slice(F.array_sort("__vals"), 1, max_examples).alias("examples"),
+    )
+
+
+def concentration_profile(
+    df: DataFrame, cols: list[str] | None = None, decimals: int = 6,
+) -> DataFrame:
+    """Per-column distribution-concentration profile: Shannon entropy
+    (nats), Gini impurity (1 − Σp²), and the top value's share — the
+    screen for near-constant columns (entropy ≈ 0: probably a filler
+    or a broken extractor) and over-concentrated categoricals. NULL is
+    counted as a value of its own (a 99%-null column should read as
+    concentrated, not be silently ignored).
+
+    Plan: one groupBy per column on (column, value) — unioned into a
+    single plan like value_frequencies — then a per-column aggregate
+    over the |distinct| frequency rows; p ln p / p² arithmetic runs on
+    the tiny aggregated table, never the raw data.
+    """
+    cols = cols if cols is not None else string_columns(df)
+    total = df.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "column string, n_distinct long, entropy double, "
+                "gini double, top_share double"
+        )
+    freqs = value_frequencies(df, cols)
+    p = F.col("n") / F.lit(float(total))
+    return (
+        freqs.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), decimals).alias("entropy"),
+            F.round(1.0 - F.sum(p * p), decimals).alias("gini"),
+            F.round(F.max(p), decimals).alias("top_share"),
+        )
+        .orderBy("column")
     )

@@ -608,3 +608,29 @@ def test_group_linear_trend(spark):
     assert got["flat"] == (0.0, 7.0, 10)
     assert got["const_x"][0] is None
     assert got["single"][0] is None
+
+
+def test_concentration_profile(spark):
+    import math
+
+    from databricks_flight_etl_spark.operators.consistency import (
+        concentration_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 8 + [("a", "y")] * 2, "c1 string, c2 string"
+    )
+    got = {r["column"]: r for r in concentration_profile(df).collect()}
+    assert got["c1"]["entropy"] == 0.0 and got["c1"]["top_share"] == 1.0
+    want_h = -(0.8 * math.log(0.8) + 0.2 * math.log(0.2))
+    assert abs(got["c2"]["entropy"] - want_h) < 1e-6
+    assert got["c2"]["gini"] == round(1 - (0.64 + 0.04), 6)
+    assert got["c2"]["top_share"] == 0.8
+    # NULL counts as a value
+    withnull = spark.createDataFrame(
+        [("a",), (None,)], "c1 string"
+    )
+    prof = concentration_profile(withnull, ["c1"]).collect()[0]
+    assert prof["n_distinct"] == 2 and prof["top_share"] == 0.5
+    # empty input: empty profile, no divide-by-zero
+    assert concentration_profile(df.limit(0)).count() == 0
