@@ -1350,6 +1350,20 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_winsorized_mean(spark, sf_dir):
+    """Winsorized per-type mean: tails CLAMPED to the 10%-rank
+    boundary values (n stays constant, outliers capped). Oracle
+    replays the same rank band, bounds, clamp, and decimal mean."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        winsorized_mean_by_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_mean_by_group(
+        ev, ["event_type"], "value", trim=0.1
+    ).orderBy("event_type")
+
+
 def q_concentration(spark, sf_dir):
     """Distribution-concentration screen over the string columns of
     events ∪ documents columns of interest: entropy / Gini / top-value
@@ -4323,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trimmed_mean": q_trimmed_mean,
         "q_linear_trend": q_linear_trend,
         "q_concentration": q_concentration,
+        "q_winsorized_mean": q_winsorized_mean,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5624,6 +5639,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same rank band, same min/max bounds, same clamp + decimal
+        # mean.
+        "q_winsorized_mean": """
+            WITH r AS (
+                SELECT event_type, value,
+                       percent_rank() OVER (
+                           PARTITION BY event_type ORDER BY value) AS pr
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type,
+                       min(CASE WHEN pr >= 0.1 AND pr <= 0.9
+                                THEN value END) AS lo,
+                       max(CASE WHEN pr >= 0.1 AND pr <= 0.9
+                                THEN value END) AS hi
+                FROM r GROUP BY event_type
+            )
+            SELECT r.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   any_value(b.lo) AS lo,
+                   any_value(b.hi) AS hi,
+                   round(CAST(sum(CAST(least(greatest(r.value, b.lo),
+                                             b.hi)
+                                       AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 6) AS winsorized_mean
+            FROM r JOIN b ON r.event_type = b.event_type
+            GROUP BY r.event_type ORDER BY r.event_type
         """,
         # Same per-column frequencies (NULL as a value), same
         # entropy/gini/top-share arithmetic.

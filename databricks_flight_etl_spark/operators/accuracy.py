@@ -22,7 +22,8 @@ __all__ = ["summary_stats", "histogram", "describe",
            "rank_normalize", "correlation_matrix",
            "ab_welch_t", "chi_square_independence", "spearman_corr",
            "grouped_outliers_iqr", "trailing_range_agg",
-           "psi_drift", "trimmed_mean_by_group", "group_linear_trend"]
+           "psi_drift", "trimmed_mean_by_group", "winsorized_mean_by_group",
+           "group_linear_trend"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -748,4 +749,66 @@ def group_linear_trend(
         "n",
         F.round(slope, decimals).alias("slope"),
         F.round(intercept, decimals).alias("intercept"),
+    )
+
+
+def winsorized_mean_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group WINSORIZED mean — the robust-center sibling of
+    :func:`trimmed_mean_by_group` that CLAMPS each tail to the trim
+    boundary value instead of dropping it (keeps n constant, still
+    caps outlier influence; the estimator behind 'cap revenue at the
+    99th percentile before averaging').
+
+    Boundaries are rank-based like the trimmed mean: the clamp values
+    are the min/max of the rows whose percent_rank lies inside
+    [trim, 1 − trim] — a deterministic function of the data that any
+    engine replays. Groups where no row survives the rank band (n ≤ 2)
+    report NULL bounds and fall back to the PLAIN mean (least/greatest
+    skip NULL bounds — identical in both engines, so the fallback is
+    part of the certified semantics).
+
+    Plan: one per-group window rank, one tiny per-group bounds
+    aggregate joined back on the group key (same partitioning), then
+    the clamped decimal-exact mean. Output: (group..., n, lo, hi,
+    winsorized_mean)."""
+    from pyspark.sql import Window
+
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__pr", F.percent_rank().over(w))
+    )
+    inside = (F.col("__pr") >= trim) & (F.col("__pr") <= 1.0 - trim)
+    bounds = (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.min(F.when(inside, F.col(value_col))).alias("lo"),
+            F.max(F.when(inside, F.col(value_col))).alias("hi"),
+        )
+    )
+    clamped = ranked.join(bounds, group_cols).withColumn(
+        "__cv",
+        F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        clamped.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            cnt.alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.round(
+                F.sum(F.col("__cv").cast("decimal(18,4)"))
+                .cast("double") / cnt,
+                decimals,
+            ).alias("winsorized_mean"),
+        )
     )

@@ -634,3 +634,29 @@ def test_concentration_profile(spark):
     assert prof["n_distinct"] == 2 and prof["top_share"] == 0.5
     # empty input: empty profile, no divide-by-zero
     assert concentration_profile(df.limit(0)).count() == 0
+
+
+def test_winsorized_mean_by_group(spark):
+    """Outlier is clamped, not dropped: n stays 20 and the center is
+    robust; degenerate 2-row groups yield NULL."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        winsorized_mean_by_group,
+    )
+
+    vals = list(range(1, 20)) + [100000]
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in vals]
+        + [("tiny", 1.0), ("tiny", 2.0)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in winsorized_mean_by_group(
+        df, ["g"], "v", trim=0.1).collect()}
+    a = got["a"]
+    assert a["n"] == 20                       # nothing dropped
+    assert a["lo"] == 3.0 and a["hi"] == 18.0
+    # clamped sum: (1,2)->3 twice + 3..18 + (19,100000)->18 twice
+    # = 6 + 168 + 36 = 210 -> mean 10.5
+    assert a["winsorized_mean"] == 10.5
+    t = got["tiny"]
+    # empty rank band: NULL bounds, plain-mean fallback
+    assert t["lo"] is None and t["winsorized_mean"] == 1.5
