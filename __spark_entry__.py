@@ -1350,6 +1350,19 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_sequence_gaps(spark, sf_dir):
+    """Dropped-message monitor: per-user event_id sequence coverage
+    with deterministic holes punched (every 7th id removed) — ONE
+    distinct-based hash aggregate, no spine join. Oracle replays the
+    same span arithmetic."""
+    from databricks_flight_etl_spark.operators.timeliness import (
+        sequence_gaps,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 7 != 0)
+    return sequence_gaps(ev, ["user_id"], "event_id").orderBy("user_id")
+
+
 def q_winsorized_mean(spark, sf_dir):
     """Winsorized per-type mean: tails CLAMPED to the 10%-rank
     boundary values (n stays constant, outliers capped). Oracle
@@ -4338,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linear_trend": q_linear_trend,
         "q_concentration": q_concentration,
         "q_winsorized_mean": q_winsorized_mean,
+        "q_sequence_gaps": q_sequence_gaps,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
@@ -5639,6 +5653,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n, CAST(rank AS INT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
+        """,
+        # Same distinct count, same span arithmetic.
+        "q_sequence_gaps": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   min(event_id) AS min_seq,
+                   max(event_id) AS max_seq,
+                   CAST(max(event_id) - min(event_id) + 1
+                        - count(DISTINCT event_id) AS BIGINT) AS n_missing
+            FROM events
+            WHERE event_id % 7 <> 0 AND event_id IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         # Same rank band, same min/max bounds, same clamp + decimal
         # mean.

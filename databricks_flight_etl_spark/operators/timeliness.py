@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["per_period_counts", "date_spine", "day_coverage", "missing_periods"]
+__all__ = ["per_period_counts", "date_spine", "day_coverage", "missing_periods", "sequence_gaps"]
 
 
 def per_period_counts(df: DataFrame, ts_col: str, period: str = "day") -> DataFrame:
@@ -67,3 +67,30 @@ def missing_periods(df: DataFrame, ts_col: str) -> DataFrame:
     ``.where(count == 0)``. (Observed on the 2008 flight slice: none,
     DBC[31].)"""
     return day_coverage(df, ts_col).where(F.col("n_events") == 0).select("day")
+
+
+def sequence_gaps(
+    df: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Per-key sequence completeness — the dropped-message monitor for
+    feeds with a monotonically assigned id: within each key, a dense
+    sequence should cover [min, max] exactly, so
+    ``n_missing = (max − min + 1) − n_distinct`` counts the holes
+    without ever materializing them (no spine join, no window — ONE
+    hash aggregate; the count is distinct-based so replayed/duplicated
+    messages don't mask real gaps). Output: (key..., n_distinct,
+    min_seq, max_seq, n_missing)."""
+    span = (
+        F.max(F.col(seq_col)) - F.min(F.col(seq_col)) + F.lit(1)
+    ).cast("long")
+    return (
+        df.where(F.col(seq_col).isNotNull())
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.count_distinct(F.col(seq_col)).alias("n_distinct"),
+            F.min(F.col(seq_col)).alias("min_seq"),
+            F.max(F.col(seq_col)).alias("max_seq"),
+            (span - F.count_distinct(F.col(seq_col)))
+            .alias("n_missing"),
+        )
+    )

@@ -660,3 +660,18 @@ def test_winsorized_mean_by_group(spark):
     t = got["tiny"]
     # empty rank band: NULL bounds, plain-mean fallback
     assert t["lo"] is None and t["winsorized_mean"] == 1.5
+
+
+def test_sequence_gaps(spark):
+    from databricks_flight_etl_spark.operators.timeliness import (
+        sequence_gaps,
+    )
+
+    rows = [(1, s) for s in (10, 11, 13, 15, 15)] + [(2, 7)]
+    df = spark.createDataFrame(rows, "k long, seq long")
+    got = {r["k"]: (r["n_distinct"], r["min_seq"], r["max_seq"],
+                    r["n_missing"])
+           for r in sequence_gaps(df, ["k"], "seq").collect()}
+    # key 1: span 10..15 = 6 slots, 4 distinct (dup 15 not double-
+    # counted) -> 2 missing (12, 14); key 2: single id, no gap
+    assert got == {1: (4, 10, 15, 2), 2: (1, 7, 7, 0)}
