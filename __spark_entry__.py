@@ -5689,7 +5689,7 @@ def oracle_sql() -> dict[str, str]:
                    any_value(b.hi) AS hi,
                    round(CAST(sum(CAST(least(greatest(r.value, b.lo),
                                              b.hi)
-                                       AS DECIMAL(18,4))) AS DOUBLE)
+                                       AS DECIMAL(38,4))) AS DOUBLE)
                          / count(*), 6) AS winsorized_mean
             FROM r JOIN b ON r.event_type = b.event_type
             GROUP BY r.event_type ORDER BY r.event_type
@@ -5751,7 +5751,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_kept,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                   round(CAST(sum(CAST(value AS DECIMAL(38,4)))
                               AS DOUBLE) / count(*), 6) AS trimmed_mean
             FROM r WHERE pr >= 0.1 AND pr <= 0.9
             GROUP BY event_type ORDER BY event_type

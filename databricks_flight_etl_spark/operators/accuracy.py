@@ -698,7 +698,7 @@ def trimmed_mean_by_group(
         .agg(
             cnt.alias("n_kept"),
             F.round(
-                F.sum(F.col(value_col).cast("decimal(18,4)"))
+                F.sum(F.col(value_col).cast("decimal(38,4)"))
                 .cast("double") / cnt,
                 decimals,
             ).alias("trimmed_mean"),
@@ -806,7 +806,7 @@ def winsorized_mean_by_group(
             F.first("lo").alias("lo"),
             F.first("hi").alias("hi"),
             F.round(
-                F.sum(F.col("__cv").cast("decimal(18,4)"))
+                F.sum(F.col("__cv").cast("decimal(38,4)"))
                 .cast("double") / cnt,
                 decimals,
             ).alias("winsorized_mean"),

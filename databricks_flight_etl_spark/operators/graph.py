@@ -171,34 +171,30 @@ def dedup_survivors_by(
 
     Plan: components as usual; scores attach to the O(clustered docs)
     member list (semi-pruned before the join — full corpus rows never
-    enter); the per-cluster argmax is one struct-max aggregate
-    max(struct(score, -id))-style with the tie encoded as a NEGATED id
-    inside the struct (struct max orders field-by-field); the final
-    drop-list anti-join is size-gated exactly like dedup_survivors.
+    enter); the per-cluster argmax is a row_number window over
+    (score desc, id asc) partitioned by component — type-agnostic
+    (string ids order fine; an earlier struct-max with a NEGATED id
+    silently nulled every non-numeric key), one shuffle on component,
+    and the window input is the small member list, never the corpus;
+    the final drop-list anti-join is size-gated exactly like
+    dedup_survivors.
     """
+    from pyspark.sql import Window
+
     cc = connected_components(pairs, src, dst)  # (node, component)
     members = cc.select(F.col("node").alias(id_col), "component")
     scored = members.join(
         df.select(F.col(id_col), F.col(score_col).alias("__score")),
         id_col,
     )
-    # argmax by (score asc→max, then SMALLEST id): negate the id so the
-    # struct max prefers the smaller id on score ties
-    best = (
-        scored.select(
-            "component",
-            F.struct(
-                F.col("__score").alias("s"),
-                (-F.col(id_col)).alias("neg_id"),
-            ).alias("__k"),
-        )
-        .groupBy("component")
-        .agg(F.max("__k").alias("__mk"))
-        .select((-F.col("__mk.neg_id")).alias("__keep"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
     )
-    drop = scored.join(
-        best, scored[id_col] == best["__keep"], "left_anti"
-    ).select(F.col(id_col))
+    drop = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col(id_col))
+    )
     if broadcast_max_rows and drop.count() <= broadcast_max_rows:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")

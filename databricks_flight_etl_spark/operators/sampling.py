@@ -283,7 +283,7 @@ def resample_to_target(
     for g, n in targets.items():
         if n < 0:
             raise ValueError(f"target for {g!r} must be >= 0, got {n}")
-    counts = df.groupBy(F.col(group_col)).agg(
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("__c")
     )
     # the per-group count table is two columns × |groups| rows — tiny
@@ -305,8 +305,15 @@ def resample_to_target(
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(key, salt), F.col(key)
     )
+    # eqNullSafe: rows whose group value is NULL must still match their
+    # count row (a plain equi-join drops them, breaking the documented
+    # "groups absent from targets pass through unchanged" contract)
     t = (
-        df.join(broadcast_counts, group_col)
+        df.join(
+            broadcast_counts,
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
+        .drop("__g")
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__tgt", tgt)
         # DIV: exact long division (a / b is DOUBLE division in Spark

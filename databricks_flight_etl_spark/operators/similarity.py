@@ -57,6 +57,19 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from the first NON-NULL vector (a null embedding
+    that happens to land first in partition order must not make the
+    operator treat the whole dataset as empty). Returns None only when
+    every row's vector is NULL (or df is empty)."""
+    first = (
+        df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
+    if first is None or first[0] is None:
+        return None
+    return len(first[0])
+
+
 def cosine_topk(
     df: DataFrame,
     probe_id: int,
@@ -156,14 +169,13 @@ def cosine_near_dup_pairs(
     )
     banded = False
     if block_col is None:
-        first = df.select(vec_col).first()
-        if first is None:  # empty corpus → empty result, not a crash
+        dim = _infer_dim(df, vec_col)
+        if dim is None:  # empty/all-null corpus → empty result, not a crash
             return v.select(
                 F.col(id_col).alias("id_a"),
                 F.col(id_col).alias("id_b"),
                 F.lit(0.0).alias("cosine"),
             ).limit(0)
-        dim = len(first[0])
         n_rows = df.count()  # one bounded count over the pruned scan
         r = max(8, min(20, math.ceil(math.log2(max(n_rows, 2) / 128.0))))
         q = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
@@ -805,11 +817,10 @@ def group_vector_mean(
     blowup (posexplode-before-groupBy would push dim·N rows through
     the exchange). The output explode happens after aggregation, on
     |groups| rows."""
-    first = df.select(vec_col).first()
-    if first is None:
+    dim = _infer_dim(df, vec_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], f"{group_col} string, idx int, mean double")
-    dim = len(first[0])
     v = _as_double(vec_col)
     agg = df.groupBy(group_col).agg(
         *[F.avg(v[i]).alias(f"m_{i}") for i in range(dim)]
@@ -849,12 +860,12 @@ def centroid_outlier_scores(
     (id, group, cos_centroid) — ranking/thresholding is the caller's
     policy.
     """
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
+    dim = _infer_dim(df, vec_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, {group_col} string, cos_centroid double"
         )
-    dim = len(first[0])
+    df = df.where(F.col(vec_col).isNotNull())
     v = _as_double(vec_col)
     cent = (
         df.groupBy(group_col)
@@ -915,12 +926,12 @@ def project_embeddings(
     adds inside whole-stage codegen — a narrow map, no shuffle, no
     Python. Output: (id, proj array<double>, rounded to ``decimals``).
     """
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
+    dim = _infer_dim(df, vec_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, proj array<double>"
         )
-    dim = len(first[0])
+    df = df.where(F.col(vec_col).isNotNull())
     signs = _jl_signs(dim, out_dim, seed)
     v = _as_double(vec_col)
     scale = 1.0 / math.sqrt(out_dim)
@@ -955,12 +966,12 @@ def project_embeddings_pandas(
     import pandas as pd
     from pyspark.sql import types as T
 
-    first = df.select(vec_col).first()
-    if first is None or first[0] is None:
+    dim = _infer_dim(df, vec_col)
+    if dim is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, proj array<double>"
         )
-    dim = len(first[0])
+    df = df.where(F.col(vec_col).isNotNull())
     S = np.asarray(_jl_signs(dim, out_dim, seed), dtype=np.float64).T
     S *= 1.0 / math.sqrt(out_dim)                 # dim × out_dim
     out_schema = T.StructType([

@@ -263,18 +263,45 @@ def write_bucketed(
     """
     if mode == "overwrite":
         spark = df.sparkSession
+        try:
+            meta = spark.catalog.getTable(table)
+            table_type = (meta.tableType or "").upper()
+        except Exception:
+            table_type = None  # no catalog entry
+        if table_type == "EXTERNAL":
+            # dropping an external table orphans data this writer does
+            # not own; deleting it would destroy someone else's files
+            raise ValueError(
+                f"write_bucketed(mode='overwrite') refuses to replace "
+                f"EXTERNAL table {table!r}; drop it explicitly first."
+            )
+        # MANAGED: DROP TABLE makes the catalog delete the data dir
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        # with the default in-memory catalog, a location written by a
-        # PREVIOUS session is orphaned (no catalog entry) and blocks
-        # saveAsTable with LOCATION_ALREADY_EXISTS — clear it
+        # With the default in-memory catalog, a location written by a
+        # PREVIOUS session is orphaned (no catalog entry survives the
+        # restart) and blocks saveAsTable with LOCATION_ALREADY_EXISTS.
+        # Clear ONLY the catalog's default managed location — derived
+        # db-aware ({wh}/{db}.db/{tbl} for qualified names) and verified
+        # to sit inside the warehouse dir — now that no entry references
+        # it (external tables at that path were rejected above).
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(p):
-            fs.delete(p, True)
+        parts = table.lower().split(".")
+        tbl = parts[-1]
+        db = parts[-2] if len(parts) >= 2 else (
+            spark.catalog.currentDatabase().lower()
+        )
+        loc = f"{wh}/{tbl}" if db == "default" else f"{wh}/{db}.db/{tbl}"
+        import os as _os
+        if _os.path.abspath(loc).startswith(
+            _os.path.abspath(wh) + _os.sep
+        ):
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(loc)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
     writer = df.write.mode(mode).format("parquet").bucketBy(
         n_buckets, *bucket_cols
     )

@@ -1819,3 +1819,87 @@ def test_project_embeddings_pandas_matches_expression(spark):
     for k in a:
         assert all(abs(x - y) < 2e-5 for x, y in zip(a[k], b[k]))
     assert project_embeddings_pandas(df.limit(0)).count() == 0
+
+
+def test_null_first_vector_does_not_empty_result(spark):
+    """ADVICE r3: dim inference must use the first NON-NULL vector — a
+    null embedding landing first in partition order silently emptied
+    centroid_outlier_scores / project_embeddings / the pandas twin."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        centroid_outlier_scores,
+        group_vector_mean,
+        project_embeddings,
+        project_embeddings_pandas,
+    )
+
+    rows = [(0, None, "a"), (1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b"),
+            (3, [1.0, 1.0], "a")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1)  # pin partition order: the NULL row is row 0
+    assert project_embeddings(df, out_dim=4).count() == 3
+    assert project_embeddings_pandas(df, out_dim=4).count() == 3
+    assert centroid_outlier_scores(df, "label").count() == 3
+    # group mean skips the NULL row rather than nulling the group
+    gm = {(r["label"], r["idx"]): r["mean"]
+          for r in group_vector_mean(df, "label").collect()}
+    assert gm[("a", 0)] == 1.0  # avg(1, 1) over the two non-null a-rows
+    # all-NULL corpus → empty result, not a crash
+    alln = df.where(F.col("vec_id") == 0)
+    assert project_embeddings(alln).count() == 0
+    assert centroid_outlier_scores(alln, "label").count() == 0
+
+
+def test_dedup_survivors_by_string_ids(spark):
+    """ADVICE r3: the old struct-max used -id (numeric-only); string ids
+    nulled __keep and dropped EVERY cluster member. Window row_number
+    works for any orderable id type."""
+    from databricks_flight_etl_spark.operators import graph
+
+    docs = spark.createDataFrame(
+        [("d0", 5.0), ("d1", 9.0), ("d2", 1.0), ("d3", 7.0)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2")], "id_a string, id_b string"
+    )
+    kept = sorted(r["doc_id"] for r in graph.dedup_survivors_by(
+        docs, pairs, "doc_id", "quality").collect())
+    assert kept == ["d1", "d3"]  # d1 wins its cluster; d3 unpaired
+
+
+def test_resample_to_target_null_group_passthrough(spark):
+    """ADVICE r3: NULL-group rows must pass through with copies=1 (the
+    plain equi-join dropped them)."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        resample_to_target,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)],
+        "k long, g string",
+    )
+    out = resample_to_target(df, "g", "k", {"a": 4})
+    by_g = {r["g"]: r["n"] for r in
+            out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert by_g == {"a": 4, None: 2}
+
+
+def test_trimmed_mean_wide_values(spark):
+    """ADVICE r3: values >= 1e14 nulled under decimal(18,4) while the
+    count still included the row — a silently biased mean."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        trimmed_mean_by_group,
+        winsorized_mean_by_group,
+    )
+
+    big = 2.0e14
+    df = spark.createDataFrame(
+        [("g", big), ("g", big), ("g", big), ("g", big)],
+        "grp string, value double",
+    )
+    t = trimmed_mean_by_group(df, ["grp"], "value", trim=0.0).collect()[0]
+    assert t["trimmed_mean"] == pytest.approx(big)
+    w = winsorized_mean_by_group(
+        df, ["grp"], "value", trim=0.1).collect()[0]
+    assert w["winsorized_mean"] == pytest.approx(big)

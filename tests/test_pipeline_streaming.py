@@ -319,6 +319,33 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_write_bucketed_overwrite_safety(spark, tmp_path):
+    """ADVICE r3: overwrite must not blindly delete {wh}/{table} — it
+    refuses EXTERNAL tables (whose data it does not own) and re-writes
+    managed tables idempotently."""
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    sources.write_bucketed(a, "bkt_safe", ["k"], n_buckets=2)
+    # overwrite of a managed table works and replaces the rows
+    b = spark.createDataFrame([(3, "z")], "k long, v string")
+    sources.write_bucketed(b, "bkt_safe", ["k"], n_buckets=2)
+    assert [r["k"] for r in spark.table("bkt_safe").collect()] == [3]
+    spark.sql("DROP TABLE IF EXISTS bkt_safe")
+
+    # EXTERNAL table at its own location: refuse, leave the data alone
+    ext_path = str(tmp_path / "ext_data")
+    a.write.parquet(ext_path)
+    spark.sql(
+        f"CREATE TABLE bkt_ext (k long, v string) USING parquet "
+        f"LOCATION '{ext_path}'"
+    )
+    try:
+        with pytest.raises(ValueError, match="EXTERNAL"):
+            sources.write_bucketed(b, "bkt_ext", ["k"], n_buckets=2)
+        assert spark.read.parquet(ext_path).count() == 2  # data intact
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_ext")
+
+
 def test_read_json_inference_nested(spark, tmp_path):
     """S4: JSON scan with schema inference, incl. the nested
     struct/array shape of the reference's metadata file."""
