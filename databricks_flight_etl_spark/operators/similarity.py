@@ -355,6 +355,102 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+# Arrow-vs-codegen crossover for nearest-list assignment: the
+# literal-fold expression compiles n_lists × dim constants into
+# whole-stage codegen — a ONE-TIME janino cost that dominates a
+# single-shot job well before row count matters (re-measured r4 at
+# sf0.1, dim=64: 16 lists = ~5.5 s cold compile vs ~0.6 s Arrow;
+# 8 lists compiles in <1 s and then beats Arrow on per-row cost).
+# Above the crossover the numpy matmul kernel is compile-free and
+# assignment-identical (pinned by test).
+_ASSIGN_ARROW_MIN_LISTS = 9
+
+
+def _assign_lists(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment, dispatched across the measured
+    Arrow/codegen crossover (see ``_ASSIGN_ARROW_MIN_LISTS``)."""
+    if len(centroids) >= _ASSIGN_ARROW_MIN_LISTS:
+        return ivf_assign_pandas(df, centroids, vec_col, out_col)
+    return ivf_assign(df, centroids, vec_col, out_col)
+
+
+def _ivf_fit(
+    pruned: DataFrame,
+    id_col: str,
+    n_lists: int,
+    iters: int,
+) -> list[list[float]]:
+    """Lloyd fit over an already-projected (``id_col``, __v) frame the
+    CALLER persists — every round re-executes the lineage down to the
+    cache, not to the source scan. Seeds: the ``n_lists`` vectors of
+    smallest xxhash64(id) (seeded 'random' sample without an RNG)."""
+    seeds = (
+        pruned.select(
+            "__v",
+            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "__v")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = [_unit(list(r["__v"])) for r in seeds]
+    dim = len(cents[0])
+    if iters <= 0:
+        return cents
+
+    import numpy as np
+    import pandas as pd
+
+    for _ in range(iters):
+        # fused assign + per-list partial sums in ONE compile-free Arrow
+        # pass: each batch yields at most n_lists partial rows
+        # (list, n, sum vector), so the driver combines
+        # O(partitions × n_lists) rows and NOTHING shuffles — the
+        # classic distributed-k-means step. (The previous shape — an
+        # assignment pass feeding a dim-wide avg hash agg — paid a
+        # janino compile of dim aggregate expressions per fit plus a
+        # shuffle per round.)
+        cmat = np.asarray(cents, dtype=np.float64).T  # (dim, n_lists)
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(
+                    pdf["__v"].map(
+                        lambda v: np.asarray(v, dtype=np.float64))
+                )
+                lists = (m @ cmat).argmax(axis=1)
+                out_l, out_n, out_s = [], [], []
+                for li in np.unique(lists):
+                    sel = m[lists == li]
+                    out_l.append(int(li))
+                    out_n.append(sel.shape[0])
+                    out_s.append(sel.sum(axis=0))
+                yield pd.DataFrame(
+                    {"l": out_l, "n": out_n, "s": out_s})
+
+        partials = pruned.mapInPandas(
+            kernel, "l int, n long, s array<double>"
+        ).collect()
+        sums = np.zeros((n_lists, dim))
+        counts = np.zeros(n_lists)
+        for r in partials:
+            sums[r["l"]] += np.asarray(r["s"])
+            counts[r["l"]] += r["n"]
+        # empty lists keep their previous centroid
+        cents = [
+            _unit(list(sums[i] / counts[i])) if counts[i] else cents[i]
+            for i in range(n_lists)
+        ]
+    return cents
+
+
 def ivf_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -365,54 +461,23 @@ def ivf_centroids(
     """Deterministic coarse quantizer: seed with the ``n_lists`` vectors
     of smallest xxhash64(id) (seeded 'random' sample without an RNG),
     then ``iters`` distributed Lloyd steps — assign (narrow map) +
-    per-list elementwise mean via posexplode/groupBy. Only the
+    per-list elementwise mean in one hash agg. Only the
     (n_lists × dim) centroid table ever reaches the driver."""
-    seeds = (
-        df.select(
-            _as_double(vec_col).alias("__v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h", "__v")
-        .limit(n_lists)
-        .collect()
+    pruned = spread(
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
     )
-    cents = [_unit(list(r["__v"])) for r in seeds]
-    dim = len(cents[0])
-    vecs = spread(df.select(_as_double(vec_col).alias("__v")))
     if iters > 0:
         # each Lloyd round collects a mean table, which re-executes the
         # whole lineage — pin the projected vectors once instead of
         # rescanning/recasting the source per round
         from pyspark import StorageLevel
 
-        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
-    for _ in range(iters):
-        # above ~8 lists the literal-fold expression's one-time janino
-        # compile (n_lists × dim literals, recompiled EVERY round since
-        # the centroid constants change) dominates the Lloyd step —
-        # measured 30 s vs 5 s on the sf0.1 bench at 20 lists; the
-        # Arrow argmax kernel is compile-free and assignment-identical
-        # (pinned by test)
-        if n_lists > 8:
-            assigned = ivf_assign_pandas(vecs, cents, "__v", "__list")
-        else:
-            assigned = vecs.withColumn(
-                "__list", _nearest_list(F.col("__v"), cents)
-            )
-        # per-list elementwise mean as ``dim`` scalar avg aggregates in
-        # ONE hash agg — no posexplode (dim× row blowup through the
-        # shuffle) and no collect_list/array_sort regroup
-        means = (
-            assigned.groupBy("__list")
-            .agg(*[F.avg(F.col("__v")[i]).alias(f"m_{i}") for i in range(dim)])
-            .collect()
-        )
-        by_list = {
-            r["__list"]: _unit([r[f"m_{i}"] for i in range(dim)]) for r in means
-        }
-        # empty lists keep their previous centroid
-        cents = [by_list.get(i, cents[i]) for i in range(n_lists)]
-    return cents
+        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _ivf_fit(pruned, id_col, n_lists, iters)
+    finally:
+        if iters > 0:
+            pruned.unpersist()
 
 
 def ivf_assign(
@@ -444,7 +509,14 @@ def ann_topk_ivf(
     Recall misses only when a true neighbor's list ranks below n_probe.
     (In production, centroids are trained once and the assignment is a
     stored partition column — per-query work is just the pruned scan.)"""
-    cents = ivf_centroids(df, id_col, vec_col, n_lists, iters)
+    from pyspark import StorageLevel
+
+    # prune to (id, vec) ONCE; the Lloyd rounds and the final index
+    # assignment all re-execute down to this cache, not the source scan
+    pruned = spread(
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = _ivf_fit(pruned, id_col, n_lists, iters)
     probe_row = (
         df.filter(F.col(id_col) == probe_id).select(_as_double(vec_col)).first()
     )
@@ -457,11 +529,7 @@ def ann_topk_ivf(
         key=lambda i: -sum(a * b for a, b in zip(pu, cents[i])),
     )
     lists = ranked[:n_probe]
-    # prune to (id, vec) and spread BEFORE the 16-dot assignment expr —
-    # in production the assignment is a stored partition column and this
-    # whole step is a pruned scan instead
-    pruned = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
-    assigned = ivf_assign(pruned, cents, "__v", "__list")
+    assigned = _assign_lists(pruned, cents, "__v", "__list")
     cand = assigned.filter(F.col("__list").isin(*lists)).select(
         F.col(id_col), F.col("__v")
     )
@@ -513,6 +581,45 @@ def ivf_assign_pandas(
     return df.mapInPandas(kernel, out_schema)
 
 
+def _probe_lists_pandas(
+    probes: DataFrame, centroids: list[list[float]], n_probe: int
+) -> DataFrame:
+    """Per-probe nearest-``n_probe`` inverted lists, exploded to
+    (probe_id, __pv, __list) rows: one numpy matmul + stable argsort
+    per Arrow batch. Stays distributed — a million-probe batch never
+    funnels through the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_lists)
+    out_schema = T.StructType([
+        probes.schema["probe_id"],
+        probes.schema["__pv"],
+        T.StructField("__list", T.IntegerType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(
+                pdf["__pv"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            # stable argsort of −dot: ties keep the LOWER list index,
+            # bit-matching the (negdot, idx) struct sort it replaced
+            order = np.argsort(-(m @ cmat), axis=1, kind="stable")
+            top = order[:, :n_probe].astype("int32")
+            k = top.shape[1]
+            yield pd.DataFrame({
+                "probe_id": pdf["probe_id"].repeat(k).values,
+                "__pv": pdf["__pv"].repeat(k).values,
+                "__list": top.reshape(-1),
+            })
+
+    return probes.mapInPandas(kernel, out_schema)
+
+
 def ann_topk_ivf_batch(
     df: DataFrame,
     probe_ids: list[int],
@@ -537,11 +644,19 @@ def ann_topk_ivf_batch(
     the corpus stored partitioned by list_id, that is a partition-
     prunable scan of the union of the probes' lists.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    cents = ivf_centroids(df, id_col, vec_col, n_lists, iters)
-    pruned = spread(df.select(F.col(id_col), _as_double(vec_col).alias("__v")))
-    assigned = ivf_assign(pruned, cents, "__v", "__list")
+    # one pruned (id, vec) cache feeds BOTH the Lloyd rounds and the
+    # final index assignment; the assignment itself dispatches across
+    # the Arrow/codegen crossover (re-assigning with the literal-fold
+    # expression at 16 lists paid a ~5 s one-time janino compile — the
+    # r3 bench regression)
+    pruned = spread(
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = _ivf_fit(pruned, id_col, n_lists, iters)
+    assigned = _assign_lists(pruned, cents, "__v", "__list")
 
     # probes come from the RAW df, not the spread corpus: the isin
     # filter pushes to the scan, instead of paying the corpus-wide
@@ -549,27 +664,13 @@ def ann_topk_ivf_batch(
     probes = df.filter(F.col(id_col).isin(*probe_ids)).select(
         F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("__pv")
     )
-    # rank centroids per probe: sort (−dot, idx) structs ascending —
-    # centroids are unit vectors, so argmax dot == argmax cosine
-    ranked = F.transform(
-        F.slice(
-            F.array_sort(
-                F.array(*[
-                    F.struct(
-                        (-dot(F.col("__pv"), _lit_vec(c))).alias("negdot"),
-                        F.lit(i).alias("idx"),
-                    )
-                    for i, c in enumerate(cents)
-                ])
-            ),
-            1,
-            n_probe,
-        ),
-        lambda s: s["idx"],
-    )
-    probe_lists = probes.select(
-        "probe_id", "__pv", F.explode(ranked).alias("__list")
-    )
+    # rank centroids per probe engine-side with a compile-free Arrow
+    # kernel: one (batch × dim) @ (dim × n_lists) matmul, stable
+    # argsort of −dot (ties → lower list index, matching the struct
+    # array_sort this replaced — whose n_lists × dim literal expression
+    # paid a multi-second one-time janino compile). Centroids are unit
+    # vectors, so argmax dot == argmax cosine.
+    probe_lists = _probe_lists_pandas(probes, cents, n_probe)
     cands = assigned.join(F.broadcast(probe_lists), "__list")
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("__cos"), F.asc(id_col)
@@ -791,15 +892,18 @@ def semantic_dedup(
         n_lists = max(
             1, min(4096, n, max(16, -(-n // target_cluster_rows)))
         )
-    cents = ivf_centroids(df, id_col, vec_col, n_lists=n_lists,
-                          iters=iters)
-    if n_lists > 8:
-        assigned = ivf_assign_pandas(df, cents, vec_col,
-                                     out_col="__list")
-    else:
-        assigned = ivf_assign(df, cents, vec_col, out_col="__list")
+    from pyspark import StorageLevel
+
+    # prune to (id, vec) before clustering: the full-width rows never
+    # enter the Lloyd rounds, the assignment Arrow transfer, or the
+    # within-cluster pair join — only the final anti-join sees them
+    pruned = spread(
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cents = _ivf_fit(pruned, id_col, n_lists=n_lists, iters=iters)
+    assigned = _assign_lists(pruned, cents, "__v", "__list")
     pairs = cosine_near_dup_pairs(
-        assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        assigned, threshold=threshold, id_col=id_col, vec_col="__v",
         block_col="__list",
     )
     return dedup_survivors(df, pairs, id_col)
