@@ -731,9 +731,9 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_minhash_certified(spark, sf_dir):
     """X1 MinHash+LSH with the ENGINE-PORTABLE md5 hash family: every
-    stage — shingle base hash, affine permutations (64-bit signed
-    wrap), band buckets, candidate join, exact-Jaccard verify — is
-    reproduced bit-for-bit by the DuckDB oracle. The xxhash64 default
+    stage — shingle base hash, mod-p affine permutations (ANSI-safe,
+    p = 2^31-1), band buckets, candidate join, exact-Jaccard verify —
+    is reproduced bit-for-bit by the DuckDB oracle. The xxhash64 default
     (q_minhash_pairs) stays rows-only for throughput; this
     configuration certifies the ALGORITHM."""
     return minhash_dedup_pairs(
@@ -4463,15 +4463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_perm_values() -> str:
-    """The (j, a, b) affine-permutation constants as SQL VALUES rows —
-    the SAME splitmix64 derivation the Spark operator uses, so the
-    oracle replays the identical permutation family."""
-    from databricks_flight_etl_spark.operators.dedup import _splitmix64
+    """The (j, a, b) mod-p affine-permutation constants as SQL VALUES
+    rows — the SAME derivation the Spark operator uses
+    (dedup._perm_coeffs), so the oracle replays the identical
+    permutation family."""
+    from databricks_flight_etl_spark.operators.dedup import _perm_coeffs
 
     rows = []
     for j in range(32):
-        a = _splitmix64(2 * j) | 1
-        b = _splitmix64(2 * j + 1)
+        a, b = _perm_coeffs(j)
         rows.append(f"({j}, {a}, {b})")
     return ", ".join(rows)
 
@@ -4952,15 +4952,10 @@ def oracle_sql() -> dict[str, str]:
             perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
             sig AS (
                 SELECT doc_id, j,
-                       min(CAST(CASE WHEN u >= 9223372036854775808
-                                THEN u - 18446744073709551616 ELSE u END
-                           AS BIGINT)) AS mh
-                FROM (
-                    SELECT doc_id, j,
-                           (CAST(a AS HUGEINT) * h + b)
-                               % 18446744073709551616 AS u
-                    FROM bh, perms
-                )
+                       min((a * (((h % 2147483647) + 2147483647)
+                                 % 2147483647) + b)
+                           % 2147483647) AS mh
+                FROM bh, perms
                 GROUP BY 1, 2
             ),
             band AS (
@@ -5009,15 +5004,10 @@ def oracle_sql() -> dict[str, str]:
             perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
             sig AS (
                 SELECT doc_id, j,
-                       min(CAST(CASE WHEN u >= 9223372036854775808
-                                THEN u - 18446744073709551616 ELSE u END
-                           AS BIGINT)) AS mh
-                FROM (
-                    SELECT doc_id, j,
-                           (CAST(a AS HUGEINT) * h + b)
-                               % 18446744073709551616 AS u
-                    FROM bh, perms
-                )
+                       min((a * (((h % 2147483647) + 2147483647)
+                                 % 2147483647) + b)
+                           % 2147483647) AS mh
+                FROM bh, perms
                 GROUP BY 1, 2
             ),
             band AS (
@@ -5084,15 +5074,10 @@ def oracle_sql() -> dict[str, str]:
             perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
             sig AS (
                 SELECT doc_id, j,
-                       min(CAST(CASE WHEN u >= 9223372036854775808
-                                THEN u - 18446744073709551616 ELSE u END
-                           AS BIGINT)) AS mh
-                FROM (
-                    SELECT doc_id, j,
-                           (CAST(a AS HUGEINT) * h + b)
-                               % 18446744073709551616 AS u
-                    FROM bh, perms
-                )
+                       min((a * (((h % 2147483647) + 2147483647)
+                                 % 2147483647) + b)
+                           % 2147483647) AS mh
+                FROM bh, perms
                 GROUP BY 1, 2
             ),
             band AS (
@@ -6922,15 +6907,10 @@ def oracle_sql() -> dict[str, str]:
             perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
             sig AS (
                 SELECT doc_id, j,
-                       min(CAST(CASE WHEN u >= 9223372036854775808
-                                THEN u - 18446744073709551616 ELSE u END
-                           AS BIGINT)) AS mh
-                FROM (
-                    SELECT doc_id, j,
-                           (CAST(a AS HUGEINT) * h + b)
-                               % 18446744073709551616 AS u
-                    FROM bhh, perms
-                )
+                       min((a * (((h % 2147483647) + 2147483647)
+                                 % 2147483647) + b)
+                           % 2147483647) AS mh
+                FROM bhh, perms
                 GROUP BY 1, 2
             ),
             band AS (

