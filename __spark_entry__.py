@@ -2172,6 +2172,93 @@ def q_grouped_quantiles(spark, sf_dir):
     )
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle census over the part co-purchase graph (parts
+    meeting in the same order, qty ≥ 26 to keep density honest).
+    DEGREE-ORDERED wedge counting — the apex join is bounded by Σ
+    outdeg² ≤ m^1.5 regardless of hub skew, the property that keeps
+    this runnable at 100 TB where id-ordered wedges explode on
+    celebrity nodes. Per-node counts are orientation-invariant, so the
+    id-ordered DuckDB 3-way self-join replays them exactly."""
+    from databricks_flight_etl_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 26)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(pairs).orderBy("node")
+
+
+def q_quantile_sketch_exact(spark, sf_dir):
+    """X8 MRL quantile sketch in its EXACT degenerate configuration:
+    k ≥ n means no collapse ever fires, every item sits at level 0
+    with weight 1, and the weighted type-1 readout IS q_quantiles_exact
+    — the SAME DuckDB oracle replays it bit-for-bit. Certifies the
+    sketch build → merge → readout plumbing; the production config
+    (q_quantile_sketch) only changes k."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_quantiles, mrl_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = 1_000_000
+    sk = mrl_merge(mrl_sketch(ev, "value", k=k), k=k)
+    return mrl_quantiles(
+        sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def q_quantile_sketch_merge(spark, sf_dir):
+    """X8 MRL MERGE IDENTITY, oracle-certified: sketch the even- and
+    odd-keyed halves of events separately, pool the sketch rows, merge,
+    read out — in the exact (k ≥ n) config the result must equal the
+    whole-corpus exact quantiles, so the same oracle certifies that
+    per-shard sketches roll up losslessly (the property that makes the
+    sketch usable for per-day/per-partition rollup at 100 TB)."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_quantiles, mrl_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = 1_000_000
+    a = mrl_sketch(ev.where(F.col("event_id") % 2 == 0), "value", k=k)
+    b = mrl_sketch(ev.where(F.col("event_id") % 2 == 1), "value", k=k)
+    return mrl_quantiles(
+        mrl_merge(a.unionByName(b), k=k),
+        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """X8 MRL quantile sketch, PRODUCTION configuration (k=256,
+    deterministic collapse): O(k log n) rows summarize any input size
+    and same-level sketches merge losslessly. Approximate by
+    construction → rows-only; the algorithm is certified by
+    q_quantile_sketch_exact / _merge, and the rank-error bound is
+    pinned by unit test (test_mrl_merge_identity_and_size_bound)."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_quantiles, mrl_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = mrl_merge(mrl_sketch(ev, "value", k=256), k=256)
+    return mrl_quantiles(
+        sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def q_orc_roundtrip(spark, sf_dir):
     """ORC sink + scan roundtrip (columnar alternative to S6/S7):
     write the documents projection to a temp ORC dataset, read it back,
@@ -2211,6 +2298,25 @@ def q_semantic_dedup_exact(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
         emb, threshold=0.35, n_lists=1, iters=0
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+def q_semantic_dedup_2level(spark, sf_dir):
+    """X2/X10 hierarchical (two-level shared-residual-codebook) IVF
+    SemDeDup in its EXACT degenerate configuration: n_super=1, n_sub=1
+    makes the composite cell global, so the pair set is brute force
+    and the SAME funnel oracle as q_semantic_dedup_exact replays it —
+    certifying the two-level plumbing end-to-end. The >4096-cell
+    production regime only changes n_super/n_sub (scale-probe entry
+    semdedup_2level; degenerate-equals-flat pinned by unit test)."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        semantic_dedup_two_level,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup_two_level(
+        emb, threshold=0.35, n_super=1, n_sub=1, iters=0
     )
     return out.select("vec_id", "label").orderBy("vec_id")
 
@@ -2431,6 +2537,7 @@ def q_textprep_full_certified(spark, sf_dir):
         near_dup_threshold=0.8,
         shingle_k=7,
         hash_family="md5",
+        bands=4,  # pinned: the oracle SQL replays j // 8 banding
     )
     return (
         rep.chunks.groupBy("doc_id")
@@ -4386,8 +4493,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_hll": q_streaming_hll,
         "q_heavy_hitters": q_heavy_hitters,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_quantile_sketch_exact": q_quantile_sketch_exact,
+        "q_quantile_sketch_merge": q_quantile_sketch_merge,
+        "q_quantile_sketch": q_quantile_sketch,
+        "q_triangle_counts": q_triangle_counts,
         "q_orc_roundtrip": q_orc_roundtrip,
         "q_semantic_dedup_exact": q_semantic_dedup_exact,
+        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         "q_semantic_dedup": q_semantic_dedup,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
@@ -4505,7 +4617,7 @@ def _jl_project_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     en_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return {
+    d = {
         "q_scan_project": """
             SELECT l_orderkey, l_linenumber, l_extendedprice,
                    strftime(l_shipdate, '%Y-%m-%d') AS ship_day
@@ -8419,3 +8531,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bucket_us
         """,
     }
+    # the two-level degenerate replays the same brute-force funnel
+    d["q_semantic_dedup_2level"] = d["q_semantic_dedup_exact"]
+    # k >= n MRL sketches read out exactly type-1 quantiles, split or
+    # whole — both replay the q_quantiles_exact oracle
+    d["q_quantile_sketch_exact"] = d["q_quantiles_exact"]
+    d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
+    # per-node triangle counts are orientation-invariant: the oracle
+    # counts each triangle once via the id-ordered 3-way self-join
+    d["q_triangle_counts"] = """
+        WITH li AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= 26
+        ),
+        e AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM li x JOIN li y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey
+        ),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        )
+        GROUP BY node ORDER BY node
+    """
+    return d

@@ -407,6 +407,27 @@ def minhash_probe(
     )
 
 
+def auto_bands(num_perm: int, threshold: float) -> int:
+    """Band count whose S-curve midpoint (1/b)^(b/num_perm) sits at or
+    below ``threshold`` — the fewest bands that still catch threshold-
+    level pairs reliably. The banding trade: a pair at Jaccard j
+    collides with probability 1−(1−j^r)^b (r = num_perm/b); a FIXED
+    bands=4 with num_perm=32 puts the 50% point at j≈0.84, so hunting
+    0.6-similarity dups there misses ~17% of them per hash-family seed
+    (a recall hole that only shows up when the family changes — the
+    mod-p migration exposed exactly this in the threshold-0.6
+    pipeline test). Fewest-bands-that-qualify, not most: every extra
+    band multiplies candidate volume on high-background-similarity
+    corpora."""
+    b = 2
+    while b <= num_perm:
+        r = num_perm // b
+        if (1.0 / b) ** (1.0 / r) <= threshold:
+            return b
+        b *= 2
+    return num_perm
+
+
 def minhash_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
@@ -495,12 +516,18 @@ def _jaccard_verified(
 
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    threshold: float = 0.8, num_perm: int = 32, bands: int = 4,
+    threshold: float = 0.8, num_perm: int = 32,
+    bands: int | None = 4,
     shingle_k: int = 5, persist: bool = True,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
     threshold. Output (id_a, id_b, jaccard), id_a < id_b.
+
+    ``bands=None`` derives the band count from ``threshold`` via
+    :func:`auto_bands` (recall-safe for any threshold); the explicit
+    default stays 4 so oracle-certified configurations — whose SQL
+    replays a pinned band shape — are unaffected.
 
     ``persist`` pins the multiply-referenced intermediates (banded
     signatures, candidate pairs, verify shingles) so each is computed
@@ -509,6 +536,8 @@ def minhash_dedup_pairs(
     ``hash_family='md5'`` makes every stage engine-portable (see
     ``_base_hash``) at ~md5-vs-xxhash64 cost — the certification
     configuration; keep the default for production throughput."""
+    if bands is None:
+        bands = auto_bands(num_perm, threshold)
     cands = _pin(
         minhash_candidate_pairs(
             df, text_col, id_col, num_perm, bands, shingle_k, persist,

@@ -372,3 +372,94 @@ def pagerank(
     if decimals is not None:
         ranks = ranks.select("node", F.round("rank", decimals).alias("rank"))
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts (node, n_triangles) over the UNDIRECTED
+    simple graph of ``edges`` (direction, duplicates, self-loops
+    ignored), plus the classic scale trick that makes it survive skew:
+    DEGREE-ORDERED orientation (Chiba-Nishizeki / Suri-Vassilvitskii
+    MR'11). Each undirected edge is directed from its lower-(degree,
+    node) endpoint to the higher one; the resulting DAG gives every
+    triangle EXACTLY one 'apex' with two out-edges, and max out-degree
+    is O(√m) no matter how skewed the raw degrees — so the wedge join
+    (the quadratic step) is bounded by Σ outdeg² ≤ m^1.5 instead of a
+    hub's degree² (a celebrity node with 10⁶ followers contributes 10¹²
+    wedges under id-ordering, ~m under degree-ordering).
+
+    Plan: canonical-edge distinct → degree agg → two broadcast-eligible
+    joins to attach (deg, node) ranks → wedge self-join on the apex →
+    closing-edge semi join (equi on both endpoints) → explode the 3
+    corners → count per node. Per-node counts are orientation-
+    invariant, so an id-ordered SQL oracle replays them exactly."""
+    a, b = "__a", "__b"
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias(a),
+            F.greatest(F.col(src), F.col(dst)).alias(b),
+        )
+        .where(F.col(a) != F.col(b))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col(a).alias("node"))
+        .unionAll(e.select(F.col(b).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # rank = (degree, node): a total order; orient low -> high. The
+    # head's rank rides along so the wedge dedup below can order the
+    # two far endpoints by RANK — every oriented edge, including the
+    # triangle's closing one, runs rank-low -> rank-high, so a wedge
+    # ordered by id instead would sometimes look for the closing edge
+    # in the direction that doesn't exist.
+    ra = deg.select(
+        F.col("node").alias(a),
+        F.struct(F.col("__deg"), F.col("node")).alias("__ra"),
+    )
+    rb = deg.select(
+        F.col("node").alias(b),
+        F.struct(F.col("__deg"), F.col("node")).alias("__rb"),
+    )
+    keyed = e.join(ra, a).join(rb, b)
+    lo_first = F.col("__ra") < F.col("__rb")
+    o = keyed.select(
+        F.when(lo_first, F.col(a)).otherwise(F.col(b)).alias("u"),
+        F.when(lo_first, F.col(b)).otherwise(F.col(a)).alias("v"),
+        F.when(lo_first, F.col("__rb")).otherwise(F.col("__ra"))
+        .alias("rv"),
+    ).localCheckpoint(eager=True)  # re-read 3x below; cut the lineage
+    e1 = o.select("u", F.col("v").alias("w1"), F.col("rv").alias("r1"))
+    e2 = o.select("u", F.col("v").alias("w2"), F.col("rv").alias("r2"))
+    # wedges at the apex u, far endpoints ordered by rank; the closing
+    # oriented edge is then exactly (w1 -> w2)
+    wedges = e1.join(e2, "u").where(F.col("r1") < F.col("r2"))
+    closed = wedges.join(
+        o.select(F.col("u").alias("w1"), F.col("v").alias("w2")),
+        ["w1", "w2"],
+        "inner",
+    ).select("u", "w1", "w2")
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionAll(closed.select(F.col("w1").alias("node")))
+        .unionAll(closed.select(F.col("w2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def triangle_total(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count (one row: n_triangles) — Σ per-node / 3."""
+    per = triangle_counts(edges, src, dst)
+    return per.agg(
+        F.coalesce(
+            (F.sum("n_triangles") / 3).cast("long"), F.lit(0)
+        ).alias("n_triangles")
+    )

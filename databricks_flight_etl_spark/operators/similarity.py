@@ -135,9 +135,20 @@ def cosine_near_dup_pairs(
     block_col: str | None = None,
     decimals: int = 6,
     persist: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cosine) with
     cosine ≥ threshold and id_a < id_b.
+
+    ``salt > 1`` splits each block's quadratic pair work across
+    ``salt`` reducers: side A keys by (block, xxhash64(id) % salt),
+    side B replicates ``salt``× so every pair still meets exactly
+    once. Per-pair arithmetic is unchanged (oracle-stable). Use when
+    blocks are FEW and large — the n_lists=1 certification config
+    previously funneled all N²/2 pairs through ONE task (15.6 s at
+    sf0.1). Production banded/corpus-scaled configs have many small
+    blocks and want salt=1 (replication would just multiply shuffle
+    volume).
 
     Candidate generation is a self-equi-join on ``block_col`` (a label,
     shard, or precomputed LSH bucket — see ``hyperplane_bucket``), never
@@ -208,9 +219,22 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"), "__blk",
     )
+    join_keys = ["__blk"]
+    if salt > 1:
+        a = a.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col("id_a").cast("string")), F.lit(salt)
+            ).cast("int"),
+        )
+        b = b.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+        )
+        join_keys = ["__blk", "__salt"]
     cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     out = (
-        a.join(b, "__blk")
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("__cos"))
         .where(F.col("__cos") >= threshold)
@@ -443,9 +467,11 @@ def _ivf_fit(
         for r in partials:
             sums[r["l"]] += np.asarray(r["s"])
             counts[r["l"]] += r["n"]
-        # empty lists keep their previous centroid
+        # empty lists keep their previous centroid; plain Python floats
+        # (np.float64 elements poison later createDataFrame calls)
         cents = [
-            _unit(list(sums[i] / counts[i])) if counts[i] else cents[i]
+            _unit([float(x) for x in sums[i] / counts[i]])
+            if counts[i] else cents[i]
             for i in range(n_lists)
         ]
     return cents
@@ -902,9 +928,111 @@ def semantic_dedup(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = _ivf_fit(pruned, id_col, n_lists=n_lists, iters=iters)
     assigned = _assign_lists(pruned, cents, "__v", "__list")
+    # fewer blocks than cores (the n_lists=1 certification config in
+    # the limit) → salt the pair join so the quadratic work spreads;
+    # corpus-scaled configs have n_lists ≫ cores and keep salt=1
+    par = df.sparkSession.sparkContext.defaultParallelism
     pairs = cosine_near_dup_pairs(
         assigned, threshold=threshold, id_col=id_col, vec_col="__v",
         block_col="__list",
+        salt=max(1, min(32, -(-par // n_lists))),
+    )
+    return dedup_survivors(df, pairs, id_col)
+
+
+def ivf_assign_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_super: int = 64,
+    n_sub: int = 64,
+    iters: int = 2,
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Hierarchical coarse quantization — the scale path past the flat
+    4096-list cap (at 10⁹+ rows a flat codebook either blows the
+    driver's centroid table or leaves clusters quadratic-sized).
+    Two-level residual scheme (the FAISS IVF-with-shared-residual-
+    codebook shape): level 1 fits ``n_super`` centroids on the
+    vectors; level 2 fits ONE SHARED codebook of ``n_sub`` centroids
+    on the residuals v − c_super(v) across all super-lists. Composite
+    ``out_col`` = super·n_sub + sub gives up to n_super × n_sub cells
+    (4096² ≈ 16.7 M) from two driver-sized fits — no per-super loop,
+    no >4096-wide codebook ever materializes.
+
+    Degenerate certification: ``n_sub=1`` skips the residual level and
+    is BIT-IDENTICAL to flat ``ivf_assign`` at n_lists=n_super (pinned
+    by test); n_super=1, n_sub=1 degrades to brute force, which the
+    exact-oracle query certifies end-to-end.
+
+    Output: ``df``'s columns plus ``out_col`` (long)."""
+    from pyspark import StorageLevel
+
+    pruned = spread(
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    super_cents = _ivf_fit(pruned, id_col, n_super, iters)
+    assigned = _assign_lists(pruned, super_cents, "__v", "__super")
+    if n_sub <= 1:
+        out = assigned.select(
+            F.col(id_col),
+            F.col("__super").cast("long").alias(out_col),
+        )
+    else:
+        spark = df.sparkSession
+        cent_rows = [(i, c) for i, c in enumerate(super_cents)]
+        cent_df = spark.createDataFrame(
+            cent_rows, "__super int, __cent array<double>"
+        )
+        # residual = v − c_super(v): broadcast the n_super-row centroid
+        # table; the corpus never shuffles
+        resid = assigned.join(F.broadcast(cent_df), "__super").select(
+            F.col(id_col),
+            F.col("__super"),
+            F.zip_with(
+                "__v", "__cent", lambda a, b: a - b
+            ).alias("__v2"),
+        )
+        resid = resid.select(
+            id_col, "__super", F.col("__v2").alias("__v")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sub_cents = _ivf_fit(resid, id_col, n_sub, iters)
+        final = _assign_lists(resid, sub_cents, "__v", "__sub")
+        out = final.select(
+            F.col(id_col),
+            (
+                F.col("__super").cast("long") * F.lit(n_sub)
+                + F.col("__sub")
+            ).alias(out_col),
+        )
+    return df.join(out, id_col)
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_super: int = 64,
+    n_sub: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """:func:`semantic_dedup` with :func:`ivf_assign_two_level`
+    clustering — the >4096-cell regime. Same contract: surviving rows
+    of ``df``, min-id member per near-dup component kept. Cross-cell
+    near-dups are missed by construction (the SemDeDup trade, now per
+    composite cell)."""
+    from .graph import dedup_survivors
+
+    assigned = ivf_assign_two_level(
+        df.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, n_super, n_sub, iters, out_col="__list",
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = cosine_near_dup_pairs(
+        assigned, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="__list",
+        salt=max(1, min(32, -(-par // (n_super * n_sub)))),
     )
     return dedup_survivors(df, pairs, id_col)
 

@@ -30,6 +30,7 @@ __all__ = [
     "heavy_hitters",
     "hll_build_grouped", "hll_estimate_grouped",
     "cms_inner_product",
+    "mrl_sketch", "mrl_merge", "mrl_quantiles",
 ]
 
 
@@ -435,4 +436,166 @@ def cms_inner_product(
     )
     return per_row.agg(
         F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("est_join_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRL quantile sketch (Manku-Rajagopalan-Lindsay, SIGMOD'98/'99 shape,
+# deterministic collapse): the MERGEABLE quantile summary that completes
+# the sketch family (HLL = distinct, CMS = frequency, bloom = membership,
+# this = rank). A buffer holds ≤ k sorted values of weight 2^level; two
+# full same-level buffers COLLAPSE by merge-sorting their 2k items and
+# keeping alternating ones (offset alternates per collapse — the
+# deterministic variant: rerun-stable, no RNG), producing one level+1
+# buffer. Sketch size is O(k·log(n/k)) regardless of input size; two
+# sketches merge by pooling same-level items and re-collapsing — so
+# per-partition/per-day sketches roll up without re-reading data.
+#
+# Certification pattern (mirrors hll/cms): with k ≥ n no collapse ever
+# fires, every item sits at level 0 with weight 1, and the weighted
+# type-1 rank readout is EXACTLY quantiles_exact's formula — the
+# degenerate config replays the same DuckDB oracle bit-for-bit (and the
+# split→merge→read path certifies merge identity the same way).
+# Production k (256) is approximate by construction: rows-only, with a
+# rank-error bound pinned by unit test.
+
+def _mrl_partition_rows(values, k: int):
+    """Deterministic MRL state for one partition's values (arrival
+    order), returned as (level, value, weight) tuples."""
+    import numpy as np
+
+    levels: dict[int, list] = {}
+    n_collapses: dict[int, int] = {}
+
+    def insert(buf, lvl):
+        while True:
+            bufs = levels.setdefault(lvl, [])
+            if len(buf) == k and bufs and len(bufs[-1]) == k:
+                other = bufs.pop()
+                merged = np.sort(np.concatenate([other, buf]))
+                off = n_collapses.get(lvl, 0) % 2
+                n_collapses[lvl] = n_collapses.get(lvl, 0) + 1
+                buf = merged[off::2]
+                lvl += 1
+            else:
+                bufs.append(buf)
+                return
+
+    for i in range(0, len(values), k):
+        insert(np.sort(values[i:i + k]), 0)
+    return [
+        (lvl, float(v), 1 << lvl)
+        for lvl, bufs in levels.items()
+        for b in bufs
+        for v in b
+    ]
+
+
+def mrl_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One MRL sketch per PARTITION of ``df`` (rows pooled into a single
+    logical sketch: same-level items from different partitions are just
+    more buffers). Output rows (level int, value double, weight long);
+    nulls are excluded (matching quantiles_exact). One narrow
+    mapInPandas pass — nothing shuffles; feed through :func:`mrl_merge`
+    to bound the total size before storing."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(col).cast("double").alias("__x")).where(
+        F.col("__x").isNotNull()
+    )
+    schema = "level int, value double, weight long"
+
+    def kernel(batches):
+        pend: list = []
+        for pdf in batches:
+            pend.append(pdf["__x"].to_numpy())
+        vals = (
+            np.concatenate(pend) if pend else np.array([], dtype="float64")
+        )
+        rows = _mrl_partition_rows(vals, k)
+        if rows:
+            yield pd.DataFrame(rows, columns=["level", "value", "weight"])
+
+    return src.mapInPandas(kernel, schema)
+
+
+def mrl_merge(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Re-compact pooled sketch rows (a union of :func:`mrl_sketch`
+    outputs) into one bounded sketch: per level ascending, sort the
+    pooled items and collapse 2k-item blocks upward until fewer than 2k
+    remain. Runs as ONE task over O(k·log n · n_partitions) sketch rows
+    — bounded input by construction (the corpus never enters), the same
+    driver-sized footprint as hll_merge's register table."""
+    import numpy as np
+    import pandas as pd
+
+    schema = "level int, value double, weight long"
+
+    def merge_fn(_key, pdf):
+        by_level: dict[int, list] = {}
+        for lvl, grp in pdf.groupby("level"):
+            by_level[int(lvl)] = [grp["value"].to_numpy()]
+        out: list = []
+        promote = np.array([], dtype="float64")
+        lvl = 0
+        max_lvl = max(by_level) if by_level else 0
+        n_coll = 0
+        while lvl <= max_lvl or len(promote):
+            items = np.sort(
+                np.concatenate(by_level.get(lvl, []) + [promote])
+            )
+            promote = np.array([], dtype="float64")
+            while len(items) >= 2 * k:
+                block, items = items[: 2 * k], items[2 * k:]
+                off = n_coll % 2
+                n_coll += 1
+                promote = np.concatenate([promote, block[off::2]])
+            out.extend((lvl, float(v), 1 << lvl) for v in items)
+            lvl += 1
+        return pd.DataFrame(out, columns=["level", "value", "weight"])
+
+    return (
+        sketch.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(merge_fn, schema)
+    )
+
+
+def mrl_quantiles(
+    sketch: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Type-1 quantile readout from sketch rows: weighted value
+    histogram → cumulative weight → first value whose cum ≥
+    floor(q·(n−1))+1 — the IDENTICAL rank formula as quantiles_exact,
+    over weights instead of row counts (so the k ≥ n degenerate is
+    bit-equal to the exact operator). Output (q, value), ordered."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    hist = sketch.groupBy("value").agg(F.sum("weight").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "value",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    targets = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                (F.floor(F.lit(q) * (F.col("n") - 1)) + 1).alias("rank"),
+            )
+            for q in qs
+        ])
+    ).alias("t")
+    return (
+        cum.select("value", "cum", targets)
+        .where(F.col("cum") >= F.col("t.rank"))
+        .groupBy(F.col("t.q").alias("q"))
+        .agg(F.min("value").alias("value"))
+        .orderBy("q")
     )

@@ -126,6 +126,7 @@ def run_textprep_pipeline(
     near_dup: bool = True,
     persist: bool = True,
     hash_family: str = "xxhash64",
+    bands: int | None = None,
 ) -> TextPrepReport:
     """LLM training-data preprocessing over a documents table: quality
     filter → language filter → exact dedup → near-dup dedup (MinHash
@@ -163,10 +164,16 @@ def run_textprep_pipeline(
     if near_dup:
         if persist:
             exact_unique = exact_unique.persist(StorageLevel.MEMORY_AND_DISK)
+        # bands default to the threshold-derived shape (auto_bands):
+        # the pipeline takes an arbitrary threshold, and a fixed
+        # bands=4 under-recalls below its j~=0.84 midpoint; certified
+        # callers pin bands explicitly to match their SQL oracle
         pairs = dedup.minhash_dedup_pairs(
             exact_unique, text_col, id_col,
             threshold=near_dup_threshold, shingle_k=shingle_k, persist=persist,
             hash_family=hash_family,
+            bands=bands if bands is not None
+            else dedup.auto_bands(32, near_dup_threshold),
         )
         survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
     else:

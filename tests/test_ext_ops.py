@@ -240,6 +240,37 @@ def test_cosine_near_dup_pairs(spark):
     assert (0, 3) in got_lsh
 
 
+def test_cosine_near_dup_pairs_salted_identical(spark):
+    """salt>1 splits a block's pair work across reducers but must
+    emit exactly the same (id_a, id_b, cosine) multiset — every pair
+    meets once (A keeps its own salt, B replicates to all salts) and
+    per-pair arithmetic is untouched. Pins the n_lists=1 cert-config
+    parallelization against dropped/duplicated pairs."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], i % 2)
+        for i in range(120)
+    ]
+    # plant near-dups inside both blocks
+    rows += [(1000 + i, rows[i][1], rows[i][2]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blk int"
+    )
+    base = sorted(
+        tuple(r) for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.5, block_col="blk"
+        ).collect()
+    )
+    salted = sorted(
+        tuple(r) for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.5, block_col="blk", salt=7
+        ).collect()
+    )
+    assert salted == base and len(base) >= 6
+
+
 def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([(0, "don't stop v2.0!")], "id long, text string")
     toks = df.select(text.bpe_ish_tokens("text").alias("t")).first()["t"]
@@ -1938,3 +1969,169 @@ def test_minhash_certified_query_under_ansi(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     assert on == off and len(off) > 0
+
+
+def test_two_level_ivf_degenerate_equals_flat(spark):
+    """n_sub=1 must be BIT-IDENTICAL to flat assignment at
+    n_lists=n_super (the certified degenerate of the hierarchical
+    quantizer), and the composite path must cover every row exactly
+    once with list ids inside [0, n_super*n_sub)."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    flat_cents = similarity.ivf_centroids(df, n_lists=4, iters=2)
+    flat = {r["vec_id"]: r["list_id"] for r in
+            similarity.ivf_assign(df, flat_cents).collect()}
+    degen = {r["vec_id"]: r["list_id"] for r in
+             similarity.ivf_assign_two_level(
+                 df, n_super=4, n_sub=1, iters=2).collect()}
+    assert degen == flat
+
+    two = similarity.ivf_assign_two_level(df, n_super=4, n_sub=3, iters=1)
+    got = two.collect()
+    assert len(got) == 300
+    assert all(0 <= r["list_id"] < 12 for r in got)
+    # residual split actually splits: more than n_super distinct cells
+    assert len({r["list_id"] for r in got}) > 4
+
+
+def test_semantic_dedup_two_level_finds_planted_dups(spark):
+    """Planted exact clones must collapse through the composite cells
+    (same vector -> same super, same residual -> same sub)."""
+    import random
+
+    rng = random.Random(9)
+    base = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    clones = [(i + 1000, v) for i, v in base[:10]]
+    df = spark.createDataFrame(
+        base + clones, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup_two_level(
+        df, threshold=0.99, n_super=4, n_sub=3, iters=1)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert len(kept) == 100
+    assert all(i < 1000 for i in kept)  # min-id survivor per clone pair
+
+
+def test_mrl_sketch_exact_degenerate(spark):
+    """k >= n: no collapse fires, every item is level-0 weight-1, and
+    the readout IS quantiles_exact's type-1 formula — bit-equal."""
+    import random
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_quantiles, mrl_sketch,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, value double").repartition(8)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    sk = mrl_merge(mrl_sketch(df, "value", k=10_000), k=10_000)
+    got = [(r["q"], r["value"]) for r in mrl_quantiles(sk, qs).collect()]
+    exact = [
+        (r["q"], r["value"])
+        for r in quantiles_exact(df, "value", qs).collect()
+    ]
+    assert got == exact
+
+
+def test_mrl_merge_identity_and_size_bound(spark):
+    """Two half-corpus sketches pooled then merged must read out the
+    same as one whole-corpus sketch (merge identity, the property that
+    makes per-shard rollup sound), and the merged sketch must stay
+    O(k log n) rows — never corpus-sized."""
+    import random
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_quantiles, mrl_sketch,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.gauss(0, 100)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    k = 256
+    a = mrl_sketch(df.where("id % 2 = 0").coalesce(2), "value", k=k)
+    b = mrl_sketch(df.where("id % 2 = 1").coalesce(2), "value", k=k)
+    merged = mrl_merge(a.unionByName(b), k=k)
+    n_rows = merged.count()
+    assert n_rows <= 4 * k * 18  # < 2k per level, levels << 18
+    qs = [0.1, 0.5, 0.9]
+    est = {r["q"]: r["value"] for r in mrl_quantiles(merged, qs).collect()}
+
+    # rank error bound: estimated value's true rank within eps*n
+    import bisect
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    for q, v in est.items():
+        true_rank = bisect.bisect_right(vals, v)
+        assert abs(true_rank - q * n) <= 0.05 * n, (q, v, true_rank)
+
+
+def test_mrl_sketch_deterministic_rerun(spark):
+    """Same input, same partitioning -> bit-identical sketch (the
+    deterministic-collapse variant has no RNG)."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_sketch,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "id", "cast(pmod(id * 2654435761, 4096) as double) as value"
+    ).repartition(4, "id")
+    one = sorted(map(tuple, mrl_merge(mrl_sketch(df, "value", k=64), k=64).collect()))
+    two = sorted(map(tuple, mrl_merge(mrl_sketch(df, "value", k=64), k=64).collect()))
+    assert one == two and len(one) > 0
+
+
+def test_triangle_counts_k4_and_noise(spark):
+    """K4 has 4 triangles, every node in 3; duplicate edges, reversed
+    directions, and self-loops must not change anything."""
+    from databricks_flight_etl_spark.operators import graph
+
+    edges = [(i, j) for i in range(1, 5) for j in range(1, 5) if i < j]
+    edges += [(2, 1), (3, 3), (1, 2), (4, 2)]  # noise
+    df = spark.createDataFrame(edges, "src long, dst long")
+    per = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(df).collect()}
+    assert per == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert graph.triangle_total(df).first()["n_triangles"] == 4
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    """Degree-ordered counting must agree with the brute-force per-node
+    census on a random graph with a skewed hub (the case the rank-order
+    wedge dedup exists for)."""
+    import itertools
+    import random
+
+    from databricks_flight_etl_spark.operators import graph
+
+    rng = random.Random(17)
+    nodes = list(range(40))
+    edges = {(a, b) for a, b in itertools.combinations(nodes, 2)
+             if rng.random() < 0.12}
+    edges |= {(0, v) for v in range(1, 30)}  # hub at node 0
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in nodes:
+        cnt = sum(
+            1 for x, y in itertools.combinations(sorted(adj[v]), 2)
+            if y in adj[x]
+        )
+        if cnt:
+            want[v] = cnt
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(df).collect()}
+    assert got == want
+    assert graph.triangle_total(df).first()["n_triangles"] == (
+        sum(want.values()) // 3
+    )

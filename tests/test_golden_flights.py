@@ -109,3 +109,39 @@ def test_golden_flight_profile(spark):
     span = [lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
     assert cov == {d: exp_days.get(d, 0) for d in span}
     assert cov[dt.date(2008, 1, 15)] == 0
+
+
+def test_2004_tailnum_zeros_not_dropped(spark):
+    """VERDICT r3 #7 — the 2004-shaped quirk (reference DBC[28]): the
+    int-typed TailNum parse leaves 81,490 spurious literal ZEROS in
+    2004 data (vs all-null in 2008), so the drop-all-null operator is
+    SCHEMA- and YEAR-dependent: it must drop TailNum on 2008-shaped
+    input and must NOT drop it on 2004-shaped input. Pins the operator
+    from both sides."""
+    rng = random.Random(2004)
+    rows = []
+    for i in range(500):
+        # ~3% of rows carry the spurious 0 the int parse produced from
+        # 2004's numeric-looking tails; the rest parse to NULL
+        tail = 0 if rng.random() < 0.03 else None
+        rows.append((
+            2004, rng.randint(1, 12), rng.randint(1, 28),
+            rng.randint(1, 23) * 100 + rng.randint(0, 59),
+            rng.choice(CARRIERS), rng.randint(1, 400), tail,
+            rng.randint(1, 2000),
+        ))
+    assert any(r[6] == 0 for r in rows)
+    df = spark.createDataFrame(
+        rows,
+        "Year int, Month int, DayofMonth int, DepTime int, "
+        "UniqueCarrier string, FlightNum int, TailNum int, Distance int",
+    )
+    rep = pipeline.run_flight_pipeline(
+        df,
+        dedup_keys=["UniqueCarrier", "FlightNum", "DepTime_Timestamp"],
+        rules=[validity.Rule("dist_pos", F.col("Distance") > 0)],
+    )
+    assert rep.dropped_columns == []          # TailNum survives
+    assert "TailNum" in rep.cleaned.columns
+    prof = {r["column"]: r["n_null"] for r in rep.null_profile.collect()}
+    assert prof["TailNum"] == sum(1 for r in rows if r[6] is None)

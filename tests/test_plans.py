@@ -128,3 +128,48 @@ def test_dedup_survivors_broadcasts_losers(spark):
     df = entrymod.q_dedup_survivors(spark, SF)
     p = plans.explain_str(df)
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_ann_ivf_batch_no_corpus_shuffle_join(spark):
+    """VERDICT r3 #5: the batched IVF probe must equi-join candidate
+    lists via BROADCAST of the tiny (probe x n_probe) side — the corpus
+    never sort-merges — and the probe-id filter must push to the scan.
+    Shuffles: corpus spread + per-probe Window only."""
+    df = entrymod.q_ann_ivf_batch(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_sortmerge_joins"] == 0, audit
+    assert audit["n_broadcast_joins"] >= 1, audit
+    assert audit["n_shuffles"] <= 3, audit
+    assert any("vec_id" in f for f in audit["pushed_filters"]), audit
+
+
+def test_semantic_dedup_survivor_plan(spark):
+    """semantic_dedup's returned plan: one broadcast anti-join of the
+    drop list against the corpus — no sort-merge, no extra exchange
+    beyond the survivors' own spread."""
+    df = entrymod.q_semantic_dedup(spark, SF)
+    audit = plans.plan_audit(df)
+    p = plans.explain_str(df)
+    assert audit["n_sortmerge_joins"] == 0, audit
+    assert "LeftAnti" in p
+    assert audit["n_shuffles"] <= 1, audit
+
+
+def test_textprep_full_funnel_shuffle_budget(spark):
+    """The 7-stage certified funnel's shuffle budget is 4 (PLANS.md);
+    a regression that adds an Exchange must fail loudly here."""
+    df = entrymod.q_textprep_full_certified(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_shuffles"] <= 4, audit
+    assert audit["n_sortmerge_joins"] == 0, audit
+
+
+def test_jl_project_is_narrow(spark):
+    """The JL projection must stay a narrow map over the scan: no
+    joins, at most the spread exchange, null-vector filter pushed."""
+    df = entrymod.q_jl_project(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_shuffles"] <= 1, audit
+    assert audit["n_broadcast_joins"] == 0, audit
+    assert audit["n_sortmerge_joins"] == 0, audit
+    assert any("embedding" in f for f in audit["pushed_filters"]), audit

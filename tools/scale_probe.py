@@ -140,6 +140,22 @@ def _semdedup(vecs):
     return semantic_dedup(vecs, threshold=0.9, iters=1).count()
 
 
+def _semdedup_2level(vecs, n):
+    from databricks_flight_etl_spark.operators.similarity import (
+        semantic_dedup_two_level,
+    )
+
+    # composite cells sized like the flat default (~256 rows/cell),
+    # split sqrt-ish between the levels — the >4096-cell regime's
+    # shape run at probe scale
+    cells = max(4, n // 256)
+    n_super = max(2, int(cells ** 0.5))
+    n_sub = max(2, -(-cells // n_super))
+    return semantic_dedup_two_level(
+        vecs, threshold=0.9, n_super=n_super, n_sub=n_sub, iters=1
+    ).count()
+
+
 def _pagerank(docs):
     from pyspark.sql import functions as F
 
@@ -261,6 +277,7 @@ def main() -> None:
         "heavy_hitters": lambda d, v: _heavy(d),
         "quantiles_exact": lambda d, v: _quant(d),
         "semantic_dedup": lambda d, v: _semdedup(v),
+        "semdedup_2level": lambda d, v: _semdedup_2level(v, v.count()),
         "pagerank": lambda d, v: _pagerank(d),
         "zorder_sort": lambda d, v: _zorder(d),
         "set_similarity": lambda d, v: _setsim(d),
