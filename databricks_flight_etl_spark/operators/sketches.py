@@ -31,6 +31,7 @@ __all__ = [
     "hll_build_grouped", "hll_estimate_grouped",
     "cms_inner_product",
     "mrl_sketch", "mrl_merge", "mrl_quantiles",
+    "mrl_sketch_grouped", "mrl_merge_grouped", "mrl_quantiles_grouped",
 ]
 
 
@@ -598,4 +599,124 @@ def mrl_quantiles(
         .groupBy(F.col("t.q").alias("q"))
         .agg(F.min("value").alias("value"))
         .orderBy("q")
+    )
+
+
+def mrl_sketch_grouped(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 256
+) -> DataFrame:
+    """Per-group MRL sketches: (group…, level, value, weight) — the
+    'p99 latency per day' table at sketch cost. One applyInPandas
+    keyed on the group (the same shuffle a per-group exact quantile
+    would pay ONCE — but the output is O(k log n) per group, so per-day
+    sketch tables persist and roll up to per-week/whole-corpus
+    quantiles without rescanning raw data). Same deterministic
+    collapse as :func:`mrl_sketch`; nulls excluded."""
+    import pandas as pd
+
+    schema_tail = "level int, value double, weight long"
+    gdf = df.select(
+        *group_cols, F.col(col).cast("double").alias("__x")
+    ).where(F.col("__x").isNotNull())
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in gdf.schema.fields[:-1]
+    )
+
+    def fn(key, pdf):
+        rows = _mrl_partition_rows(pdf["__x"].to_numpy(), k)
+        out = pd.DataFrame(rows, columns=["level", "value", "weight"])
+        for name, val in zip([c for c in group_cols], key):
+            out.insert(0, name, val)
+        return out[[*group_cols, "level", "value", "weight"]]
+
+    return gdf.groupBy(*group_cols).applyInPandas(
+        fn, f"{fields}, {schema_tail}"
+    )
+
+
+def mrl_merge_grouped(
+    sketch: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Re-compact pooled per-group sketch rows (unions of
+    :func:`mrl_sketch_grouped` outputs — e.g. 7 daily tables rolling
+    up to a week): one bounded applyInPandas task PER GROUP."""
+    import numpy as np
+    import pandas as pd
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sketch.schema.fields
+        if f.name in group_cols
+    )
+
+    def fn(key, pdf):
+        by_level: dict[int, list] = {}
+        for lvl, grp in pdf.groupby("level"):
+            by_level[int(lvl)] = [grp["value"].to_numpy()]
+        out: list = []
+        promote = np.array([], dtype="float64")
+        lvl = 0
+        max_lvl = max(by_level) if by_level else 0
+        n_coll = 0
+        while lvl <= max_lvl or len(promote):
+            items = np.sort(
+                np.concatenate(by_level.get(lvl, []) + [promote])
+            )
+            promote = np.array([], dtype="float64")
+            while len(items) >= 2 * k:
+                block, items = items[: 2 * k], items[2 * k:]
+                off = n_coll % 2
+                n_coll += 1
+                promote = np.concatenate([promote, block[off::2]])
+            out.extend((lvl, float(v), 1 << lvl) for v in items)
+            lvl += 1
+        res = pd.DataFrame(out, columns=["level", "value", "weight"])
+        for name, val in zip(group_cols, key):
+            res.insert(0, name, val)
+        return res[[*group_cols, "level", "value", "weight"]]
+
+    return sketch.groupBy(*group_cols).applyInPandas(
+        fn, f"{fields}, level int, value double, weight long"
+    )
+
+
+def mrl_quantiles_grouped(
+    sketch: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group type-1 readout: (group…, q, value) — grouped_quantiles'
+    exact rank formula over sketch weights, all windows PARTITIONED by
+    the group (no single-partition stage; scales to any group count).
+    The k ≥ n degenerate is bit-equal to grouped_quantiles."""
+    from pyspark.sql import Window
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    hist = sketch.groupBy(*group_cols, "value").agg(
+        F.sum("weight").alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols, "value",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    targets = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                (F.floor(F.lit(q) * (F.col("n") - 1)) + 1).alias("rank"),
+            )
+            for q in qs
+        ])
+    ).alias("t")
+    return (
+        cum.select(*group_cols, "value", "cum", targets)
+        .where(F.col("cum") >= F.col("t.rank"))
+        .groupBy(*group_cols, F.col("t.q").alias("q"))
+        .agg(F.min("value").alias("value"))
+        .orderBy(*group_cols, "q")
     )

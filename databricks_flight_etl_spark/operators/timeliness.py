@@ -94,3 +94,79 @@ def sequence_gaps(
             .alias("n_missing"),
         )
     )
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key daily series with missing days LINEARLY interpolated —
+    the gap-repair twin of the spine/coverage operators (those COUNT
+    holes; this fills them). Input: at most one row per (key, day);
+    output: one row per key per day of the key's [min, max] span, with
+    (key, day, value, filled):
+
+    - observed days pass through (``filled = false``);
+    - interior gaps get the linear interpolation between the nearest
+      observed neighbors, weighted by calendar distance;
+    - (with nulls present at the edges) leading/trailing gaps
+      forward/backward-fill — no extrapolation invented.
+
+    Plan: per-key (min, max) agg → sequence-explode spine (narrow after
+    one small agg) → left join observations (equi on key+day) → TWO
+    windows per key ordered by day (running last-non-null forward,
+    first-non-null backward). No driver collect; scales with key count,
+    and the windows are partitioned by key (never global). The
+    interpolation fraction uses exact integer day arithmetic, so an
+    engine replaying the same formula matches bit-for-bit up to the
+    final rounding."""
+    from pyspark.sql import Window
+
+    obs = df.select(
+        F.col(key_col), F.col(day_col).alias("__day"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    spine = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__day"),
+    )
+    g = spine.join(obs, [key_col, "__day"], "left")
+    d_int = F.datediff(F.col("__day"), F.lit("1970-01-01"))
+    g = g.withColumn("__d", d_int)
+    wb = (
+        Window.partitionBy(key_col).orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key_col).orderBy("__d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__v", ignorenulls=True).over(wb)
+    prev_d = F.last(
+        F.when(F.col("__v").isNotNull(), F.col("__d")), ignorenulls=True
+    ).over(wb)
+    next_v = F.first("__v", ignorenulls=True).over(wf)
+    next_d = F.first(
+        F.when(F.col("__v").isNotNull(), F.col("__d")), ignorenulls=True
+    ).over(wf)
+    frac = (F.col("__d") - prev_d).cast("double") / (
+        (next_d - prev_d).cast("double")
+    )
+    interp = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        ).otherwise(F.coalesce(prev_v, next_v))
+    )
+    return g.select(
+        F.col(key_col),
+        F.col("__day").alias(day_col),
+        F.round(interp, decimals).alias(value_col),
+        F.col("__v").isNull().alias("filled"),
+    )

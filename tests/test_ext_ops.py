@@ -2135,3 +2135,52 @@ def test_triangle_counts_random_vs_bruteforce(spark):
     assert graph.triangle_total(df).first()["n_triangles"] == (
         sum(want.values()) // 3
     )
+
+
+def test_mrl_grouped_exact_degenerate_and_rollup(spark):
+    """Per-group k >= n sketches must read out exactly
+    grouped_quantiles, and two 'daily' sketch tables pooled through
+    mrl_merge_grouped must read out the same as one whole-corpus
+    sketch (the per-day -> per-week rollup identity)."""
+    import random
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_quantiles,
+    )
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge_grouped, mrl_quantiles_grouped, mrl_sketch_grouped,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], rng.uniform(0, 100))
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    qs = [0.1, 0.5, 0.9]
+    k = 10_000
+    whole = mrl_sketch_grouped(df, ["g"], "value", k=k)
+    got = [
+        (r["g"], r["q"], r["value"])
+        for r in mrl_quantiles_grouped(whole, ["g"], qs).collect()
+    ]
+    exact = [
+        (r["g"], r["q"], r["value"])
+        for r in grouped_quantiles(df, ["g"], "value", qs).collect()
+    ]
+    assert got == exact
+
+    day1 = mrl_sketch_grouped(df.where("id % 2 = 0"), ["g"], "value", k=k)
+    day2 = mrl_sketch_grouped(df.where("id % 2 = 1"), ["g"], "value", k=k)
+    rolled = mrl_merge_grouped(day1.unionByName(day2), ["g"], k=k)
+    got2 = [
+        (r["g"], r["q"], r["value"])
+        for r in mrl_quantiles_grouped(rolled, ["g"], qs).collect()
+    ]
+    assert got2 == exact
+
+    # production k actually compacts and stays bounded
+    small = mrl_merge_grouped(
+        mrl_sketch_grouped(df, ["g"], "value", k=64), ["g"], k=64
+    )
+    assert small.count() < 3 * 2 * 64 * 10

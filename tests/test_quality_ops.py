@@ -675,3 +675,39 @@ def test_sequence_gaps(spark):
     # key 1: span 10..15 = 6 slots, 4 distinct (dup 15 not double-
     # counted) -> 2 missing (12, 14); key 2: single id, no gap
     assert got == {1: (4, 10, 15, 2), 2: (1, 7, 7, 0)}
+
+
+def test_k_anonymity_and_l_diversity(spark):
+    from databricks_flight_etl_spark.operators import privacy
+
+    rows = [
+        # (zip, age_band, diagnosis)
+        ("94110", "30-40", "flu"), ("94110", "30-40", "cold"),
+        ("94110", "30-40", "flu"),                      # class of 3, 2 diag
+        ("94110", "40-50", "flu"),                      # class of 1 -> k risk
+        ("02139", "30-40", "mono"), ("02139", "30-40", "mono"),
+        ("02139", "30-40", "mono"),                     # 3 members, 1 diag -> l risk
+    ]
+    df = spark.createDataFrame(rows, "zip string, age string, diag string")
+
+    viol = {(r["zip"], r["age"]): r["class_size"]
+            for r in privacy.k_anonymity_report(df, ["zip", "age"], k=3)
+            .collect()}
+    assert viol == {("94110", "40-50"): 1}
+
+    kept = privacy.k_anonymize(df, ["zip", "age"], k=3)
+    assert kept.count() == 6
+    assert kept.where("age = '40-50'").count() == 0
+    assert set(kept.columns) == {"zip", "age", "diag"}
+
+    ldiv = {(r["zip"], r["age"]): (r["class_size"],
+                                   r["n_distinct_sensitive"])
+            for r in privacy.l_diversity_report(
+                df, ["zip", "age"], "diag", l=2).collect()}
+    assert ldiv == {("94110", "40-50"): (1, 1), ("02139", "30-40"): (3, 1)}
+
+    # a k-anonymous, l-diverse table passes both
+    ok = df.where("zip = '94110' and age = '30-40'")
+    assert privacy.k_anonymity_report(ok, ["zip", "age"], k=3).count() == 0
+    assert privacy.l_diversity_report(ok, ["zip", "age"], "diag",
+                                      l=2).count() == 0

@@ -208,3 +208,37 @@ def test_fill_forward(spark):
                                 backward=True).collect()}
     assert fb[(1, 1)] == 10.0          # NEAREST following, not 50.0
     assert fb[(1, 4)] == 10.0          # ffill wins where it applies
+
+
+def test_interpolate_gaps(spark):
+    """Interior gaps interpolate linearly by calendar distance; edge
+    gaps forward/backward-fill; observed rows pass through unfilled;
+    each key spans exactly its own [min, max]."""
+    import datetime as dt
+
+    from databricks_flight_etl_spark.operators.timeliness import (
+        interpolate_gaps,
+    )
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 4), 40.0),   # gap 2nd-3rd -> 20, 30
+        ("a", d(2024, 1, 5), None),   # trailing null -> bfill... none right -> ffill 40
+        ("b", d(2024, 2, 1), None),   # leading null -> bfill 7
+        ("b", d(2024, 2, 3), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {
+        (r["k"], r["day"]): (r["v"], r["filled"])
+        for r in interpolate_gaps(df, "k", "day", "v").collect()
+    }
+    assert out[("a", d(2024, 1, 1))] == (10.0, False)
+    assert out[("a", d(2024, 1, 2))] == (20.0, True)
+    assert out[("a", d(2024, 1, 3))] == (30.0, True)
+    assert out[("a", d(2024, 1, 4))] == (40.0, False)
+    assert out[("a", d(2024, 1, 5))] == (40.0, True)
+    assert out[("b", d(2024, 2, 1))] == (7.0, True)
+    assert out[("b", d(2024, 2, 2))] == (7.0, True)
+    assert out[("b", d(2024, 2, 3))] == (7.0, False)
+    assert len(out) == 8

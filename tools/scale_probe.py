@@ -156,6 +156,39 @@ def _semdedup_2level(vecs, n):
     ).count()
 
 
+def _triangles(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.graph import triangle_total
+
+    # ~8 edges/node random graph with a planted hub touching 2% of
+    # nodes: the degree-ordering bound is what's under test
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+    ).select(
+        "src",
+        (F.pmod(F.xxhash64("src", "j"), F.lit(1000))
+         * F.lit(max(1, n // 1000))).alias("dst"),
+    )
+    hub = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.lit(0).alias("src"), F.col("doc_id").alias("dst"))
+    return triangle_total(e1.unionByName(hub)).first()["n_triangles"]
+
+
+def _mrl(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_merge, mrl_quantiles, mrl_sketch,
+    )
+
+    lens = docs.select(F.length("text").cast("double").alias("x"))
+    sk = mrl_merge(mrl_sketch(lens, "x", k=256), k=256)
+    return mrl_quantiles(sk, [0.5, 0.99]).count()
+
+
 def _pagerank(docs):
     from pyspark.sql import functions as F
 
@@ -279,6 +312,8 @@ def main() -> None:
         "semantic_dedup": lambda d, v: _semdedup(v),
         "semdedup_2level": lambda d, v: _semdedup_2level(v, v.count()),
         "pagerank": lambda d, v: _pagerank(d),
+        "triangles": lambda d, v: _triangles(d),
+        "mrl_sketch": lambda d, v: _mrl(d),
         "zorder_sort": lambda d, v: _zorder(d),
         "set_similarity": lambda d, v: _setsim(d),
         "containment": lambda d, v: _containment(d),
