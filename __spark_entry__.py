@@ -2136,6 +2136,63 @@ def q_streaming_hll(spark, sf_dir):
     return out.orderBy("bucket")
 
 
+def q_streaming_quantile_sketch(spark, sf_dir):
+    """Bounded-state streaming percentiles: events replayed as TWO
+    micro-batches (parity halves, maxFilesPerTrigger=1) through a
+    foreachBatch-maintained MRL sketch — each batch is sketched,
+    pooled with the parquet state, re-compacted, written back. In the
+    exact (k ≥ n) configuration no collapse fires anywhere, so after
+    the replay the state reads out EXACTLY the batch type-1 quantiles
+    — the same oracle as q_quantiles_exact, now certifying the
+    incremental-fold path end-to-end."""
+    import glob
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_quantiles,
+    )
+    from databricks_flight_etl_spark.streaming import (
+        streaming_mrl_sketch,
+    )
+
+    tune(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="flight_etl_smrl_")
+    stage = f"{root}/in"
+    for name, half in (
+        ("even", ev.where(F.col("event_id") % 2 == 0)),
+        ("odd", ev.where(F.col("event_id") % 2 == 1)),
+    ):
+        tmp = f"{root}/tmp_{name}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import os
+
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{stage}/{name}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+    k = 1_000_000
+    q = streaming_mrl_sketch(
+        stream, "value", f"{root}/state", f"{root}/ckpt", k=k
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.parquet(f"{root}/state")
+    return mrl_quantiles(
+        state, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT heavy hitters without shuffling the distinct domain:
     per-partition batched Misra-Gries candidates (Arrow-vectorized,
@@ -2257,6 +2314,20 @@ def q_quantile_sketch(spark, sf_dir):
     return mrl_quantiles(
         sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformance of extended prices — the
+    fabricated-numbers audit screen. Engine-portable by construction:
+    the significant digit comes from string surgery on the decimal
+    rendering (no log10 in either engine; the 9 expected proportions
+    are identical Python-repr literals on both sides)."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        benford_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_profile(li, "l_extendedprice")
 
 
 def q_k_anonymity(spark, sf_dir):
@@ -2697,7 +2768,14 @@ def q_textprep_pipeline(spark, sf_dir):
     hash seeds) but not SQL-oracle-expressible end-to-end (the LSH
     candidate step), so rows-only; every stage is separately certified
     (q_text_quality, q_lang_id, q_dedup_exact, q_dedup_clusters,
-    q_chunk_documents)."""
+    q_chunk_documents).
+
+    Cost note: r4's threshold-derived banding (auto_bands — 8 bands at
+    threshold 0.8 instead of the old fixed 4) roughly doubles this
+    query's wall-clock on purpose: at-threshold recall goes 52% → 98%
+    (the fixed shape silently missed ~half of exactly-0.8 pairs). Pass
+    bands=4 for the old throughput shape when the corpus sits well
+    above the threshold."""
     from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
 
     docs = _t(spark, sf_dir, "documents")
@@ -4611,7 +4689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_quantile_sketch_exact": q_quantile_sketch_exact,
         "q_quantile_sketch": q_quantile_sketch,
+        "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
+        "q_benford": q_benford,
         "q_k_anonymity": q_k_anonymity,
         "q_l_diversity": q_l_diversity,
         "q_orc_roundtrip": q_orc_roundtrip,
@@ -8653,7 +8733,33 @@ def oracle_sql() -> dict[str, str]:
     # whole — both replay the q_quantiles_exact oracle
     d["q_quantile_sketch_exact"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
+    d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_benford"] = """
+        WITH src AS (
+            SELECT TRY_CAST(substring(regexp_replace(
+                       CAST(CAST(abs(l_extendedprice) AS DECIMAL(38,6))
+                            AS VARCHAR),
+                       '[.0]*', '', 'g'), 1, 1) AS INTEGER) AS digit
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND abs(l_extendedprice) > 0
+        ),
+        counted AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM src WHERE digit IS NOT NULL GROUP BY digit
+        ),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counted),
+        expd(digit, p) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
+        SELECT c.digit, c.n,
+               round(c.n / tot.t, 6) AS observed_p,
+               round(expd.p, 6) AS expected_p,
+               round(pow(c.n - expd.p * tot.t, 2.0)
+                     / (expd.p * tot.t), 6) AS chi2_term
+        FROM counted c, tot, expd
+        WHERE expd.digit = c.digit
+        ORDER BY c.digit
+    """
     d["q_k_anonymity"] = """
         SELECT c_nationkey, CAST(floor(c_acctbal / 500) AS BIGINT)
                    AS bal_band,

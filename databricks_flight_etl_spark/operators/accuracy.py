@@ -812,3 +812,63 @@ def winsorized_mean_by_group(
             ).alias("winsorized_mean"),
         )
     )
+
+
+def benford_profile(
+    df: DataFrame, col: str, decimals: int = 6
+) -> DataFrame:
+    """First-significant-digit conformance vs Benford's law — the
+    classic fabricated-numbers screen for financial/measurement
+    columns (Newcomb 1881 / Benford 1938; Nigrini's audit usage).
+    Output: one row per digit 1–9 with (digit, n, observed_p,
+    expected_p, chi2_term); Σ chi2_term is the test statistic against
+    χ²(8).
+
+    Certification-friendly by construction: the first digit comes from
+    string manipulation of the absolute value (no floating log10 —
+    regexp strips sign/zeros/dot and takes the lead character, exact
+    in any engine), counts are exact integers, and the 9 expected
+    proportions are PYTHON-computed literals baked into the plan — the
+    oracle bakes the same constants, so no engine ln() is involved
+    anywhere. One narrow projection + one 9-group aggregate."""
+    import math
+
+    expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    s = F.regexp_replace(
+        F.abs(F.col(col)).cast("decimal(38,6)").cast("string"),
+        r"[.0]*", "",
+    )
+    digit = F.substring(s, 1, 1).cast("int")
+    from pyspark.sql import Window
+
+    counted = (
+        df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) > 0))
+        .select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # total via a window over the ≤9-row digit table — a separate agg +
+    # crossJoin would recompute the scan-side aggregate twice
+    exp_p = F.array(*[F.lit(expected[d]) for d in range(1, 10)])
+    out = (
+        counted.withColumn(
+            "__total", F.sum("n").over(Window.partitionBy())
+        )
+        .withColumn("__ep", F.element_at(exp_p, F.col("digit")))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__total"), decimals)
+            .alias("observed_p"),
+            F.round("__ep", decimals).alias("expected_p"),
+            F.round(
+                F.pow(
+                    F.col("n") - F.col("__ep") * F.col("__total"), F.lit(2.0)
+                ) / (F.col("__ep") * F.col("__total")),
+                decimals,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+    return out

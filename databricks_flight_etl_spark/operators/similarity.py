@@ -398,6 +398,8 @@ def _assign_lists(
 ) -> DataFrame:
     """Nearest-centroid assignment, dispatched across the measured
     Arrow/codegen crossover (see ``_ASSIGN_ARROW_MIN_LISTS``)."""
+    if not centroids:  # empty-corpus codebook: typed null, not a crash
+        return df.withColumn(out_col, F.lit(None).cast("int"))
     if len(centroids) >= _ASSIGN_ARROW_MIN_LISTS:
         return ivf_assign_pandas(df, centroids, vec_col, out_col)
     return ivf_assign(df, centroids, vec_col, out_col)
@@ -423,9 +425,9 @@ def _ivf_fit(
         .collect()
     )
     cents = [_unit(list(r["__v"])) for r in seeds]
-    dim = len(cents[0])
-    if iters <= 0:
+    if iters <= 0 or not cents:  # empty corpus -> no codebook, not a crash
         return cents
+    dim = len(cents[0])
 
     import numpy as np
     import pandas as pd
@@ -937,7 +939,14 @@ def semantic_dedup(
         block_col="__list",
         salt=max(1, min(32, -(-par // n_lists))),
     )
-    return dedup_survivors(df, pairs, id_col)
+    try:
+        # dedup_survivors materializes the component labels (the pair
+        # lineage's terminal), so the returned anti-join no longer
+        # reads the cache — free it instead of leaking one persisted
+        # corpus per call
+        return dedup_survivors(df, pairs, id_col)
+    finally:
+        pruned.unpersist()
 
 
 def ivf_assign_two_level(

@@ -16,6 +16,7 @@ from .jobs import (
     streaming_enrich,
     streaming_dedup,
     streaming_minhash_candidates,
+    streaming_mrl_sketch,
     streaming_running_counts,
     streaming_running_counts_tws,
     streaming_sessionize,
@@ -29,6 +30,7 @@ __all__ = [
     "streaming_enrich",
     "streaming_dedup",
     "streaming_minhash_candidates",
+    "streaming_mrl_sketch",
     "streaming_running_counts",
     "streaming_running_counts_tws",
     "streaming_sessionize",

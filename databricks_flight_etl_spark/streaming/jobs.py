@@ -382,3 +382,49 @@ def streaming_minhash_candidates(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
+
+
+def streaming_mrl_sketch(
+    stream: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+):
+    """foreachBatch-maintained MRL quantile sketch: each micro-batch is
+    sketched (one narrow pass over the batch), pooled with the persisted
+    state, re-compacted, and written back — so the state parquet stays
+    O(k·log n) rows FOREVER while summarizing the whole stream's value
+    distribution (the bounded-state streaming-percentiles pattern; a
+    raw streaming percentile would need unbounded state). Returns the
+    StreamingQuery — caller stops it; read ``state_dir`` +
+    ``mrl_quantiles`` for the current estimate at any time.
+
+    Certification: with k ≥ total rows no collapse fires in the batch
+    sketches OR the merges, so after a full replay the state reads out
+    EXACTLY the batch type-1 quantiles — the same oracle as
+    quantiles_exact (incremental-merge ≡ one-shot is only bit-exact in
+    the collapse-free config; production k is rows-only, like every
+    approximate twin).
+
+    The merged state is localCheckpoint-materialized before the
+    overwrite — the state dir is both the read source and the write
+    target of the same micro-batch, and overwriting an un-materialized
+    self-referencing plan reads deleted files."""
+    from ..operators.sketches import mrl_merge, mrl_sketch
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pooled = mrl_sketch(batch_df.select(col), col, k=k)
+        try:
+            pooled = spark.read.parquet(state_dir).unionByName(pooled)
+        except Exception:
+            pass  # first batch: no state yet
+        merged = mrl_merge(pooled, k=k).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

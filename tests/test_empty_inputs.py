@@ -236,3 +236,50 @@ def test_empty_inputs_late_round3_additions(spark):
     assert similarity.project_embeddings(
         spark.createDataFrame([], "vec_id long, embedding array<float>"),
     ).count() == 0
+
+
+def test_empty_inputs_round4_ops(spark):
+    """Round-4 operators under the 0-row hardening sweep: MRL sketch
+    family (global + grouped), triangle counting, gap interpolation,
+    privacy audits, two-level IVF semantic dedup."""
+    from databricks_flight_etl_spark.operators import (
+        graph,
+        privacy,
+        sketches,
+        similarity,
+        timeliness,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double")
+    edges = spark.createDataFrame([], "src long, dst long")
+    daily = spark.createDataFrame([], "k string, day date, v double")
+    cust = spark.createDataFrame([], "id long, quasi string, sens string")
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+    sk = sketches.mrl_merge(sketches.mrl_sketch(ev, "value", k=8), k=8)
+    assert sk.count() == 0
+    assert sketches.mrl_quantiles(sk, [0.5]).count() == 0
+    gsk = sketches.mrl_merge_grouped(
+        sketches.mrl_sketch_grouped(ev, ["user_id"], "value", k=8),
+        ["user_id"], k=8)
+    assert gsk.count() == 0
+    assert sketches.mrl_quantiles_grouped(gsk, ["user_id"], [0.5]).count() == 0
+
+    assert graph.triangle_counts(edges).count() == 0
+    assert graph.triangle_total(edges).first()["n_triangles"] == 0
+
+    out = timeliness.interpolate_gaps(daily, "k", "day", "v")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "day", "v", "filled"}
+
+    assert privacy.k_anonymity_report(cust, ["quasi"], k=2).count() == 0
+    assert privacy.k_anonymize(cust, ["quasi"], k=2).count() == 0
+    assert privacy.l_diversity_report(
+        cust, ["quasi"], "sens", l=2).count() == 0
+
+    assert similarity.semantic_dedup_two_level(
+        vecs, n_super=1, n_sub=1, iters=0).count() == 0
+
+    from databricks_flight_etl_spark.operators import accuracy
+    assert accuracy.benford_profile(ev, "value").count() == 0

@@ -677,3 +677,55 @@ def test_streaming_minhash_candidates(spark, tmp_path):
         .select("id_a", "id_b").distinct().collect()
     }
     assert got_pairs == batch and len(got_pairs) > 0
+
+
+def test_streaming_mrl_exact_and_bounded(spark, tmp_path):
+    """The foreachBatch-folded MRL state must (a) in the k >= n config
+    read out exactly the batch type-1 quantiles after a two-batch
+    replay, and (b) at production k stay O(k log n) rows while the
+    estimate stays inside the rank-error band."""
+    import bisect
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+    from databricks_flight_etl_spark.operators.sketches import (
+        mrl_quantiles,
+    )
+    from databricks_flight_etl_spark.streaming import streaming_mrl_sketch
+
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 9973) AS DOUBLE) AS value"
+    )
+    src = str(tmp_path / "mrl_src")
+    df.coalesce(2).write.parquet(src)  # two files -> two micro-batches
+    qs = [0.1, 0.5, 0.9]
+
+    for k, exact in ((10_000, True), (64, False)):
+        state = str(tmp_path / f"mrl_state_{k}")
+        ckpt = str(tmp_path / f"mrl_ckpt_{k}")
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet").load(src)
+        )
+        q = streaming_mrl_sketch(stream, "value", state, ckpt, k=k)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        sk = spark.read.parquet(state)
+        got = {r["q"]: r["value"]
+               for r in mrl_quantiles(sk, qs).collect()}
+        if exact:
+            want = {r["q"]: r["value"]
+                    for r in quantiles_exact(df, "value", qs).collect()}
+            assert got == want
+        else:
+            assert sk.count() <= 4 * 64 * 10
+            vals = sorted(
+                r["value"] for r in df.select("value").collect())
+            n = len(vals)
+            for qq, v in got.items():
+                rank = bisect.bisect_right(vals, v)
+                assert abs(rank - qq * n) <= 0.06 * n

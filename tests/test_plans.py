@@ -173,3 +173,43 @@ def test_jl_project_is_narrow(spark):
     assert audit["n_broadcast_joins"] == 0, audit
     assert audit["n_sortmerge_joins"] == 0, audit
     assert any("embedding" in f for f in audit["pushed_filters"]), audit
+
+
+def test_k_anonymize_broadcast_anti_join(spark):
+    """Suppression must be a BROADCAST anti-join of the (gated,
+    bounded) violating-class list — the corpus never sort-merges."""
+    df = entrymod.q_k_anonymize(spark, SF)
+    p = plans.explain_str(df)
+    audit = plans.plan_audit(df)
+    assert "LeftAnti" in p
+    assert audit["n_sortmerge_joins"] == 0, audit
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """Degree-ordered triangle counting: every join is an equi-join
+    (no cartesian/broadcast-nested-loop), and the wedge work happens
+    on the checkpointed oriented edges."""
+    df = entrymod.q_triangle_counts(spark, SF)
+    p = plans.explain_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_benford_is_narrow_single_agg(spark):
+    """Benford: one narrow projection + a 9-group aggregate + the
+    broadcast total — no sort-merge join, at most 2 shuffles."""
+    df = entrymod.q_benford(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_sortmerge_joins"] == 0, audit
+    assert audit["n_shuffles"] <= 2, audit
+
+
+def test_interpolate_windows_are_partitioned(spark):
+    """Gap interpolation must never fall into a global (unpartitioned)
+    window — the repartition key is the series key."""
+    df = entrymod.q_interpolate_gaps(spark, SF)
+    p = plans.explain_str(df)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        assert "event_type" in m.group(1), m.group(0)

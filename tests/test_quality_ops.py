@@ -711,3 +711,30 @@ def test_k_anonymity_and_l_diversity(spark):
     assert privacy.k_anonymity_report(ok, ["zip", "age"], k=3).count() == 0
     assert privacy.l_diversity_report(ok, ["zip", "age"], "diag",
                                       l=2).count() == 0
+
+
+def test_benford_profile(spark):
+    import math
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        benford_profile,
+    )
+
+    # construct a corpus with known first-digit counts: 30x lead-1,
+    # 10x lead-2, plus zeros/nulls/negatives/sub-1 values to exercise
+    # the significant-digit extraction
+    rows = (
+        [(float(10 + i % 9),) for i in range(0, 30)]  # 10..18 -> lead 1
+        + [(2000.5,)] * 5 + [(-0.025,)] * 5           # lead 2
+        + [(0.0,), (None,)]
+    )
+    rows = [(i, v) for i, (v,) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n"] == 30 and got[2]["n"] == 10
+    assert got[1]["observed_p"] == 0.75 and got[2]["observed_p"] == 0.25
+    assert got[1]["expected_p"] == round(math.log10(2), 6)
+    # chi2 term recomputes exactly
+    e1 = math.log10(2) * 40
+    assert abs(got[1]["chi2_term"] - (30 - e1) ** 2 / e1) < 1e-5
