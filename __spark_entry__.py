@@ -704,6 +704,56 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """X6 weight-proportional deterministic sampling: documents kept
+    with probability min(1, 0.6 · n_chars/200) — longer (quality-
+    proxied) docs at higher rate, rerun-stable, no RNG. The 48-bit
+    md5 coordinate compares NUMERICALLY against floor(16¹²·p); the
+    oracle replays the identical multiply/floor, so the kept set is
+    certified bit-for-bit (a narrow pushable filter — the 100 TB
+    shape)."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(200.0)
+    )
+    out = weighted_sample(docs, "doc_id", "w", base_rate=0.6)
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def q_binary_file_source(spark, sf_dir):
+    """S-family binary ingestion: a sample of documents is written out
+    as raw files (one per doc), read back through Spark's binaryFile
+    source (path, modificationTime, length, content), the doc id
+    recovered from the file name, and the payload fingerprinted. The
+    oracle recomputes length and md5 from the same documents' text —
+    certifying the file write → binaryFile scan → content path
+    BIT-FOR-BIT (the ingestion shape for 100 TB of image/audio blobs,
+    where the real decode runs over `content` exactly like this)."""
+    import os
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="flight_etl_binsrc_")
+    for r in docs.collect():  # bounded: 1-in-25 sample, local files
+        with open(os.path.join(root, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    binf = spark.read.format("binaryFile").load(f"{root}/*.bin")
+    return binf.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    ).orderBy("doc_id")
+
+
 # --- rows-only (not SQL-oracle-expressible): LSH/sketch + Arrow plumbing ---
 
 def _docs_near_dup_base(spark, sf_dir):
@@ -4692,6 +4742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_weighted_sample": q_weighted_sample,
+        "q_binary_file_source": q_binary_file_source,
         "q_k_anonymity": q_k_anonymity,
         "q_l_diversity": q_l_diversity,
         "q_orc_roundtrip": q_orc_roundtrip,
@@ -8735,6 +8787,24 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_weighted_sample"] = """
+        SELECT doc_id, n_chars FROM documents
+        WHERE CAST(CAST('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                  AS BIGINT)
+              < CAST(floor(
+                    greatest(0.0, least(1.0,
+                        0.6 * (n_chars / 200.0)))
+                    * 281474976710656.0) AS BIGINT)
+          AND n_chars IS NOT NULL
+        ORDER BY doc_id
+    """
+    d["q_binary_file_source"] = """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id % 25 = 0
+        ORDER BY doc_id
+    """
     d["q_benford"] = """
         WITH src AS (
             SELECT TRY_CAST(substring(regexp_replace(

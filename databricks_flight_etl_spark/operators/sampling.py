@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
            "pack_by_token_budget", "split_assign", "epoch_shuffle",
-           "sample_n", "stratified_sample_n", "resample_to_target",
+           "sample_n", "stratified_sample_n", "resample_to_target", "weighted_sample",
            "temperature_targets"]
 
 _PREFIX_LEN = 12
@@ -77,6 +77,38 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_threshold_hex(frac))
         ).otherwise(thr)
     return df.where(hash_bucket(key, salt) < thr)
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: str,
+    base_rate: float = 1.0, salt: str = "",
+) -> DataFrame:
+    """Weight-PROPORTIONAL deterministic Bernoulli sample: row kept with
+    probability min(1, base_rate · weight) — the quality-weighted
+    curation knob (keep high-scoring documents at full rate, tail
+    documents proportionally less) with the same content-hash
+    determinism as :func:`deterministic_sample`: rerun-stable,
+    partitioning-independent, and retuning ``base_rate`` only ever
+    adds/removes rows monotonically.
+
+    Exact-integer certification path: the 48-bit md5-prefix coordinate
+    is compared NUMERICALLY against floor(16¹² · p) — one double
+    multiply + floor that any engine replays bit-for-bit (no RNG, no
+    ln). NULL weights drop (p is null → predicate null). A narrow,
+    pushable scan-side filter; no shuffle."""
+    h = F.conv(hash_bucket(key, salt), 16, 10).cast("long")
+    w = F.col(weight_col).cast("double")
+    # explicit null guard: Spark's least/greatest SKIP nulls, so a null
+    # weight would silently clamp to 1.0 (always kept) instead of
+    # dropping — the guard pins the documented null-drops contract
+    p = F.when(
+        w.isNotNull(),
+        F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), F.lit(float(base_rate)) * w)
+        ),
+    )
+    thr = F.floor(p * F.lit(float(16 ** _PREFIX_LEN))).cast("long")
+    return df.where(h < thr)
 
 
 def pack_by_token_budget(

@@ -2184,3 +2184,38 @@ def test_mrl_grouped_exact_degenerate_and_rollup(spark):
         mrl_sketch_grouped(df, ["g"], "value", k=64), ["g"], k=64
     )
     assert small.count() < 3 * 2 * 64 * 10
+
+
+def test_weighted_sample_exact_replay(spark):
+    """The kept set must replay EXACTLY from the documented formula
+    (md5-prefix-as-int < floor(16^12 * min(1, rate*w))) — Python and
+    the JVM do the identical IEEE multiply/floor — and inclusion must
+    be monotone in base_rate. NULL weights drop."""
+    import hashlib
+
+    from databricks_flight_etl_spark.operators import sampling
+
+    rows = [(i, (i % 7) / 2.0 if i % 11 else None) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def expect(rate):
+        keep = set()
+        for i, w in rows:
+            if w is None:
+                continue
+            p = max(0.0, min(1.0, rate * w))
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+            if h < int(p * 16**12 // 1):
+                keep.add(i)
+        return keep
+
+    for rate in (0.1, 0.37, 1.0):
+        got = {r["id"] for r in sampling.weighted_sample(
+            df, "id", "w", base_rate=rate).collect()}
+        assert got == expect(rate), rate
+    small = {r["id"] for r in sampling.weighted_sample(
+        df, "id", "w", base_rate=0.1).collect()}
+    big = {r["id"] for r in sampling.weighted_sample(
+        df, "id", "w", base_rate=0.37).collect()}
+    assert small <= big and len(big) > len(small)
+    assert all(i % 11 for i in big)  # null weights never kept
