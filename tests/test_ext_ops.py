@@ -2219,3 +2219,23 @@ def test_weighted_sample_exact_replay(spark):
         df, "id", "w", base_rate=0.37).collect()}
     assert small <= big and len(big) > len(small)
     assert all(i % 11 for i in big)  # null weights never kept
+
+
+def test_auto_bands_shape():
+    """Pure-function pin: fewest bands whose S-curve midpoint sits at
+    or below the threshold; extreme thresholds degrade safely (0 ->
+    max bands = max recall; 1 -> fewest bands)."""
+    from databricks_flight_etl_spark.operators.dedup import auto_bands
+
+    assert auto_bands(32, 0.95) == 4
+    assert auto_bands(32, 0.8) == 8
+    assert auto_bands(32, 0.6) == 8
+    assert auto_bands(32, 0.5) == 16
+    assert auto_bands(32, 0.2) == 32
+    assert auto_bands(32, 0.0) == 32
+    assert auto_bands(32, 1.0) == 2
+    assert auto_bands(16, 0.6) == 8
+    # midpoint property holds for the returned shape
+    for n, t in ((32, 0.8), (32, 0.5), (16, 0.6)):
+        b = auto_bands(n, t)
+        assert (1.0 / b) ** (b / n) <= t + 1e-12
