@@ -2546,7 +2546,11 @@ def q_semantic_dedup_2level(spark, sf_dir):
         semantic_dedup_two_level,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 2 == 0  # deterministic cap: the cert needs
+        # the FUNNEL exercised, not the full corpus; brute-force pair
+        # work is quadratic, so the parity filter quarters it
+    )
     out = semantic_dedup_two_level(
         emb, threshold=0.35, n_super=1, n_sub=1, iters=0
     )
@@ -8779,8 +8783,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bucket_us
         """,
     }
-    # the two-level degenerate replays the same brute-force funnel
-    d["q_semantic_dedup_2level"] = d["q_semantic_dedup_exact"]
+    # the two-level degenerate replays the same brute-force funnel,
+    # over the parity-capped corpus (quadratic cert work bounded):
+    # both the pair-generation CTE and the survivor SELECT restrict
+    # to the capped set
+    d["q_semantic_dedup_2level"] = d["q_semantic_dedup_exact"].replace(
+        "FROM embeddings\n            ),",
+        "FROM embeddings WHERE vec_id % 2 = 0\n            ),",
+    ).replace(
+        "WHERE vec_id NOT IN",
+        "WHERE vec_id % 2 = 0 AND vec_id NOT IN",
+    )
     # k >= n MRL sketches read out exactly type-1 quantiles, split or
     # whole — both replay the q_quantiles_exact oracle
     d["q_quantile_sketch_exact"] = d["q_quantiles_exact"]
