@@ -704,6 +704,41 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_diff_cells(spark, sf_dir):
+    """X11 cell-level table diff — diff_tables says WHICH KEYS changed;
+    this says WHICH COLUMNS and both values (the CDC/backfill review
+    tool). Deterministic perturbation of orders (status flip on %7,
+    price doubled on %5, %11 keys dropped, %997 keys added), then one
+    full-outer key join + array-filter/explode — never a per-column
+    join loop. Values stringify through decimal(18,2) so both engines
+    render identically."""
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        diff_cells,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    new = base.where(F.col("k") % 11 != 0).select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.lit("X")).otherwise(F.col("s"))
+        .alias("s"),
+        F.when(F.col("k") % 5 == 0, F.col("p") * 2)
+        .otherwise(F.col("p")).cast("decimal(18,2)").alias("p"),
+    ).unionByName(
+        base.where(F.col("k") % 997 == 0).select(
+            (F.col("k") + 9000000).alias("k"),
+            F.lit("N").alias("s"),
+            F.lit("1.00").cast("decimal(18,2)").alias("p"),
+        )
+    )
+    return diff_cells(base, new, ["k"]).orderBy(
+        "k", "column"
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """X6 weight-proportional deterministic sampling: documents kept
     with probability min(1, 0.6 · n_chars/200) — longer (quality-
@@ -4746,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_diff_cells": q_diff_cells,
         "q_weighted_sample": q_weighted_sample,
         "q_binary_file_source": q_binary_file_source,
         "q_k_anonymity": q_k_anonymity,
@@ -8800,6 +8836,43 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_diff_cells"] = """
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders
+        ),
+        nw AS (
+            SELECT k,
+                   CASE WHEN k % 7 = 0 THEN 'X' ELSE s END AS s,
+                   CAST(CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END
+                        AS DECIMAL(18,2)) AS p
+            FROM base WHERE k % 11 <> 0
+            UNION ALL
+            SELECT k + 9000000, 'N', CAST('1.00' AS DECIMAL(18,2))
+            FROM base WHERE k % 997 = 0
+        ),
+        cells AS (
+            SELECT b.k, 's' AS "column", b.s AS base_value,
+                   n.s AS new_value
+            FROM base b JOIN nw n USING (k)
+            WHERE b.s IS DISTINCT FROM n.s
+            UNION ALL
+            SELECT b.k, 'p', CAST(b.p AS VARCHAR), CAST(n.p AS VARCHAR)
+            FROM base b JOIN nw n USING (k)
+            WHERE b.p IS DISTINCT FROM n.p
+            UNION ALL
+            SELECT b.k, '__row__', 'present', NULL
+            FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM nw n WHERE n.k = b.k)
+            UNION ALL
+            SELECT n.k, '__row__', NULL, 'present'
+            FROM nw n
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = n.k)
+        )
+        SELECT k, "column", base_value, new_value
+        FROM cells ORDER BY k, "column"
+    """
     d["q_weighted_sample"] = """
         SELECT doc_id, n_chars FROM documents
         WHERE CAST(CAST('0x' || substring(

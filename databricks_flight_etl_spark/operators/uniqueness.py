@@ -177,3 +177,78 @@ def skew_report(
         .orderBy(F.desc("cnt"), *keys)
         .limit(top_k)
     )
+
+
+def diff_cells(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cell-level drill-down of :func:`diff_tables` — once the digest
+    diff says a key CHANGED, this says WHICH columns and both values:
+    one row per (key, differing column) with stringified
+    (base_value, new_value); added/removed keys appear once with
+    column='__row__' and the present side's marker. The
+    CDC-debugging / backfill-review tool.
+
+    Plan: one full-outer join on the keys carrying only the compared
+    columns, then the per-column comparison as an engine-side
+    array-of-structs filter + explode — columns NEVER become a
+    driver-side loop of joins (a per-column join would scan the table
+    |cols| times). Values compare null-safe, so null→value and
+    value→null both surface. Output is at most |changed cells| rows —
+    tiny next to either input."""
+    use = compare_cols or [
+        c for c in a.columns if c not in keys and c in b.columns
+    ]
+    left = a.select(
+        *keys, *[F.col(c).cast("string").alias(f"__a_{c}") for c in use]
+    ).withColumn("__ina", F.lit(1))
+    right = b.select(
+        *keys, *[F.col(c).cast("string").alias(f"__b_{c}") for c in use]
+    ).withColumn("__inb", F.lit(1))
+    j = left.join(right, keys, "full_outer")
+    cells = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__a_{c}").alias("base_value"),
+            F.col(f"__b_{c}").alias("new_value"),
+        )
+        for c in use
+    ])
+    changed = F.filter(
+        cells,
+        lambda s: ~s.getField("base_value").eqNullSafe(
+            s.getField("new_value")
+        ),
+    )
+    both = (
+        j.where(F.col("__ina").isNotNull() & F.col("__inb").isNotNull())
+        .select(*keys, F.explode(changed).alias("c"))
+        .select(
+            *keys,
+            F.col("c.column").alias("column"),
+            F.col("c.base_value").alias("base_value"),
+            F.col("c.new_value").alias("new_value"),
+        )
+    )
+    removed = (
+        j.where(F.col("__inb").isNull())
+        .select(
+            *keys,
+            F.lit("__row__").alias("column"),
+            F.lit("present").alias("base_value"),
+            F.lit(None).cast("string").alias("new_value"),
+        )
+    )
+    added = (
+        j.where(F.col("__ina").isNull())
+        .select(
+            *keys,
+            F.lit("__row__").alias("column"),
+            F.lit(None).cast("string").alias("base_value"),
+            F.lit("present").alias("new_value"),
+        )
+    )
+    return both.unionByName(removed).unionByName(added)

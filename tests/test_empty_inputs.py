@@ -283,3 +283,10 @@ def test_empty_inputs_round4_ops(spark):
 
     from databricks_flight_etl_spark.operators import accuracy
     assert accuracy.benford_profile(ev, "value").count() == 0
+
+    from databricks_flight_etl_spark.operators.uniqueness import diff_cells
+    e2 = spark.createDataFrame([], "k long, s string")
+    assert diff_cells(e2, e2, ["k"]).count() == 0
+    one = spark.createDataFrame([(1, "x")], "k long, s string")
+    d = {(r["k"], r["column"]) for r in diff_cells(e2, one, ["k"]).collect()}
+    assert d == {(1, "__row__")}

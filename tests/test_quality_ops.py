@@ -738,3 +738,32 @@ def test_benford_profile(spark):
     # chi2 term recomputes exactly
     e1 = math.log10(2) * 40
     assert abs(got[1]["chi2_term"] - (30 - e1) ** 2 / e1) < 1e-5
+
+
+def test_diff_cells(spark):
+    """Changed cells surface per column with both values; null->value
+    and value->null count as changes; added/removed keys appear once
+    as __row__ markers; unchanged rows emit nothing."""
+    from databricks_flight_etl_spark.operators.uniqueness import (
+        diff_cells,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", None), (4, "D", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0),        # unchanged
+         (2, "X", 20.0),        # s changed
+         (3, "C", 33.0),        # v null -> value
+         (5, "E", 50.0)],       # added; 4 removed
+        "k int, s string, v double",
+    )
+    got = {(r["k"], r["column"]): (r["base_value"], r["new_value"])
+           for r in diff_cells(base, new, ["k"]).collect()}
+    assert got == {
+        (2, "s"): ("B", "X"),
+        (3, "v"): (None, "33.0"),
+        (4, "__row__"): ("present", None),
+        (5, "__row__"): (None, "present"),
+    }
