@@ -704,6 +704,53 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_xml_roundtrip(spark, sf_dir):
+    """XML sink + scan roundtrip (Spark 4's built-in spark-xml): the
+    documents projection written as XML, read back with the same
+    rowTag, aggregated. The oracle computes the identical aggregate
+    from the parquet source — certifying the serialize→parse loop is
+    lossless for the projected columns (the legacy-feed interchange
+    path; convert to parquet for anything repeated)."""
+    import tempfile
+
+    from databricks_flight_etl_spark.sources import read_xml, write_xml
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="flight_etl_xml_") + "/documents"
+    write_xml(docs, out, row_tag="doc")
+    back = read_xml(spark, out, row_tag="doc")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """X6 token-budget mixture assembly: sample documents down to a
+    60k-token budget with source src1 weighted 3× — per-source keep
+    rates derived ENGINE-SIDE (one tiny per-source aggregate broadcast
+    back; the corpus never shuffles), rows kept by the same
+    integer-threshold hash compare as q_weighted_sample, so the kept
+    set replays bit-for-bit. Integral weights keep the weight-sum
+    exact in any summation order."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs, "source", "n_chars", "doc_id",
+        budget_tokens=60_000, weights={"src1": 3.0},
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def q_diff_cells(spark, sf_dir):
     """X11 cell-level table diff — diff_tables says WHICH KEYS changed;
     this says WHICH COLUMNS and both values (the CDC/backfill review
@@ -4781,6 +4828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_xml_roundtrip": q_xml_roundtrip,
+        "q_token_budget_sample": q_token_budget_sample,
         "q_diff_cells": q_diff_cells,
         "q_weighted_sample": q_weighted_sample,
         "q_binary_file_source": q_binary_file_source,
@@ -8836,6 +8885,27 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_xml_roundtrip"] = d["q_orc_roundtrip"]
+    d["q_token_budget_sample"] = """
+        WITH tot AS (
+            SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tok,
+                   CASE WHEN source = 'src1' THEN 3.0 ELSE 1.0 END AS w
+            FROM documents GROUP BY source
+        ),
+        ws AS (SELECT sum(w) AS wsum FROM tot),
+        rates AS (
+            SELECT source,
+                   least(1.0, 60000.0 * w / wsum / tok) AS rate
+            FROM tot, ws
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST(CAST('0x' || substring(
+                  md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                  AS BIGINT)
+              < CAST(floor(r.rate * 281474976710656.0) AS BIGINT)
+        ORDER BY d.doc_id
+    """
     d["q_diff_cells"] = """
         WITH base AS (
             SELECT o_orderkey AS k, o_orderstatus AS s,

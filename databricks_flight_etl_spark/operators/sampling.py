@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
            "pack_by_token_budget", "split_assign", "epoch_shuffle",
-           "sample_n", "stratified_sample_n", "resample_to_target", "weighted_sample",
+           "sample_n", "stratified_sample_n", "resample_to_target", "weighted_sample", "token_budget_sample",
            "temperature_targets"]
 
 _PREFIX_LEN = 12
@@ -393,3 +393,63 @@ def temperature_targets(
     for g in sorted(raw, key=lambda g: (-(raw[g] - base[g]), g))[:short]:
         base[g] += 1
     return base
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    key: str,
+    budget_tokens: int,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Sample a corpus DOWN TO A TOKEN BUDGET with per-source mixture
+    weights — the 'assemble a 500B-token mix at 60% web / 30% code /
+    10% wiki' operation, in one engine-side pass:
+
+    - each source's token target is ``budget · wₛ / Σw`` (Σw over the
+      sources PRESENT, so absent configured sources don't strand
+      budget);
+    - its keep-rate is ``min(1, target / source_tokens)`` — a source
+      smaller than its target keeps everything (no upsampling here;
+      see resample_to_target for epoch duplication);
+    - a row keeps iff its 48-bit md5 coordinate < floor(16¹²·rate) —
+      the same exact-integer certification path as weighted_sample,
+      so the kept set is deterministic, rerun-stable, and
+      bit-replayable by the oracle.
+
+    Expected kept tokens ≈ Σₛ min(source_tokens, target) ≤ budget
+    (exact in expectation per source; the hash draw makes per-run
+    totals concentrate tightly for any real corpus).
+
+    Plan: one per-source token aggregate (tiny — |sources| rows,
+    broadcast back), then a narrow filter; the corpus never shuffles.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    w = F.lit(float(default_weight))
+    for value, wt in sorted((weights or {}).items()):
+        w = F.when(F.col(source_col) == value, F.lit(float(wt))).otherwise(w)
+    tot = df.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col)).cast("double").alias("__tok")
+    ).select(source_col, "__tok", w.alias("__w"))
+    wsum = tot.agg(F.sum("__w").alias("__wsum"))
+    rates = tot.crossJoin(F.broadcast(wsum)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) * F.col("__w") / F.col("__wsum")
+            / F.col("__tok"),
+        ).alias("__rate"),
+    )
+    h = F.conv(hash_bucket(key, salt), 16, 10).cast("long")
+    thr = F.floor(
+        F.col("__rate") * F.lit(float(16 ** _PREFIX_LEN))
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(h < thr)
+        .drop("__rate")
+    )

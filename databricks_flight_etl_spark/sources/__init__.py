@@ -25,6 +25,8 @@ __all__ = [
     "read_parquet_evolving",
     "read_orc",
     "read_text",
+    "read_xml",
+    "write_xml",
     "read_avro",
     "write_orc",
     "load_table",
@@ -121,6 +123,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML scan (built into Spark 4 — the merged spark-xml): one row
+    per ``row_tag`` element, schema inferred or supplied. The
+    interchange format of legacy feeds; columnar pushdown does not
+    apply (row-oriented text), so land XML once and convert to
+    parquet for anything repeated."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row",
+    root_tag: str = "rows", mode: str = "overwrite",
+) -> None:
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
 
 
 def read_text(

@@ -2239,3 +2239,39 @@ def test_auto_bands_shape():
     for n, t in ((32, 0.8), (32, 0.5), (16, 0.6)):
         b = auto_bands(n, t)
         assert (1.0 / b) ** (b / n) <= t + 1e-12
+
+
+def test_token_budget_sample(spark):
+    """Per-source keep rates hit the budget split: a source smaller
+    than its target keeps everything; oversized sources downsample to
+    ~their share; the kept set replays exactly from the documented
+    formula."""
+    import hashlib
+
+    from databricks_flight_etl_spark.operators import sampling
+
+    rows = (
+        [(i, "wiki", 100) for i in range(50)]          # 5k tokens
+        + [(1000 + i, "web", 100) for i in range(2000)]  # 200k tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = sampling.token_budget_sample(
+        df, "source", "n_tok", "doc_id", budget_tokens=20_000,
+        weights={"wiki": 1.0, "web": 1.0},
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # wiki target = 10k > 5k tokens -> all 50 kept
+    assert all(i in got for i in range(50))
+    # web target = 10k of 200k -> rate 0.05; hash draw concentrates
+    n_web = sum(1 for g in got if g >= 1000)
+    assert 60 <= n_web <= 140  # E=100
+
+    # exact replay of the formula for the web side
+    rate = min(1.0, 20_000 * 1.0 / 2.0 / 200_000.0)
+    thr = int(rate * 16**12 // 1)
+    expect = {
+        i for i, s, _ in rows
+        if (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) < thr)
+        or s == "wiki"
+    }
+    assert got == expect

@@ -729,3 +729,19 @@ def test_streaming_mrl_exact_and_bounded(spark, tmp_path):
             for qq, v in got.items():
                 rank = bisect.bisect_right(vals, v)
                 assert abs(rank - qq * n) <= 0.06 * n
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 built-in XML: write with rowTag, read back, values and
+    row count survive (nested element order is schema-driven)."""
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, None, 30)],
+        "doc_id long, lang string, n_chars long",
+    )
+    path = str(tmp_path / "t.xml")
+    sources.write_xml(df, path, row_tag="doc")
+    back = sources.read_xml(spark, path, row_tag="doc")
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()
+    )
+    assert got == [(1, "en", 10), (2, "de", 20), (3, None, 30)]
