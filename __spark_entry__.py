@@ -704,6 +704,22 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_grouped_corr(spark, sf_dir):
+    """X9 per-group Pearson: does extended price track quantity
+    differently per return flag — exact decimal moments in ONE
+    grouped aggregate (engine-deterministic; only the final scalar
+    formula runs in double), oracle replays the identical moments +
+    formula."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_pearson,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_pearson(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", decimals=6
+    ).orderBy("l_returnflag")
+
+
 def q_xml_roundtrip(spark, sf_dir):
     """XML sink + scan roundtrip (Spark 4's built-in spark-xml): the
     documents projection written as XML, read back with the same
@@ -4828,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_grouped_corr": q_grouped_corr,
         "q_xml_roundtrip": q_xml_roundtrip,
         "q_token_budget_sample": q_token_budget_sample,
         "q_diff_cells": q_diff_cells,
@@ -8885,6 +8902,38 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_grouped_corr"] = """
+        WITH m AS (
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_quantity IS NOT NULL
+                            AND l_extendedprice IS NOT NULL
+                       THEN 1 ELSE 0 END) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+                   sum(CAST(l_quantity AS DECIMAL(28,6))
+                       * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+                   sum(CAST(l_extendedprice AS DECIMAL(28,6))
+                       * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy,
+                   sum(CAST(l_quantity AS DECIMAL(28,6))
+                       * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN n >= 2 AND
+                          sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                          > 0
+                     THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     END, 6) AS corr
+        FROM m ORDER BY l_returnflag
+    """
     d["q_xml_roundtrip"] = d["q_orc_roundtrip"]
     d["q_token_budget_sample"] = """
         WITH tot AS (

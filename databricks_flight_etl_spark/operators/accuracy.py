@@ -23,7 +23,7 @@ __all__ = ["summary_stats", "histogram", "describe",
            "ab_welch_t", "chi_square_independence", "spearman_corr",
            "grouped_outliers_iqr", "trailing_range_agg",
            "psi_drift", "trimmed_mean_by_group", "winsorized_mean_by_group",
-           "group_linear_trend"]
+           "group_linear_trend", "benford_profile", "grouped_pearson"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -872,3 +872,47 @@ def benford_profile(
         .orderBy("digit")
     )
     return out
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 9,
+) -> DataFrame:
+    """Per-group Pearson correlation of two columns — the 'does price
+    track quantity differently per region' profile. Same
+    exact-decimal-moment discipline as correlation_matrix (sums,
+    squares, cross-products in decimal(28,6); only the final scalar
+    formula runs in double), so the result is deterministic across
+    engines and partitionings. ONE hash aggregate keyed on the group;
+    pairs with a null in either column drop. Output (group…, n, corr);
+    corr is null for degenerate groups (n < 2 or zero variance)."""
+    dx = F.col(x_col).cast("decimal(28,6)")
+    dy = F.col(y_col).cast("decimal(28,6)")
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.when(both, 1).otherwise(0)).alias("__n"),
+        F.sum(F.when(both, dx)).alias("__sx"),
+        F.sum(F.when(both, dy)).alias("__sy"),
+        F.sum(F.when(both, dx * dx)).alias("__sxx"),
+        F.sum(F.when(both, dy * dy)).alias("__syy"),
+        F.sum(F.when(both, dx * dy)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = F.when(
+        (F.col("__n") >= 2) & (denom > 0),
+        (n * sxy - sx * sy) / denom,
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(corr, decimals).alias("corr"),
+    )

@@ -767,3 +767,37 @@ def test_diff_cells(spark):
         (4, "__row__"): ("present", None),
         (5, "__row__"): (None, "present"),
     }
+
+
+def test_grouped_pearson(spark):
+    import math
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        grouped_pearson,
+    )
+
+    rows = (
+        [("a", float(x), 2.0 * x + 1) for x in range(10)]      # r = 1
+        + [("b", float(x), -3.0 * x) for x in range(10)]       # r = -1
+        + [("c", 1.0, 5.0), ("c", 1.0, 7.0)]                   # zero var
+        + [("d", 1.0, 2.0)]                                    # n < 2
+        + [("e", None if x is None else float(x),
+            None if y is None else float(y)) for x, y in
+           [(1, 2), (2, 1), (3, 4), (4, 3), (None, 9), (9, None)]]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n"], r["corr"])
+           for r in grouped_pearson(df, ["g"], "x", "y").collect()}
+    assert got["a"] == (10, 1.0)
+    assert got["b"] == (10, -1.0)
+    assert got["c"] == (2, None)
+    assert got["d"] == (1, None)
+    n, r = got["e"]
+    assert n == 4  # null-in-either rows dropped
+    # manual Pearson over the 4 complete pairs
+    xs, ys = [1, 2, 3, 4], [2, 1, 4, 3]
+    mx, my = 2.5, 2.5
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = math.sqrt(sum((a - mx) ** 2 for a in xs)) * math.sqrt(
+        sum((b - my) ** 2 for b in ys))
+    assert abs(r - num / den) < 1e-9
