@@ -704,6 +704,26 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_association_pairs(spark, sf_dir):
+    """Market-basket association mining over orders: part pairs
+    co-purchased in ≥ 2 orders with support / confidence / lift from
+    exact basket-distinct counts (duplicate lines don't inflate).
+    Quadratic only in basket size; all measures divide exact integers
+    at the end, so the oracle replays them bit-for-bit."""
+    from databricks_flight_etl_spark.operators.consistency import (
+        association_pairs,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 36)
+        .select("l_orderkey", "l_partkey")
+    )
+    return association_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    ).orderBy("item_a", "item_b")
+
+
 def q_grouped_corr(spark, sf_dir):
     """X9 per-group Pearson: does extended price track quantity
     differently per return flag — exact decimal moments in ONE
@@ -4844,6 +4864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_association_pairs": q_association_pairs,
         "q_grouped_corr": q_grouped_corr,
         "q_xml_roundtrip": q_xml_roundtrip,
         "q_token_budget_sample": q_token_budget_sample,
@@ -8902,6 +8923,31 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_association_pairs"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem WHERE l_quantity >= 36
+        ),
+        nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM items),
+        ic AS (SELECT i, count(*) AS ni FROM items GROUP BY i),
+        pc AS (
+            SELECT x.i AS item_a, y.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM items x JOIN items y
+              ON x.b = y.b AND x.i < y.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, n_ab,
+               round(n_ab / nb.n, 6) AS support,
+               round(n_ab / CAST(a.ni AS DOUBLE), 6) AS confidence,
+               round(n_ab * nb.n
+                     / (CAST(a.ni AS DOUBLE) * CAST(bi.ni AS DOUBLE)),
+                     6) AS lift
+        FROM pc, nb
+        JOIN ic a ON a.i = pc.item_a
+        JOIN ic bi ON bi.i = pc.item_b
+        ORDER BY item_a, item_b
+    """
     d["q_grouped_corr"] = """
         WITH m AS (
             SELECT l_returnflag,

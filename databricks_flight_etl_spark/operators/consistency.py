@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["string_columns", "value_frequencies",
            "value_frequencies_capped", "fd_violations",
-           "concentration_profile"]
+           "concentration_profile", "association_pairs"]
 
 
 def string_columns(df: DataFrame) -> list[str]:
@@ -141,4 +141,72 @@ def concentration_profile(
             F.round(F.max(p), decimals).alias("top_share"),
         )
         .orderBy("column")
+    )
+
+
+def association_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Market-basket pair mining: for every item pair co-occurring in
+    ≥ ``min_pair_count`` baskets, the classic association measures —
+    support (share of baskets with both), confidence (P(b|a), the
+    a→b rule), and lift (observed co-occurrence vs independence;
+    > 1 = genuinely associated). Output
+    (item_a, item_b, n_ab, support, confidence, lift), item_a < item_b.
+
+    All measures derive from exact integer counts (basket-distinct, so
+    duplicate order lines don't inflate) and divide at the end —
+    deterministic, oracle-replayable. Plan: distinct → per-item counts
+    (one agg) → pair counts via a basket-key self-join (quadratic only
+    in BASKET size — the market-basket shape; cap or salt pathological
+    mega-baskets upstream) → two broadcast-eligible joins to attach
+    item counts. The basket count reaches the driver as one scalar."""
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = items.select("__b").distinct().count()
+    if n_baskets == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "item_a long, item_b long, n_ab long, support double, "
+            "confidence double, lift double",
+        )
+    item_counts = items.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__ni")
+    )
+    a = items.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = items.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pair_counts = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+    na = item_counts.select(
+        F.col("__i").alias("item_a"), F.col("__ni").alias("__na")
+    )
+    nb = item_counts.select(
+        F.col("__i").alias("item_b"), F.col("__ni").alias("__nb")
+    )
+    N = F.lit(float(n_baskets))
+    return (
+        pair_counts.join(na, "item_a").join(nb, "item_b")
+        .select(
+            "item_a", "item_b", "n_ab",
+            F.round(F.col("n_ab") / N, decimals).alias("support"),
+            F.round(
+                F.col("n_ab") / F.col("__na").cast("double"), decimals
+            ).alias("confidence"),
+            F.round(
+                F.col("n_ab") * N
+                / (F.col("__na").cast("double")
+                   * F.col("__nb").cast("double")),
+                decimals,
+            ).alias("lift"),
+        )
     )

@@ -801,3 +801,37 @@ def test_grouped_pearson(spark):
     den = math.sqrt(sum((a - mx) ** 2 for a in xs)) * math.sqrt(
         sum((b - my) ** 2 for b in ys))
     assert abs(r - num / den) < 1e-9
+
+
+def test_association_pairs(spark):
+    from databricks_flight_etl_spark.operators.consistency import (
+        association_pairs,
+    )
+
+    # 4 baskets; (1,2) together in 3 of them; item 3 alone once;
+    # duplicate line (basket 10, item 1) must not inflate counts
+    rows = [
+        (10, 1), (10, 2), (10, 1),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 3),
+        (13, 3),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in association_pairs(df, "basket", "item",
+                                      min_pair_count=2).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["n_ab"] == 3
+    assert r["support"] == 0.75            # 3 of 4 baskets
+    assert r["confidence"] == 1.0          # item 1 in 3 baskets, all with 2
+    assert r["lift"] == round(3 * 4 / (3 * 3), 6)
+
+    # min_pair_count=1 surfaces the (1,3)/(2,3) singles too
+    all_pairs = {(r["item_a"], r["item_b"])
+                 for r in association_pairs(df, "basket", "item",
+                                            min_pair_count=1).collect()}
+    assert all_pairs == {(1, 2), (1, 3), (2, 3)}
+
+    empty = spark.createDataFrame([], "basket long, item long")
+    assert association_pairs(empty, "basket", "item").count() == 0
