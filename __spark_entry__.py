@@ -704,6 +704,37 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """X4 BPE vocabulary-induction step: the 20 most frequent adjacent
+    token pairs over documents — the statistic a BPE trainer merges
+    next. Pairs via zip_with over two array slices (no per-token
+    explode), one aggregate, deterministic top-k. The oracle replays
+    the identical regex tokenization (regexp_extract_all exists in
+    both engines) and pairing."""
+    from databricks_flight_etl_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, "text", k=20)
+
+
+def q_transition_matrix(spark, sf_dir):
+    """Per-user event-type Markov transitions over events: counts +
+    row-normalized next-event probabilities — one per-user lead window
+    (ordered by (ts, event_id) so ties are deterministic) + two
+    aggregates; denominators attach via a window over the
+    |states|²-bounded count table. Oracle replays lead() identically."""
+    from databricks_flight_etl_spark.operators.sessions import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).orderBy("state_from", "state_to")
+
+
 def q_association_pairs(spark, sf_dir):
     """Market-basket association mining over orders: part pairs
     co-purchased in ≥ 2 orders with support / confidence / lift from
@@ -4864,6 +4895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_bpe_merges": q_bpe_merges,
+        "q_transition_matrix": q_transition_matrix,
         "q_association_pairs": q_association_pairs,
         "q_grouped_corr": q_grouped_corr,
         "q_xml_roundtrip": q_xml_roundtrip,
@@ -8923,6 +8956,39 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_bpe_merges"] = """
+        WITH toks AS (
+            SELECT regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+            FROM documents
+        ),
+        pairs AS (
+            SELECT t[i] AS l, t[i + 1] AS r
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+        )
+        SELECT l AS "left", r AS "right", CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2
+        ORDER BY n DESC, "left", "right" LIMIT 20
+    """
+    d["q_transition_matrix"] = """
+        WITH steps AS (
+            SELECT event_type AS state_from,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS state_to
+            FROM events
+        ),
+        counts AS (
+            SELECT state_from, state_to, CAST(count(*) AS BIGINT) AS n
+            FROM steps WHERE state_to IS NOT NULL
+            GROUP BY state_from, state_to
+        )
+        SELECT state_from, state_to, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY state_from)
+                              AS DOUBLE), 6) AS prob
+        FROM counts ORDER BY state_from, state_to
+    """
     d["q_association_pairs"] = """
         WITH items AS (
             SELECT DISTINCT l_orderkey AS b, l_partkey AS i

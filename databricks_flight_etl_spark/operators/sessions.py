@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["sessionize", "session_counts", "funnel_steps",
-           "funnel_conversion", "cohort_retention"]
+           "funnel_conversion", "cohort_retention", "transition_matrix"]
 
 
 def sessionize(
@@ -171,4 +171,51 @@ def cohort_retention(
         .groupBy("cohort", "periods_since")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "periods_since")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over per-key
+    event sequences: (state_from, state_to, n, prob) where prob is the
+    row-normalized P(next = to | current = from) — the behavioral
+    what-happens-after profile that feeds funnel design and anomaly
+    scoring (an unseen transition IS the anomaly).
+
+    ``order_cols`` must be a deterministic total order within a key
+    (pass a tie-breaker id after the timestamp, or ties make lead()
+    partition-order-dependent). Plan: one per-key lead window + two
+    hash aggregates; the denominator attaches via a window over the
+    (|states|²-bounded) count table, so nothing joins back to the
+    data. All counts exact; one division at the end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    steps = (
+        df.select(
+            F.col(key_col),
+            *[F.col(c) for c in order_cols],
+            F.col(state_col).alias("state_from"),
+        )
+        .withColumn("state_to", F.lead("state_from").over(w))
+        .where(F.col("state_to").isNotNull())
+    )
+    counts = steps.groupBy("state_from", "state_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("state_from")
+    return counts.select(
+        "state_from",
+        "state_to",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wrow).cast("double"), decimals
+        ).alias("prob"),
     )

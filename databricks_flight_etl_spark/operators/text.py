@@ -25,6 +25,7 @@ __all__ = [
     "PII_PHONE",
     "tokens",
     "bpe_ish_tokens",
+    "bpe_merge_candidates",
     "token_counts",
     "token_top_k",
     "vocab_coverage",
@@ -827,4 +828,40 @@ def ngram_lm_score(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg("lp"), decimals).alias("lm_score"),
         )
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, k: int = 20
+) -> DataFrame:
+    """One step of BPE vocabulary induction: the ``k`` most frequent
+    ADJACENT token pairs across the corpus — exactly the statistic a
+    BPE trainer greedily merges next (Sennrich et al. 2016). Useful
+    standalone as a collocation/boilerplate profile ('of the', '. \\n')
+    and as the building block for iterated merge training driver-side.
+
+    Engine shape: tokens stay an array column; adjacent pairs come
+    from zip_with over two slices (no explode until the pair level),
+    one hash aggregate, then a deterministic top-k
+    (count desc, pair asc) via TakeOrderedAndProject. Output
+    (left, right, n)."""
+    toks = bpe_ish_tokens(text_col)
+    n = F.size(toks)
+    safe_len = F.greatest(n - 1, F.lit(0))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, safe_len),
+            F.slice(toks, 2, safe_len),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    )
+    return (
+        df.select(F.explode(pairs).alias("__p"))
+        .groupBy(
+            F.col("__p.l").alias("left"), F.col("__p.r").alias("right")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "left", "right")
+        .limit(k)
     )

@@ -2275,3 +2275,19 @@ def test_token_budget_sample(spark):
         or s == "wiki"
     }
     assert got == expect
+
+
+def test_bpe_merge_candidates(spark):
+    """Adjacent-pair counts over the BPE-ish tokens, deterministic
+    top-k; single-token and empty docs contribute nothing."""
+    rows = [
+        (0, "a b a b a"),       # (a,b)x2, (b,a)x2
+        (1, "a b"),             # (a,b)
+        (2, "x"),
+        (3, ""),
+        (4, "don't"),           # don ' t -> (don,'), (',t)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["left"], r["right"], r["n"])
+           for r in text.bpe_merge_candidates(df, "text", k=3).collect()]
+    assert got == [("a", "b", 3), ("b", "a", 2), ("'", "t", 1)]

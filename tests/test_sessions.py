@@ -185,3 +185,26 @@ def test_cohort_retention(spark):
     import pytest as _p
     with _p.raises(ValueError):
         cohort_retention(df, "user_id", "ts", "fortnight")
+
+
+def test_transition_matrix(spark):
+    from databricks_flight_etl_spark.operators.sessions import (
+        transition_matrix,
+    )
+
+    rows = [
+        # user 1: A -> B -> A -> C
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "C"),
+        # user 2: A -> B (the cross-user boundary must NOT emit B->A)
+        (2, 1, "A"), (2, 2, "B"),
+        # user 3: single event, no transitions
+        (3, 1, "C"),
+    ]
+    df = spark.createDataFrame(rows, "u long, seq long, state string")
+    got = {(r["state_from"], r["state_to"]): (r["n"], r["prob"])
+           for r in transition_matrix(df, "u", ["seq"], "state").collect()}
+    assert got == {
+        ("A", "B"): (2, round(2 / 3, 6)),
+        ("A", "C"): (1, round(1 / 3, 6)),
+        ("B", "A"): (1, 1.0),
+    }
