@@ -704,6 +704,22 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_period_over_period(spark, sf_dir):
+    """WoW comparison per event type, anchored on max(ts) so the
+    result is a pure function of the data: exact decimal sums per
+    (type, week), the latest-vs-previous slice via a broadcast 1-row
+    max, one division at the end. Oracle replays the same date_trunc
+    anchoring (both engines truncate weeks to Monday)."""
+    from databricks_flight_etl_spark.operators.timeliness import (
+        period_over_period,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return period_over_period(
+        ev, "ts", "event_type", "value", period="week"
+    ).orderBy("event_type")
+
+
 def q_bpe_merges(spark, sf_dir):
     """X4 BPE vocabulary-induction step: the 20 most frequent adjacent
     token pairs over documents — the statistic a BPE trainer merges
@@ -4895,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
+        "q_period_over_period": q_period_over_period,
         "q_bpe_merges": q_bpe_merges,
         "q_transition_matrix": q_transition_matrix,
         "q_association_pairs": q_association_pairs,
@@ -8956,6 +8973,38 @@ def oracle_sql() -> dict[str, str]:
     d["q_quantile_sketch_merge"] = d["q_quantiles_exact"]
     d["q_streaming_quantile_sketch"] = d["q_quantiles_exact"]
     d["q_quantile_sketch_grouped"] = d["q_grouped_quantiles"]
+    d["q_period_over_period"] = """
+        WITH agg AS (
+            SELECT event_type,
+                   date_trunc('week', ts) AS p,
+                   sum(CAST(value AS DECIMAL(28,6))) AS v
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        top AS (SELECT max(p) AS p0 FROM agg),
+        sliced AS (
+            SELECT agg.event_type, agg.p, agg.v, top.p0,
+                   top.p0 - INTERVAL 1 WEEK AS prev_p
+            FROM agg, top
+            WHERE agg.p = top.p0
+               OR agg.p = top.p0 - INTERVAL 1 WEEK
+        ),
+        pv AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN p = p0 THEN v END) AS DOUBLE)
+                       AS cur,
+                   CAST(sum(CASE WHEN p = prev_p THEN v END) AS DOUBLE)
+                       AS prev
+            FROM sliced GROUP BY event_type
+        )
+        SELECT event_type, cur, prev,
+               round(coalesce(cur, 0.0) - coalesce(prev, 0.0), 6)
+                   AS delta,
+               round(CASE WHEN prev IS NOT NULL AND prev <> 0
+                     THEN (coalesce(cur, 0.0) - prev) / prev END, 6)
+                   AS pct_change
+        FROM pv ORDER BY event_type
+    """
     d["q_bpe_merges"] = """
         WITH toks AS (
             SELECT regexp_extract_all(

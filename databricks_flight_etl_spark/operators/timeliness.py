@@ -170,3 +170,68 @@ def interpolate_gaps(
         F.round(interp, decimals).alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    period: str = "week",
+    decimals: int = 6,
+) -> DataFrame:
+    """Latest-vs-previous period comparison per key — the WoW/MoM
+    dashboard table: (key, cur, prev, delta, pct_change) for the two
+    most recent COMPLETE-or-not periods present in the data (anchored
+    on the max timestamp, so the result is a deterministic function of
+    the input, not the wall clock). ``pct_change`` is null when the
+    previous period is absent or zero.
+
+    Sums are exact decimal(28,6) (engine/partition deterministic);
+    the single division happens at the end. Plan: one scan → period
+    truncation → one grouped agg over (key, period) → the two-period
+    slice via a broadcast 1-row max-period join → pivot by
+    conditional aggregation. Keys present in only one period surface
+    with the other side null."""
+    per = F.date_trunc(period, F.col(ts_col))
+    agg = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), per.alias("__p"))
+        .agg(F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__v"))
+    )
+    top = agg.agg(F.max("__p").alias("__p0"))
+    sliced = agg.crossJoin(F.broadcast(top)).withColumn(
+        "__prev_p",
+        F.col("__p0") - F.expr(f"INTERVAL 1 {period}"),
+    )
+    cur = F.sum(F.when(F.col("__p") == F.col("__p0"), F.col("__v")))
+    prev = F.sum(F.when(F.col("__p") == F.col("__prev_p"), F.col("__v")))
+    out = (
+        sliced.where(
+            (F.col("__p") == F.col("__p0"))
+            | (F.col("__p") == F.col("__prev_p"))
+        )
+        .groupBy(key_col)
+        .agg(
+            cur.cast("double").alias("cur"),
+            prev.cast("double").alias("prev"),
+        )
+    )
+    return out.select(
+        key_col,
+        "cur",
+        "prev",
+        F.round(
+            F.coalesce(F.col("cur"), F.lit(0.0))
+            - F.coalesce(F.col("prev"), F.lit(0.0)),
+            decimals,
+        ).alias("delta"),
+        F.round(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("prev") != 0),
+                (F.coalesce(F.col("cur"), F.lit(0.0)) - F.col("prev"))
+                / F.col("prev"),
+            ),
+            decimals,
+        ).alias("pct_change"),
+    )

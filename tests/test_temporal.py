@@ -242,3 +242,31 @@ def test_interpolate_gaps(spark):
     assert out[("b", d(2024, 2, 2))] == (7.0, True)
     assert out[("b", d(2024, 2, 3))] == (7.0, False)
     assert len(out) == 8
+
+
+def test_period_over_period(spark):
+    """Anchored on max(ts): cur = that week, prev = the one before;
+    keys in only one period surface with a null other side; zero/absent
+    prev gives null pct."""
+    import datetime as dt
+
+    from databricks_flight_etl_spark.operators.timeliness import (
+        period_over_period,
+    )
+
+    # 2024-01-01 and 2024-01-08 are Mondays
+    rows = [
+        ("a", dt.datetime(2024, 1, 8, 10), 30.0),   # cur week
+        ("a", dt.datetime(2024, 1, 9, 10), 10.0),
+        ("a", dt.datetime(2024, 1, 2, 10), 20.0),   # prev week
+        ("b", dt.datetime(2024, 1, 10, 0), 5.0),    # cur only
+        ("c", dt.datetime(2024, 1, 3, 0), 7.0),     # prev only
+        ("d", dt.datetime(2023, 12, 20, 0), 99.0),  # older -> excluded
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["k"]: (r["cur"], r["prev"], r["delta"], r["pct_change"])
+           for r in period_over_period(df, "ts", "k", "v").collect()}
+    assert got["a"] == (40.0, 20.0, 20.0, 1.0)
+    assert got["b"] == (5.0, None, 5.0, None)
+    assert got["c"] == (None, 7.0, -7.0, -1.0)  # vanished = -100%
+    assert "d" not in got
