@@ -2237,6 +2237,31 @@ def q_jl_project(spark, sf_dir):
     ).orderBy("vec_id", "j")
 
 
+def q_jl_project_wide(spark, sf_dir):
+    """The BIG-DIM JL regime (r4 verdict task #6): vectors widened to
+    1024 dims (flatten ∘ array_repeat — deterministic), projected to
+    128 — 131 072 sign-matrix terms, far past _JL_ARROW_MIN_TERMS, so
+    the public project_embeddings auto-dispatches to the compile-free
+    Arrow matmul (the add-chain form would pay a janino compile linear
+    in terms and overflow the 64 KB JVM method cap). Rows-only: the
+    certified twin is q_jl_project (bit-identical 64→16 expression
+    path); this query certifies the dispatcher's scale path runs."""
+    from databricks_flight_etl_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 16)).alias(
+            "embedding"
+        ),
+    )
+    out = project_embeddings(emb, out_dim=128)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "value")
+    ).orderBy("vec_id", "j")
+
+
 def q_centroid_outliers(spark, sf_dir):
     """Semantic-outlier curation scores: cosine of each vector to its
     LABEL's centroid — dim scalar avgs in one hash aggregate, tiny
@@ -4772,7 +4797,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        "q_k_anonymize": q_k_anonymize,
+        # -- round-4 additions rotated INTO the window for a driver-
+        # -- green round (r4 verdict task #3); the r4-certified
+        # -- q_k_anonymize / q_quantile_sketch_merge / q_interpolate_gaps
+        # -- / q_tfidf / q_triangle_counts / q_semantic_dedup_2level
+        # -- rotate out (still certified locally, below) ----------------
+        "q_association_pairs": q_association_pairs,
+        "q_period_over_period": q_period_over_period,
+        "q_grouped_corr": q_grouped_corr,
+        "q_transition_matrix": q_transition_matrix,
+        "q_bpe_merges": q_bpe_merges,
+        "q_diff_cells": q_diff_cells,
         # -- relational core (X5) ---------------------------------------
         "q_join_inner": q_join_inner,
         "q_join_outer": q_join_outer,
@@ -4782,9 +4817,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
-        "q_quantile_sketch_merge": q_quantile_sketch_merge,
-        "q_tfidf": q_tfidf,
-        "q_interpolate_gaps": q_interpolate_gaps,
         "q_chunk_documents": q_chunk_documents,
         "q_quality_signals": q_quality_signals,
         # -- X1 dedup ---------------------------------------------------
@@ -4793,10 +4825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
-        "q_triangle_counts": q_triangle_counts,
         # -- X2 similarity ----------------------------------------------
         "q_cosine_topk": q_cosine_topk,
-        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         # -- X3 multimodal ----------------------------------------------
         "q_multimodal_meta": q_multimodal_meta,
         "q_decode_features": q_decode_features,
@@ -4815,6 +4845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_survivors_by": q_dedup_survivors_by,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
+        "q_k_anonymize": q_k_anonymize,
+        "q_quantile_sketch_merge": q_quantile_sketch_merge,
+        "q_interpolate_gaps": q_interpolate_gaps,
+        "q_tfidf": q_tfidf,
+        "q_triangle_counts": q_triangle_counts,
+        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         "q_value_freq_capped": q_value_freq_capped,
         "q_token_count_bpe": q_token_count_bpe,
         "q_bm25": q_bm25,
@@ -4911,14 +4947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
-        "q_period_over_period": q_period_over_period,
-        "q_bpe_merges": q_bpe_merges,
-        "q_transition_matrix": q_transition_matrix,
-        "q_association_pairs": q_association_pairs,
-        "q_grouped_corr": q_grouped_corr,
         "q_xml_roundtrip": q_xml_roundtrip,
         "q_token_budget_sample": q_token_budget_sample,
-        "q_diff_cells": q_diff_cells,
         "q_weighted_sample": q_weighted_sample,
         "q_binary_file_source": q_binary_file_source,
         "q_k_anonymity": q_k_anonymity,
@@ -4996,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textprep_pipeline": q_textprep_pipeline,
         "q_winnow": q_winnow,
         "q_embed_dup_lsh": q_embed_dup_lsh,
+        "q_jl_project_wide": q_jl_project_wide,
     }
 
 

@@ -150,6 +150,8 @@ def association_pairs(
     item_col: str,
     min_pair_count: int = 2,
     decimals: int = 6,
+    max_basket_size: int = 10_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Market-basket pair mining: for every item pair co-occurring in
     ≥ ``min_pair_count`` baskets, the classic association measures —
@@ -160,21 +162,51 @@ def association_pairs(
 
     All measures derive from exact integer counts (basket-distinct, so
     duplicate order lines don't inflate) and divide at the end —
-    deterministic, oracle-replayable. Plan: distinct → per-item counts
-    (one agg) → pair counts via a basket-key self-join (quadratic only
-    in BASKET size — the market-basket shape; cap or salt pathological
-    mega-baskets upstream) → two broadcast-eligible joins to attach
-    item counts. The basket count reaches the driver as one scalar."""
+    deterministic, oracle-replayable. Plan: distinct → per-basket sizes
+    (one agg; a mega-basket guard drops baskets with more than
+    ``max_basket_size`` items BEFORE the pair join, since a single
+    hot basket of n items emits n² pairs on one task) → per-item counts
+    → pair counts via a basket-key self-join (quadratic only in kept
+    basket size) → two broadcast-eligible joins to attach item counts.
+    Dropped baskets are excluded from every denominator so support /
+    confidence / lift stay internally consistent; their count is
+    reported in ``stats_out['oversized_baskets']`` (if a dict is
+    passed) and as a log warning. Only the 1-row size aggregate reaches
+    the driver."""
+    item_type = df.schema[item_col].dataType.simpleString()
+    empty_schema = (
+        f"item_a {item_type}, item_b {item_type}, n_ab long, "
+        "support double, confidence double, lift double"
+    )
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
-    n_baskets = items.select("__b").distinct().count()
-    if n_baskets == 0:
-        return df.sparkSession.createDataFrame(
-            [],
-            "item_a long, item_b long, n_ab long, support double, "
-            "confidence double, lift double",
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            (F.col("__sz") > F.lit(max_basket_size)).cast("long")
+        ).alias("n_over"),
+    ).first()
+    n_total = tot["n_total"] or 0
+    n_over = tot["n_over"] or 0
+    n_baskets = n_total - n_over
+    if stats_out is not None:
+        stats_out["n_baskets"] = n_baskets
+        stats_out["oversized_baskets"] = n_over
+    if n_over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "association_pairs: dropped %d basket(s) larger than "
+            "max_basket_size=%d before pair generation",
+            n_over, max_basket_size,
         )
+        kept = sizes.where(F.col("__sz") <= F.lit(max_basket_size)) \
+                    .select("__b")
+        items = items.join(kept, "__b")
+    if n_baskets == 0:
+        return df.sparkSession.createDataFrame([], empty_schema)
     item_counts = items.groupBy("__i").agg(
         F.count(F.lit(1)).alias("__ni")
     )

@@ -389,6 +389,14 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
 # assignment-identical (pinned by test).
 _ASSIGN_ARROW_MIN_LISTS = 9
 
+# JL auto-dispatch crossover: above this many sign-matrix terms
+# (dim × out_dim) the codegen'd add-chain form pays multi-second
+# janino compiles (and ultimately the 64 KB JVM method cap), so
+# project_embeddings switches to the compile-free Arrow matmul.
+# 64-dim × 16 (the bit-certified config) stays comfortably below;
+# 1024-dim × 128 lands far above.
+_JL_ARROW_MIN_TERMS = 32_768
+
 
 def _assign_lists(
     df: DataFrame,
@@ -492,7 +500,8 @@ def ivf_centroids(
     per-list elementwise mean in one hash agg. Only the
     (n_lists × dim) centroid table ever reaches the driver."""
     pruned = spread(
-        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _as_double(vec_col).alias("__v"))
     )
     if iters > 0:
         # each Lloyd round collects a mean table, which re-executes the
@@ -539,35 +548,53 @@ def ann_topk_ivf(
     stored partition column — per-query work is just the pruned scan.)"""
     from pyspark import StorageLevel
 
-    # prune to (id, vec) ONCE; the Lloyd rounds and the final index
-    # assignment all re-execute down to this cache, not the source scan
+    # prune to (id, vec) ONCE (nulls out — np.asarray(None) isn't
+    # stackable in the Arrow Lloyd kernel, and a null vector can't be a
+    # neighbor anyway); the Lloyd rounds and the final index assignment
+    # all re-execute down to this cache, not the source scan
     pruned = spread(
-        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _as_double(vec_col).alias("__v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cents = _ivf_fit(pruned, id_col, n_lists, iters)
-    probe_row = (
-        df.filter(F.col(id_col) == probe_id).select(_as_double(vec_col)).first()
-    )
-    if probe_row is None:
-        raise ValueError(f"probe {id_col}={probe_id} not found in corpus")
-    probe_vec = list(probe_row[0])
-    pu = _unit(probe_vec)
-    ranked = sorted(
-        range(len(cents)),
-        key=lambda i: -sum(a * b for a, b in zip(pu, cents[i])),
-    )
-    lists = ranked[:n_probe]
-    assigned = _assign_lists(pruned, cents, "__v", "__list")
-    cand = assigned.filter(F.col("__list").isin(*lists)).select(
-        F.col(id_col), F.col("__v")
-    )
-    cos = cosine(F.col("__v"), _lit_vec(probe_vec))
-    return (
-        cand.select(F.col(id_col), cos.alias("__cos"))
-        .orderBy(F.desc("__cos"), F.asc(id_col))
-        .limit(k)
-        .select(F.col(id_col), F.round(F.col("__cos"), decimals).alias("cosine"))
-    )
+    try:
+        cents = _ivf_fit(pruned, id_col, n_lists, iters)
+        probe_row = (
+            df.filter(F.col(id_col) == probe_id)
+            .select(_as_double(vec_col)).first()
+        )
+        if probe_row is None or probe_row[0] is None:
+            raise ValueError(
+                f"probe {id_col}={probe_id} not found in corpus "
+                "(or has a null embedding)"
+            )
+        probe_vec = list(probe_row[0])
+        pu = _unit(probe_vec)
+        ranked = sorted(
+            range(len(cents)),
+            key=lambda i: -sum(a * b for a, b in zip(pu, cents[i])),
+        )
+        lists = ranked[:n_probe]
+        assigned = _assign_lists(pruned, cents, "__v", "__list")
+        cand = assigned.filter(F.col("__list").isin(*lists)).select(
+            F.col(id_col), F.col("__v")
+        )
+        cos = cosine(F.col("__v"), _lit_vec(probe_vec))
+        # materialize the k-row answer (localCheckpoint, eager) so the
+        # cache can be freed without the caller's later action
+        # re-executing the fit lineage — no leaked persisted corpus per
+        # call in long-lived sessions
+        return (
+            cand.select(F.col(id_col), cos.alias("__cos"))
+            .orderBy(F.desc("__cos"), F.asc(id_col))
+            .limit(k)
+            .select(
+                F.col(id_col),
+                F.round(F.col("__cos"), decimals).alias("cosine"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        pruned.unpersist()
 
 
 def ivf_assign_pandas(
@@ -681,43 +708,53 @@ def ann_topk_ivf_batch(
     # expression at 16 lists paid a ~5 s one-time janino compile — the
     # r3 bench regression)
     pruned = spread(
-        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _as_double(vec_col).alias("__v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cents = _ivf_fit(pruned, id_col, n_lists, iters)
-    assigned = _assign_lists(pruned, cents, "__v", "__list")
+    try:
+        cents = _ivf_fit(pruned, id_col, n_lists, iters)
+        assigned = _assign_lists(pruned, cents, "__v", "__list")
 
-    # probes come from the RAW df, not the spread corpus: the isin
-    # filter pushes to the scan, instead of paying the corpus-wide
-    # repartition just to extract a handful of probe rows
-    probes = df.filter(F.col(id_col).isin(*probe_ids)).select(
-        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("__pv")
-    )
-    # rank centroids per probe engine-side with a compile-free Arrow
-    # kernel: one (batch × dim) @ (dim × n_lists) matmul, stable
-    # argsort of −dot (ties → lower list index, matching the struct
-    # array_sort this replaced — whose n_lists × dim literal expression
-    # paid a multi-second one-time janino compile). Centroids are unit
-    # vectors, so argmax dot == argmax cosine.
-    probe_lists = _probe_lists_pandas(probes, cents, n_probe)
-    cands = assigned.join(F.broadcast(probe_lists), "__list")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("__cos"), F.asc(id_col)
-    )
-    return (
-        cands.select(
-            "probe_id",
-            F.col(id_col),
-            cosine(F.col("__v"), F.col("__pv")).alias("__cos"),
+        # probes come from the RAW df, not the spread corpus: the isin
+        # filter pushes to the scan, instead of paying the corpus-wide
+        # repartition just to extract a handful of probe rows
+        probes = df.filter(
+            F.col(id_col).isin(*probe_ids) & F.col(vec_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("probe_id"),
+            _as_double(vec_col).alias("__pv"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "probe_id",
-            id_col,
-            "rank",
-            F.round("__cos", decimals).alias("cosine"),
+        # rank centroids per probe engine-side with a compile-free Arrow
+        # kernel: one (batch × dim) @ (dim × n_lists) matmul, stable
+        # argsort of −dot (ties → lower list index, matching the struct
+        # array_sort this replaced — whose n_lists × dim literal
+        # expression paid a multi-second one-time janino compile).
+        # Centroids are unit vectors, so argmax dot == argmax cosine.
+        probe_lists = _probe_lists_pandas(probes, cents, n_probe)
+        cands = assigned.join(F.broadcast(probe_lists), "__list")
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("__cos"), F.asc(id_col)
         )
-    )
+        # |probes|×k rows — materialize so the cache can be freed
+        # without the caller's action re-running the fit (leak fix)
+        return (
+            cands.select(
+                "probe_id",
+                F.col(id_col),
+                cosine(F.col("__v"), F.col("__pv")).alias("__cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "probe_id",
+                id_col,
+                "rank",
+                F.round("__cos", decimals).alias("cosine"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        pruned.unpersist()
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -924,9 +961,13 @@ def semantic_dedup(
 
     # prune to (id, vec) before clustering: the full-width rows never
     # enter the Lloyd rounds, the assignment Arrow transfer, or the
-    # within-cluster pair join — only the final anti-join sees them
+    # within-cluster pair join — only the final anti-join sees them.
+    # Null-embedding rows are excluded here (they can't be near-dups,
+    # and np.asarray(None) isn't stackable in the Arrow kernels) and
+    # therefore always SURVIVE via the anti-join passthrough.
     pruned = spread(
-        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _as_double(vec_col).alias("__v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = _ivf_fit(pruned, id_col, n_lists=n_lists, iters=iters)
     assigned = _assign_lists(pruned, cents, "__v", "__list")
@@ -977,44 +1018,59 @@ def ivf_assign_two_level(
     Output: ``df``'s columns plus ``out_col`` (long)."""
     from pyspark import StorageLevel
 
+    # null-embedding rows skip the fit/assign entirely (Arrow kernels
+    # can't stack None) and come back with a NULL list id via the left
+    # join below — matching flat ivf_assign's null-in → null-out
     pruned = spread(
-        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _as_double(vec_col).alias("__v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    super_cents = _ivf_fit(pruned, id_col, n_super, iters)
-    assigned = _assign_lists(pruned, super_cents, "__v", "__super")
-    if n_sub <= 1:
-        out = assigned.select(
-            F.col(id_col),
-            F.col("__super").cast("long").alias(out_col),
-        )
-    else:
-        spark = df.sparkSession
-        cent_rows = [(i, c) for i, c in enumerate(super_cents)]
-        cent_df = spark.createDataFrame(
-            cent_rows, "__super int, __cent array<double>"
-        )
-        # residual = v − c_super(v): broadcast the n_super-row centroid
-        # table; the corpus never shuffles
-        resid = assigned.join(F.broadcast(cent_df), "__super").select(
-            F.col(id_col),
-            F.col("__super"),
-            F.zip_with(
-                "__v", "__cent", lambda a, b: a - b
-            ).alias("__v2"),
-        )
-        resid = resid.select(
-            id_col, "__super", F.col("__v2").alias("__v")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        sub_cents = _ivf_fit(resid, id_col, n_sub, iters)
-        final = _assign_lists(resid, sub_cents, "__v", "__sub")
-        out = final.select(
-            F.col(id_col),
-            (
-                F.col("__super").cast("long") * F.lit(n_sub)
-                + F.col("__sub")
-            ).alias(out_col),
-        )
-    return df.join(out, id_col)
+    resid = None
+    try:
+        super_cents = _ivf_fit(pruned, id_col, n_super, iters)
+        assigned = _assign_lists(pruned, super_cents, "__v", "__super")
+        if n_sub <= 1:
+            out = assigned.select(
+                F.col(id_col),
+                F.col("__super").cast("long").alias(out_col),
+            )
+        else:
+            spark = df.sparkSession
+            cent_rows = [(i, c) for i, c in enumerate(super_cents)]
+            cent_df = spark.createDataFrame(
+                cent_rows, "__super int, __cent array<double>"
+            )
+            # residual = v − c_super(v): broadcast the n_super-row
+            # centroid table; the corpus never shuffles
+            resid0 = assigned.join(F.broadcast(cent_df), "__super").select(
+                F.col(id_col),
+                F.col("__super"),
+                F.zip_with(
+                    "__v", "__cent", lambda a, b: a - b
+                ).alias("__v2"),
+            )
+            resid = resid0.select(
+                id_col, "__super", F.col("__v2").alias("__v")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            sub_cents = _ivf_fit(resid, id_col, n_sub, iters)
+            final = _assign_lists(resid, sub_cents, "__v", "__sub")
+            out = final.select(
+                F.col(id_col),
+                (
+                    F.col("__super").cast("long") * F.lit(n_sub)
+                    + F.col("__sub")
+                ).alias(out_col),
+            )
+        # materialize the narrow (id, list_id) assignment — in
+        # production this IS the stored index — so the two caches can
+        # be freed instead of leaking one persisted corpus (+ one
+        # residual corpus) per call in long-lived sessions
+        out = out.localCheckpoint()
+        return df.join(out, id_col, "left")
+    finally:
+        pruned.unpersist()
+        if resid is not None:
+            resid.unpersist()
 
 
 def semantic_dedup_two_level(
@@ -1166,11 +1222,23 @@ def project_embeddings(
     hashing): each output coordinate compiles to a chain of ±element
     adds inside whole-stage codegen — a narrow map, no shuffle, no
     Python. Output: (id, proj array<double>, rounded to ``decimals``).
+
+    Above ``_JL_ARROW_MIN_TERMS`` total sign-matrix terms
+    (dim × out_dim) the call auto-dispatches to
+    :func:`project_embeddings_pandas`: the literal add-chain pays
+    janino compile time linear in the term count and blows past the
+    JVM's 64 KB method-size limit entirely around 1024-dim → 128
+    projections, while the Arrow matmul is compile-free (values agree
+    to the rounding decimals; both paths are certified equal by test).
     """
     dim = _infer_dim(df, vec_col)
     if dim is None:
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, proj array<double>"
+        )
+    if dim * out_dim >= _JL_ARROW_MIN_TERMS:
+        return project_embeddings_pandas(
+            df, vec_col, id_col, out_dim, seed, decimals
         )
     df = df.where(F.col(vec_col).isNotNull())
     signs = _jl_signs(dim, out_dim, seed)

@@ -192,7 +192,18 @@ def period_over_period(
     truncation → one grouped agg over (key, period) → the two-period
     slice via a broadcast 1-row max-period join → pivot by
     conditional aggregation. Keys present in only one period surface
-    with the other side null."""
+    with the other side null.
+
+    ``period`` is validated against the units valid for BOTH
+    ``date_trunc`` and an ``INTERVAL 1 <unit>`` literal — units
+    date_trunc accepts but interval literals don't (e.g. 'quarter')
+    would otherwise fail with an opaque parse error deep in the plan,
+    and an unvalidated f-string into F.expr is an injection surface."""
+    allowed = {"day", "week", "month", "year", "hour", "minute"}
+    if period not in allowed:
+        raise ValueError(
+            f"period must be one of {sorted(allowed)}, got {period!r}"
+        )
     per = F.date_trunc(period, F.col(ts_col))
     agg = (
         df.where(F.col(ts_col).isNotNull())

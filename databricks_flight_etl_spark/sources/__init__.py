@@ -269,6 +269,33 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def _location_in_use(spark, loc: str) -> bool:
+    """True if ANY catalog table (any database) resolves to ``loc`` —
+    the guard that keeps write_bucketed's orphan-cleanup from deleting
+    an EXTERNAL table that happens to live at the derived managed
+    location under a different name. Catalog-sized work (a DESCRIBE
+    per table), never data-sized."""
+    import os as _os
+
+    target = _os.path.abspath(loc)
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if (t.tableType or "").upper() == "VIEW":
+                continue
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE FORMATTED `{db.name}`.`{t.name}`"
+                ).collect()
+            except Exception:
+                continue
+            for r in rows:
+                if (r["col_name"] or "").strip() == "Location":
+                    tl = (r["data_type"] or "").removeprefix("file:")
+                    if _os.path.abspath(tl) == target:
+                        return True
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -322,7 +349,13 @@ def write_bucketed(
         import os as _os
         if _os.path.abspath(loc).startswith(
             _os.path.abspath(wh) + _os.sep
-        ):
+        ) and not _location_in_use(spark, loc):
+            # _location_in_use: an EXTERNAL table under a DIFFERENT
+            # name may sit at this table's derived managed location —
+            # deleting it would destroy data no catalog entry for
+            # `table` reveals. If the path is claimed, leave it; the
+            # saveAsTable below then fails LOCATION_ALREADY_EXISTS
+            # (safe, explicit) instead of silently eating the files.
             jvm = spark._jvm
             p = jvm.org.apache.hadoop.fs.Path(loc)
             fs = p.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -151,17 +151,21 @@ def streaming_running_counts_tws(
     key_col: str = "user_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """``transformWithStateInPandas`` twin of streaming_running_counts —
-    the Spark 4 arbitrary-stateful API (SPARK-49564): a StatefulProcessor
-    with named, schema'd state handles (ValueState here; ListState /
-    MapState / timers / TTL are available on the same handle), instead
-    of applyInPandasWithState's single state tuple.
+    """EXPERIMENTAL ``transformWithStateInPandas`` twin of
+    streaming_running_counts — the Spark 4 arbitrary-stateful API
+    (SPARK-49564): a StatefulProcessor with named, schema'd state
+    handles (ValueState here; ListState / MapState / timers / TTL are
+    available on the same handle), instead of applyInPandasWithState's
+    single state tuple.
 
-    Environment note: the protocol between the JVM and the Python
-    stateful processor uses protobuf (``google.protobuf``) and the
-    RocksDB state store provider; environments without protobuf raise
-    ImportError here (gated, per the no-install rule) — logic is
-    identical to streaming_running_counts, which runs everywhere.
+    Experimental status (r4 verdict task #5): the JVM↔Python stateful
+    protocol needs protobuf (``google.protobuf``) and the RocksDB state
+    store provider; this container lacks protobuf and installs are
+    barred, so this function has NEVER executed end-to-end here — only
+    its ImportError gate is tested. The certified, supported API for
+    cross-batch custom state is ``streaming_running_counts``
+    (applyInPandasWithState), which implements identical logic and
+    runs everywhere.
     """
     try:
         import google.protobuf  # noqa: F401
@@ -410,17 +414,37 @@ def streaming_mrl_sketch(
     The merged state is localCheckpoint-materialized before the
     overwrite — the state dir is both the read source and the write
     target of the same micro-batch, and overwriting an un-materialized
-    self-referencing plan reads deleted files."""
+    self-referencing plan reads deleted files.
+
+    Idempotent under micro-batch REPLAY (the foreachBatch contract:
+    after a crash between the state write and the checkpoint commit,
+    Spark re-delivers the same batch_id): the last-applied batch_id is
+    stored IN the state parquet (a constant ``__last_batch`` column, so
+    state + watermark commit in one atomic overwrite — a sidecar file
+    could desync), and a batch whose id is ≤ the stored watermark is
+    skipped instead of being folded twice. Readers are unaffected
+    (``mrl_quantiles`` touches only value/weight)."""
     from ..operators.sketches import mrl_merge, mrl_sketch
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        pooled = mrl_sketch(batch_df.select(col), col, k=k)
         try:
-            pooled = spark.read.parquet(state_dir).unionByName(pooled)
+            prev = spark.read.parquet(state_dir)
         except Exception:
-            pass  # first batch: no state yet
-        merged = mrl_merge(pooled, k=k).localCheckpoint(eager=True)
+            prev = None  # first batch: no state yet
+        if prev is not None and "__last_batch" in prev.columns:
+            last = prev.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already folded, skip
+        pooled = mrl_sketch(batch_df.select(col), col, k=k)
+        if prev is not None:
+            pooled = prev.select(
+                "level", "value", "weight").unionByName(pooled)
+        merged = (
+            mrl_merge(pooled, k=k)
+            .withColumn("__last_batch", F.lit(batch_id).cast("long"))
+            .localCheckpoint(eager=True)
+        )
         merged.write.mode("overwrite").parquet(state_dir)
 
     return (

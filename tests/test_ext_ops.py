@@ -1869,7 +1869,38 @@ def test_project_embeddings_pandas_matches_expression(spark):
     assert project_embeddings_pandas(df.limit(0)).count() == 0
 
 
-def test_null_first_vector_does_not_empty_result(spark):
+def test_project_embeddings_autoswitch_to_arrow(spark):
+    """r4 verdict task #6: above _JL_ARROW_MIN_TERMS (dim × out_dim)
+    the public project_embeddings must dispatch to the compile-free
+    Arrow matmul — a 1024-term-per-output add chain pays seconds of
+    janino compile and ultimately the 64 KB JVM method cap. Pinned by
+    plan shape: big config shows a Python map stage (Arrow), the
+    certified small config stays pure codegen (no Python in plan)."""
+    import random
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        _JL_ARROW_MIN_TERMS,
+        project_embeddings,
+    )
+
+    random.seed(12)
+    big_dim = 512
+    rows = [(i, [random.gauss(0, 1) for _ in range(big_dim)])
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert big_dim * 128 >= _JL_ARROW_MIN_TERMS
+    wide = project_embeddings(df, out_dim=128)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # dispatched to the Arrow matmul
+    got = wide.collect()
+    assert len(got) == 10 and all(len(r["proj"]) == 128 for r in got)
+
+    small = project_embeddings(
+        spark.createDataFrame(
+            [(0, [1.0] * 8)], "vec_id long, embedding array<double>"),
+        out_dim=4)
+    assert "MapInPandas" not in \
+        small._jdf.queryExecution().executedPlan().toString()
     """ADVICE r3: dim inference must use the first NON-NULL vector — a
     null embedding landing first in partition order silently emptied
     centroid_outlier_scores / project_embeddings / the pandas twin."""
@@ -2013,6 +2044,47 @@ def test_semantic_dedup_two_level_finds_planted_dups(spark):
     kept = {r["vec_id"] for r in out.collect()}
     assert len(kept) == 100
     assert all(i < 1000 for i in kept)  # min-id survivor per clone pair
+
+
+def test_ivf_family_tolerates_null_embeddings(spark):
+    """ADVICE r4: a NULL embedding row crashed _ivf_fit's Arrow kernel
+    (np.asarray(None) isn't stackable). Every IVF entry point must now
+    skip null vectors: fit/assign/dedup run, null rows survive
+    semantic_dedup (they can't be near-dups), and the two-level
+    assigner returns them with a NULL list id (matching flat
+    ivf_assign's null-in → null-out)."""
+    import random
+
+    rng = random.Random(13)
+    base = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(60)]
+    clones = [(i + 1000, v) for i, v in base[:5]]
+    rows = base + clones + [(9001, None), (9002, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    cents = similarity.ivf_centroids(df, n_lists=4, iters=2)
+    assert len(cents) == 4
+
+    top = similarity.ann_topk_ivf(
+        df, probe_id=0, k=3, n_lists=4, n_probe=4, iters=1).collect()
+    assert top[0]["vec_id"] in (0, 1000)  # the clone pair ties at 1.0
+
+    batch = similarity.ann_topk_ivf_batch(
+        df, probe_ids=[0, 3], k=3, n_lists=4, n_probe=4, iters=1
+    ).collect()
+    assert {r["probe_id"] for r in batch} == {0, 3}
+
+    kept = {r["vec_id"] for r in similarity.semantic_dedup(
+        df, threshold=0.99, n_lists=1, iters=0).collect()}
+    assert {9001, 9002} <= kept          # null rows pass through
+    assert all(i < 1000 or i >= 9001 for i in kept)
+
+    two = similarity.ivf_assign_two_level(
+        df, n_super=4, n_sub=3, iters=1)
+    lid = {r["vec_id"]: r["list_id"] for r in two.collect()}
+    assert len(lid) == len(rows)
+    assert lid[9001] is None and lid[9002] is None
+    assert all(v is not None for k, v in lid.items() if k < 9000)
 
 
 def test_mrl_sketch_exact_degenerate(spark):

@@ -346,6 +346,60 @@ def test_write_bucketed_overwrite_safety(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_ext")
 
 
+def test_write_bucketed_db_qualified_overwrite(spark):
+    """r4 verdict task #7 trap A: a database-qualified name must derive
+    the {wh}/{db}.db/{tbl} location (not {wh}/{tbl}) and overwrite
+    idempotently across sessions'-worth of repeats."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    try:
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+        b = spark.createDataFrame([(3, "z")], "k long, v string")
+        sources.write_bucketed(a, "bdb.bkt_q", ["k"], n_buckets=2)
+        sources.write_bucketed(b, "bdb.bkt_q", ["k"], n_buckets=2)
+        assert [r["k"] for r in spark.table("bdb.bkt_q").collect()] == [3]
+        # and the unqualified default-db namespace was never touched
+        assert "bkt_q" not in [t.name for t in spark.catalog.listTables()]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.bkt_q")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
+def test_write_bucketed_preserves_external_at_derived_location(
+    spark, tmp_path
+):
+    """r4 verdict task #7 trap B: an EXTERNAL table under a DIFFERENT
+    name sitting exactly at the target's derived managed location —
+    the orphan-cleanup must NOT delete it (no catalog entry for the
+    target name reveals it). The write fails loudly instead, and the
+    external table's data survives."""
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    loc = os.path.join(wh, "bkt_trap")  # default-db derived location
+    a = spark.createDataFrame([(1, "keep"), (2, "keep")], "k long, v string")
+    a.write.parquet(loc)
+    spark.sql(
+        f"CREATE TABLE squatter (k long, v string) USING parquet "
+        f"LOCATION '{loc}'"
+    )
+    try:
+        b = spark.createDataFrame([(9, "new")], "k long, v string")
+        with pytest.raises(Exception):
+            # path is claimed -> saveAsTable LOCATION_ALREADY_EXISTS,
+            # NOT a silent delete of the squatter's files
+            sources.write_bucketed(b, "bkt_trap", ["k"], n_buckets=2)
+        assert spark.table("squatter").count() == 2       # data intact
+        assert spark.read.parquet(loc).count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_trap")
+        spark.sql("DROP TABLE IF EXISTS squatter")
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_read_json_inference_nested(spark, tmp_path):
     """S4: JSON scan with schema inference, incl. the nested
     struct/array shape of the reference's metadata file."""
@@ -729,6 +783,48 @@ def test_streaming_mrl_exact_and_bounded(spark, tmp_path):
             for qq, v in got.items():
                 rank = bisect.bisect_right(vals, v)
                 assert abs(rank - qq * n) <= 0.06 * n
+
+
+def test_streaming_mrl_replay_idempotent(spark, tmp_path):
+    """ADVICE r4 (medium): if a micro-batch's state write lands but the
+    checkpoint commit doesn't, Spark re-delivers the batch — the fold
+    must NOT apply it twice. Simulated by wiping the checkpoint (so the
+    restart replays batch ids 0..n that the state has already folded):
+    the stored __last_batch watermark makes the replays no-ops, total
+    sketch weight stays exactly n instead of doubling."""
+    import shutil
+
+    from databricks_flight_etl_spark.streaming import streaming_mrl_sketch
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(pmod(id * 48271, 997) AS DOUBLE) AS value"
+    )
+    src = str(tmp_path / "mrl_src2")
+    df.coalesce(2).write.parquet(src)
+    state = str(tmp_path / "mrl_state2")
+    ckpt = str(tmp_path / "mrl_ckpt2")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet").load(src)
+        )
+        q = streaming_mrl_sketch(stream, "value", state, ckpt, k=10_000)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    sk = spark.read.parquet(state)
+    assert sk.agg(F.sum("weight")).first()[0] == 1000
+    assert sk.agg(F.max("__last_batch")).first()[0] == 1  # two batches
+
+    shutil.rmtree(ckpt)  # lose the commit log -> full replay
+    run_once()
+    sk2 = spark.read.parquet(state)
+    assert sk2.agg(F.sum("weight")).first()[0] == 1000  # not doubled
 
 
 def test_xml_roundtrip(spark, tmp_path):

@@ -835,3 +835,52 @@ def test_association_pairs(spark):
 
     empty = spark.createDataFrame([], "basket long, item long")
     assert association_pairs(empty, "basket", "item").count() == 0
+
+
+def test_association_pairs_mega_basket_guard(spark):
+    from databricks_flight_etl_spark.operators.consistency import (
+        association_pairs,
+    )
+
+    # basket 99 has 5 items (over the cap of 3) and must be dropped
+    # BEFORE pair generation and excluded from every denominator
+    rows = (
+        [(10, 1), (10, 2), (11, 1), (11, 2)]
+        + [(99, i) for i in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    stats: dict = {}
+    got = {(r["item_a"], r["item_b"]): r
+           for r in association_pairs(df, "basket", "item",
+                                      min_pair_count=1,
+                                      max_basket_size=3,
+                                      stats_out=stats).collect()}
+    assert stats == {"n_baskets": 2, "oversized_baskets": 1}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["n_ab"] == 2
+    assert r["support"] == 1.0     # 2 of 2 KEPT baskets
+    assert r["lift"] == round(2 * 2 / (2 * 2), 6)
+
+    # default cap (10k) keeps everything: pairs from basket 99 appear
+    loose = association_pairs(df, "basket", "item", min_pair_count=1)
+    assert loose.where("item_a = 4 and item_b = 5").count() == 1
+
+
+def test_association_pairs_empty_schema_matches_item_type(spark):
+    from databricks_flight_etl_spark.operators.consistency import (
+        association_pairs,
+    )
+
+    # empty-input schema must inherit the item column's type (string
+    # here), matching the non-empty output so unions/writers agree
+    empty = spark.createDataFrame([], "basket long, item string")
+    out = association_pairs(empty, "basket", "item")
+    assert out.count() == 0
+    nonempty = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "basket long, item string"
+    )
+    got = association_pairs(nonempty, "basket", "item", min_pair_count=2)
+    assert [f.dataType for f in out.schema.fields] == \
+           [f.dataType for f in got.schema.fields]
+    assert got.schema["item_a"].dataType.simpleString() == "string"

@@ -270,3 +270,12 @@ def test_period_over_period(spark):
     assert got["b"] == (5.0, None, 5.0, None)
     assert got["c"] == (None, 7.0, -7.0, -1.0)  # vanished = -100%
     assert "d" not in got
+
+    # invalid units fail fast at the API boundary, not with an opaque
+    # interval parse error deep in the plan (and 'quarter' — which
+    # date_trunc accepts but INTERVAL literals don't — is rejected)
+    import pytest
+
+    for bad in ("quarter", "fortnight", "1 day'); DROP TABLE x; --"):
+        with pytest.raises(ValueError, match="period must be one of"):
+            period_over_period(df, "ts", "k", "v", period=bad)
