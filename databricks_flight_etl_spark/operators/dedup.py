@@ -360,6 +360,7 @@ def minhash_probe(
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
     persist: bool = True,
     hash_family: str = "xxhash64",
+    verify: str = "intersect",
 ) -> DataFrame:
     """INCREMENTAL near-dup: which new documents near-duplicate the
     ACCEPTED corpus? Bands only the increment (tiny vs the corpus),
@@ -398,7 +399,8 @@ def minhash_probe(
         corpus_df.select(F.col(id_col), F.col(text_col))
     )
     out = _jaccard_verified(
-        both, text_col, id_col, cands, threshold, shingle_k, persist
+        both, text_col, id_col, cands, threshold, shingle_k, persist,
+        strategy=verify,
     )
     return out.select(
         F.col("id_a").alias("new_id"),
@@ -471,13 +473,35 @@ def minhash_candidate_pairs(
 def _jaccard_verified(
     df: DataFrame, text_col: str, id_col: str, pairs: DataFrame,
     threshold: float, shingle_k: int, persist: bool = True,
+    strategy: str = "intersect",
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs via the inverted
-    index: |A∩B| from a join on shingle, sizes from per-doc counts.
+    """Exact shingle-set Jaccard for candidate pairs. Two physical
+    strategies, identical results (both compute |A∩B| over DISTINCT
+    shingles exactly — pinned equal by test):
+
+    - ``intersect`` (default): join each pair to its two per-doc
+      shingle arrays and take ``size(array_intersect(a, b))`` per row —
+      two equi-joins, no explode/agg, and EXACT string intersection (no
+      hash step at all). Measured 5.5 s → 2.3 s cold at sf0.1 (the
+      inverted-index plan pays 3 extra shuffles + their codegen
+      compiles on kilobyte inputs — the r4 q_textprep_pipeline
+      regression's real cost). Per-pair work/memory is O(|A|+|B|),
+      the same arrays `_shingle_arrays` materializes anyway; the
+      shuffle payload is the candidate docs' shingle arrays (≈ text
+      size).
+    - ``index``: explode to (id, shingle-hash) rows and count matches
+      per pair via the inverted index — the join payload is 8 fixed
+      bytes per shingle, never the text, so prefer it when candidate
+      docs are huge (≫ MB) or a hot doc appears in very many pairs
+      (its array would be duplicated per pair under ``intersect``).
 
     Only docs that appear in some candidate pair are even SHINGLED
-    (left-semi prune on the raw docs, before the explode) — verification
-    cost scales with the candidate set, not the corpus."""
+    (left-semi prune on the raw docs, before the shingle projection) —
+    verification cost scales with the candidate set, not the corpus."""
+    if strategy not in ("intersect", "index"):
+        raise ValueError(
+            f"strategy must be 'intersect' or 'index', got {strategy!r}"
+        )
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -485,6 +509,27 @@ def _jaccard_verified(
     )
     docs = df.join(ids, id_col, "left_semi")  # AQE broadcasts when small
     arrs = _pin(_shingle_arrays(docs, text_col, id_col, shingle_k), persist)
+    if strategy == "intersect":
+        a = arrs.select(
+            F.col("__id").alias("id_a"), F.col("__shs").alias("__sa")
+        )
+        b = arrs.select(
+            F.col("__id").alias("id_b"), F.col("__shs").alias("__sb")
+        )
+        out = (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn(
+                "__shared", F.size(F.array_intersect("__sa", "__sb"))
+            )
+            .withColumn(
+                "jaccard",
+                F.col("__shared")
+                / (F.size("__sa") + F.size("__sb") - F.col("__shared")),
+            )
+        )
+        return out.where(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
     # per-row set size — no groupBy over the exploded table needed
     sizes = arrs.select("__id", F.size("__shs").alias("__sz"))
     # join key is the shingle HASH — 8 fixed bytes through the shuffle
@@ -520,9 +565,16 @@ def minhash_dedup_pairs(
     bands: int | None = 4,
     shingle_k: int = 5, persist: bool = True,
     hash_family: str = "xxhash64",
+    verify: str = "intersect",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
     threshold. Output (id_a, id_b, jaccard), id_a < id_b.
+
+    ``verify`` picks the exact-Jaccard physical strategy (identical
+    results): 'intersect' (default — per-pair array_intersect, fewest
+    shuffles) or 'index' (inverted 8-byte-hash join — prefer for
+    huge documents / extremely hot candidate ids; see
+    ``_jaccard_verified``).
 
     ``bands=None`` derives the band count from ``threshold`` via
     :func:`auto_bands` (recall-safe for any threshold); the explicit
@@ -546,7 +598,8 @@ def minhash_dedup_pairs(
         persist,
     )
     return _jaccard_verified(
-        df, text_col, id_col, cands, threshold, shingle_k, persist
+        df, text_col, id_col, cands, threshold, shingle_k, persist,
+        strategy=verify,
     )
 
 

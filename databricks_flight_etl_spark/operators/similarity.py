@@ -540,12 +540,16 @@ def ann_topk_ivf(
     n_probe: int = 4,
     iters: int = 2,
     decimals: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """IVF ANN top-k: rank centroids by cosine to the probe, scan only
     the ``n_probe`` nearest lists, exact cosine re-rank within them.
     Recall misses only when a true neighbor's list ranks below n_probe.
     (In production, centroids are trained once and the assignment is a
-    stored partition column — per-query work is just the pruned scan.)"""
+    stored partition column — per-query work is just the pruned scan.)
+
+    ``checkpoint=False`` returns the lazy plan and leaves the pruned
+    cache pinned (plan-audit path); see :func:`ann_topk_ivf_batch`."""
     from pyspark import StorageLevel
 
     # prune to (id, vec) ONCE (nulls out — np.asarray(None) isn't
@@ -583,7 +587,7 @@ def ann_topk_ivf(
         # cache can be freed without the caller's later action
         # re-executing the fit lineage — no leaked persisted corpus per
         # call in long-lived sessions
-        return (
+        out = (
             cand.select(F.col(id_col), cos.alias("__cos"))
             .orderBy(F.desc("__cos"), F.asc(id_col))
             .limit(k)
@@ -591,10 +595,13 @@ def ann_topk_ivf(
                 F.col(id_col),
                 F.round(F.col("__cos"), decimals).alias("cosine"),
             )
-            .localCheckpoint()
         )
+        if not checkpoint:
+            return out
+        return out.localCheckpoint()
     finally:
-        pruned.unpersist()
+        if checkpoint:
+            pruned.unpersist()
 
 
 def ivf_assign_pandas(
@@ -685,6 +692,7 @@ def ann_topk_ivf_batch(
     n_probe: int = 4,
     iters: int = 2,
     decimals: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """IVF ANN for MANY probes in one job: each probe scans only its
     ``n_probe`` nearest inverted lists; one corpus pass serves the whole
@@ -698,6 +706,11 @@ def ann_topk_ivf_batch(
     equi-join on list_id against the assigned corpus — at 100 TB with
     the corpus stored partitioned by list_id, that is a partition-
     prunable scan of the union of the probes' lists.
+
+    ``checkpoint=False`` returns the LAZY plan (same physical shape,
+    nothing materialized) and leaves the pruned corpus cache pinned for
+    the caller to free — the plan-audit/debug path; the default
+    materializes the |probes|×k answer and frees the cache (leak fix).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -737,7 +750,7 @@ def ann_topk_ivf_batch(
         )
         # |probes|×k rows — materialize so the cache can be freed
         # without the caller's action re-running the fit (leak fix)
-        return (
+        out = (
             cands.select(
                 "probe_id",
                 F.col(id_col),
@@ -751,10 +764,13 @@ def ann_topk_ivf_batch(
                 "rank",
                 F.round("__cos", decimals).alias("cosine"),
             )
-            .localCheckpoint()
         )
+        if not checkpoint:
+            return out
+        return out.localCheckpoint()
     finally:
-        pruned.unpersist()
+        if checkpoint:
+            pruned.unpersist()
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -697,6 +697,7 @@ def split_sentences(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 8, window: int = 4, hash_family: str = "xxhash64",
+    max_fingerprints: int | None = None,
 ) -> DataFrame:
     """Winnowing fingerprints (the MOSS scheme): hash every k-gram,
     keep the minimum hash of each sliding window of ``window`` k-grams,
@@ -708,8 +709,21 @@ def winnow_fingerprints(
     Output: (id, fp) long table, one row per distinct selected hash.
     The whole selection is per-row array math (k-gram order is
     positional, so no explode/regroup that could reorder): normalize →
-    ordered k-gram hashes → window minima → explode. The only shuffle
-    is the final distinct on (id, fp).
+    ordered k-gram hashes → window minima → in-array dedup → explode.
+    The only shuffle is the final distinct on (id, fp), which the
+    in-array dedup has already reduced to ≈ its output size.
+
+    Output growth bound: winnowing selects ≈ 2/(window+1) of the
+    k-gram positions (Schleimer et al., SIGMOD'03 density bound), so
+    the output is LINEAR in total corpus characters — ≤ len(text)
+    rows per doc before dedup, ≈ 2·len/(window+1) expected.
+    ``max_fingerprints`` caps per-document output hard: the SMALLEST
+    ``max_fingerprints`` selected hashes are kept (a deterministic
+    bottom-k of the winnowed set — min-wise, so two near-identical
+    docs keep near-identical capped sets, preserving overlap-detection
+    power; a positional prefix would not). Use it when document length
+    is unbounded (crawl data at 100 TB) to make downstream joins on
+    ``fp`` provably O(docs·cap) instead of O(total characters).
     """
     from .dedup import normalize_text  # local import: avoid module cycle
 
@@ -739,8 +753,20 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
         lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
     )
+    # dedupe inside the row BEFORE exploding: the explode emits each
+    # selected hash once per doc (not once per window that selected
+    # it), so the final distinct shuffles ~output-size rows, not
+    # ~one row per k-gram position
+    selected = F.array_distinct(win_mins)
+    if max_fingerprints is not None:
+        if max_fingerprints < 1:
+            raise ValueError(
+                f"max_fingerprints must be >= 1, got {max_fingerprints}"
+            )
+        # bottom-k of the selected hashes: deterministic, min-wise
+        selected = F.slice(F.array_sort(selected), 1, max_fingerprints)
     return (
-        hashed.select(F.col(id_col), F.explode(win_mins).alias("fp"))
+        hashed.select(F.col(id_col), F.explode(selected).alias("fp"))
         .distinct()
     )
 

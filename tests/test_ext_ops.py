@@ -60,6 +60,38 @@ def test_minhash_near_dup(spark, docs):
     assert all(3 not in p for p in got)
 
 
+def test_jaccard_verify_strategies_identical(spark):
+    """r5: the verify stage's two physical strategies — per-pair
+    array_intersect (default; fewest shuffles, the q_textprep_pipeline
+    regression fix) and the inverted 8-byte-hash index (mega-doc
+    regime) — must return IDENTICAL (id_a, id_b, jaccard) rows on a
+    corpus with exact dups, near dups, and non-dups."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup
+        (2, base.replace("lazy", "sleepy")),         # near dup
+        (3, "completely different text about spark physical plans "
+            "and shuffle exchanges, long enough to shingle " * 3),
+        (4, base[:-30]),                             # truncated near dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.5, bands=8, shingle_k=7)
+    a = sorted(map(tuple, dedup.minhash_dedup_pairs(
+        df, "text", "doc_id", verify="intersect", **kw).collect()))
+    b = sorted(map(tuple, dedup.minhash_dedup_pairs(
+        df, "text", "doc_id", verify="index", **kw).collect()))
+    assert a == b and len(a) >= 3
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        dedup._jaccard_verified(
+            df, "text", "doc_id",
+            spark.createDataFrame([], "id_a long, id_b long"),
+            0.5, 7, strategy="bogus",
+        )
+
+
 def test_simhash_near_dup(spark, docs):
     pairs = dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
@@ -295,6 +327,44 @@ def test_winnow_shared_run_guarantee(spark):
     }
     assert by_doc[0] & by_doc[1], "shared run must produce shared fingerprints"
     assert not (by_doc[0] & by_doc[2] and by_doc[1] & by_doc[2])
+
+
+def test_winnow_fingerprint_cap(spark):
+    """r4 verdict task #4: max_fingerprints bounds per-doc output hard
+    (O(docs*cap) downstream joins), the cap keeps the SMALLEST selected
+    hashes (min-wise bottom-k — near-identical docs keep near-identical
+    capped sets, so shared runs still collide), and cap=None is
+    unchanged from the certified uncapped behavior."""
+    shared = "this exact sentence appears in both documents verbatim"
+    rows = [
+        (0, "prefix one " + shared + " and a long unique suffix " * 8),
+        (1, "other lead " + shared + " with its own distinct tail " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = text.winnow_fingerprints(df, "text", "doc_id", k=8, window=4)
+    capped = text.winnow_fingerprints(
+        df, "text", "doc_id", k=8, window=4, max_fingerprints=10
+    )
+    full_by = {
+        i: {r["fp"] for r in full.where(F.col("doc_id") == i).collect()}
+        for i in (0, 1)
+    }
+    cap_by = {
+        i: {r["fp"] for r in capped.where(F.col("doc_id") == i).collect()}
+        for i in (0, 1)
+    }
+    for i in (0, 1):
+        assert len(full_by[i]) > 10  # cap is actually binding here
+        # bottom-k of the uncapped set, exactly
+        assert cap_by[i] == set(sorted(full_by[i])[:10])
+    # min-wise property: the docs still collide under the cap
+    assert cap_by[0] & cap_by[1]
+    import pytest
+
+    with pytest.raises(ValueError, match="max_fingerprints"):
+        text.winnow_fingerprints(
+            df, "text", "doc_id", max_fingerprints=0
+        )
 
 
 def test_ivf_ann_clustered(spark):

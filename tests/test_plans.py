@@ -134,8 +134,20 @@ def test_ann_ivf_batch_no_corpus_shuffle_join(spark):
     """VERDICT r3 #5: the batched IVF probe must equi-join candidate
     lists via BROADCAST of the tiny (probe x n_probe) side — the corpus
     never sort-merges — and the probe-id filter must push to the scan.
-    Shuffles: corpus spread + per-probe Window only."""
-    df = entrymod.q_ann_ivf_batch(spark, SF)
+    Shuffles: corpus spread + per-probe Window only.
+
+    r4's leak fix made the production path return a localCheckpoint
+    (lineage truncated to a scan), so audit the checkpoint=False twin —
+    the identical plan, just not yet materialized."""
+    from databricks_flight_etl_spark import sources
+    from databricks_flight_etl_spark.operators.similarity import (
+        ann_topk_ivf_batch,
+    )
+
+    emb = sources.load_table(spark, SF, "embeddings")
+    df = ann_topk_ivf_batch(
+        emb, probe_ids=[0, 1, 2, 3], k=10, checkpoint=False
+    )
     audit = plans.plan_audit(df)
     assert audit["n_sortmerge_joins"] == 0, audit
     assert audit["n_broadcast_joins"] >= 1, audit
@@ -162,6 +174,30 @@ def test_textprep_full_funnel_shuffle_budget(spark):
     audit = plans.plan_audit(df)
     assert audit["n_shuffles"] <= 4, audit
     assert audit["n_sortmerge_joins"] == 0, audit
+
+
+def test_textprep_pipeline_verify_stage_shape(spark):
+    """r4 verdict task #2 pin: the near-dup verify stage must stay the
+    two-join array_intersect shape — the inverted-index form's three
+    extra shuffles (explode → per-pair agg → size joins) were the real
+    cost behind the r4 q_textprep_pipeline regression. If an Exchange
+    or SortMergeJoin creeps back into the production funnel, fail."""
+    df = entrymod.q_textprep_pipeline(spark, SF)
+    audit = plans.plan_audit(df)
+    assert audit["n_sortmerge_joins"] == 0, audit
+    assert audit["n_shuffles"] <= 4, audit
+    # the survivor stage checkpoints the pair lineage out of the final
+    # plan, so pin the verify strategy on the pairs plan itself
+    from databricks_flight_etl_spark.operators import dedup
+    from databricks_flight_etl_spark import sources
+
+    docs = sources.load_table(spark, SF, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.8, bands=8, shingle_k=7,
+        persist=False,
+    )
+    p = plans.explain_str(pairs)
+    assert "array_intersect" in p, "verify lost the intersect strategy"
 
 
 def test_jl_project_is_narrow(spark):

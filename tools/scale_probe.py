@@ -7,7 +7,11 @@ observed time ratio next to the size ratio. A ratio far above the size
 ratio exposes super-linear behavior (candidate-pair blowup, missing
 stop-shingle cap, accidental cartesian) that small fixed SFs hide.
 
-Usage: python tools/scale_probe.py [factor=10]
+Usage: python tools/scale_probe.py [factor=10] [op ...]
+
+Naming ops restricts the probe to that subset — e.g.
+``python tools/scale_probe.py 100 winnow`` runs the 100x winnow-only
+probe (the full op set at 100x would take hours).
 """
 
 from __future__ import annotations
@@ -276,6 +280,7 @@ def _centroid(vecs):
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     from databricks_flight_etl_spark.session import get_spark
     from databricks_flight_etl_spark.operators import dedup, similarity, text
 
@@ -321,6 +326,12 @@ def main() -> None:
         "resample_mix": lambda d, v: _resample(d),
         "centroid_outlier": lambda d, v: _centroid(v),
     }
+
+    if only:
+        unknown = only - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in only}
 
     results = {}
     for scale, label in ((1, "1x"), (factor, f"{factor}x")):
