@@ -71,6 +71,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_parts(spark: SparkSession, n: int = 4):
+    """Size streaming state stores to the harness micro-batches: one
+    state store per shuffle partition PER STATEFUL OPERATOR, so the
+    batch default of 32 pays ~32x bookkeeping for dozens of keys —
+    measured ~24 s of the r4 bench suite in pure trigger overhead
+    (VERDICT r4 task #8). At production scale the same knob goes UP
+    with key cardinality instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts projected to epoch microseconds (cross-engine-stable)."""
     return _t(spark, sf_dir, "events").select(
@@ -1797,14 +1816,15 @@ def q_streaming_minhash(spark, sf_dir):
     out = streaming_minhash_candidates(
         stream, idx, "text", "doc_id", shingle_k=7, hash_family="md5"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("smh_out").outputMode("append").start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("smh_out").outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("smh_out").orderBy("new_id", "corpus_id")
 
 
@@ -1828,14 +1848,15 @@ def q_streaming_enrich(spark, sf_dir):
         "c_custkey", "c_mktsegment"
     )
     enriched = streaming_enrich(stream, cust, "c_custkey", "left")
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName("enr_out").outputMode("append").start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enr_out").outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table("enr_out")
         .groupBy("c_mktsegment")
@@ -1930,16 +1951,17 @@ def q_streaming_interval_join(spark, sf_dir):
     ).select(
         F.col("l.user_id").alias("user_id"), "view_id", "purchase_id"
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssj_out")
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("ssj_out").orderBy(
         "user_id", "view_id", "purchase_id"
     )
@@ -2368,11 +2390,12 @@ def q_streaming_hll(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stage = tempfile.mkdtemp(prefix="flight_etl_shll_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    out = run_stream_to_memory(
-        spark, stage, raw_schema,
-        lambda s: streaming_hll(s, "event_id", p=10),
-        query_name="shll_out", output_mode="complete",
-    )
+    with _stream_parts(spark):
+        out = run_stream_to_memory(
+            spark, stage, raw_schema,
+            lambda s: streaming_hll(s, "event_id", p=10),
+            query_name="shll_out", output_mode="complete",
+        )
     return out.orderBy("bucket")
 
 
@@ -2420,13 +2443,14 @@ def q_streaming_quantile_sketch(spark, sf_dir):
         .load(stage)
     )
     k = 1_000_000
-    q = streaming_mrl_sketch(
-        stream, "value", f"{root}/state", f"{root}/ckpt", k=k
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_parts(spark):
+        q = streaming_mrl_sketch(
+            stream, "value", f"{root}/state", f"{root}/ckpt", k=k
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     state = spark.read.parquet(f"{root}/state")
     return mrl_quantiles(
         state, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
