@@ -43,7 +43,11 @@ from databricks_flight_etl_spark.operators.text import (
     PII_EMAIL,
     PII_IP,
     PII_PHONE,
+    bpe_apply_merges,
+    bpe_train_merges,
     lang_id,
+    line_dedup_global,
+    repetition_signals,
     text_quality,
     token_counts,
     token_top_k,
@@ -4790,6 +4794,69 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 
+def _docs_multiline(spark, sf_dir):
+    """documents with text re-lined at 8 words per line: the synthetic
+    docs are single-line, so line-level operators (C4 line dedup,
+    dup-line fraction) need a derived multi-line corpus BOTH engines
+    rebuild identically — the oracle replays the same 8-word slicing
+    (generate_series + list slice) before comparing."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    return docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style GLOBAL line-level dedup (Raffel et al. 2020
+    §2.2): each distinct line survives only at its first corpus
+    occurrence (ordered by doc_id, position), sub-2-word lines drop,
+    docs reassemble in original order. Certified: the oracle replays
+    the line derivation, the first-winner rule (row_number over
+    (doc_id, pos)) and the ordered string_agg reassembly."""
+    docs = _docs_multiline(spark, sf_dir)
+    return line_dedup_global(
+        docs, "text", "doc_id", min_words=2
+    ).orderBy("doc_id")
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition quality signals (Rae et al. 2021 A1.1) on the
+    derived multi-line corpus: within-doc duplicate-line fraction, the
+    top word-bigram's character coverage (ties → smallest gram), and
+    the share of 5-gram characters in grams repeated ≥2×. One shuffle
+    (spread by doc_id satisfies both gram groupings). Certified — the
+    oracle replays grams via list slices + window tie-break."""
+    docs = _docs_multiline(spark, sf_dir)
+    return repetition_signals(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def q_bpe_encode(spark, sf_dir):
+    """REAL byte-pair encoding end-to-end (Sennrich et al. 2016):
+    greedily train 8 merges on the corpus' distinct-word frequency
+    table (weighted pair counts, count-desc/pair-asc tie-break —
+    deterministic), then encode every document with the learned ranks
+    (lowest-rank adjacent pair merges first — the GPT-2 encode loop)
+    via an Arrow-batched kernel. Iterative training is not
+    SQL-expressible → rows-only; the train+encode algebra is pinned
+    exactly by unit test on the classic low/lower/newest corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(
+        docs.where(F.col("doc_id") < 200), "text", n_merges=8
+    )
+    enc = bpe_apply_merges(docs, "text", "doc_id", merges)
+    return enc.select(
+        "doc_id",
+        F.size("units").alias("n_units"),
+        F.array_join(F.slice("units", 1, 5), " ").alias("head_units"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate may evaluate only the
     # first 50 entries, so the window is curated (round-1 lesson):
@@ -5039,6 +5106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitwise": q_bitwise,
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
+        "q_line_dedup": q_line_dedup,
+        "q_repetition_signals": q_repetition_signals,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -5051,6 +5120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_embed_dup_lsh": q_embed_dup_lsh,
         "q_jl_project_wide": q_jl_project_wide,
+        "q_bpe_encode": q_bpe_encode,
     }
 
 
@@ -9373,5 +9443,125 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT w FROM tri
         )
         GROUP BY node ORDER BY node
+    """
+    # both line-level oracles rebuild the SAME derived 8-words-per-line
+    # corpus the Spark query derives (zipped unnests replay
+    # posexplode), then replay the operator's algebra exactly
+    d["q_line_dedup"] = """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1
+                   )) AS pos,
+                   unnest(list_transform(
+                       generate_series(
+                           0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1
+                       ),
+                       i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+                   )) AS line
+            FROM t
+        ),
+        ok AS (
+            SELECT * FROM lines
+            WHERE len(list_filter(string_split(line, ' '),
+                                  w -> w <> '')) >= 2
+        ),
+        winners AS (
+            SELECT doc_id, pos, line FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY line ORDER BY doc_id, pos
+                ) AS rn FROM ok
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean,
+                   CAST(count(*) AS BIGINT) AS n_lines_kept
+            FROM winners GROUP BY doc_id
+        ),
+        spine AS (
+            SELECT doc_id,
+                   CAST(ceil(len(toks)/8.0) AS BIGINT) AS n_lines_total
+            FROM t
+        )
+        SELECT s.doc_id,
+               coalesce(k.clean, '') AS clean,
+               CAST(coalesce(k.n_lines_kept, 0) AS BIGINT)
+                   AS n_lines_kept,
+               s.n_lines_total
+        FROM spine s LEFT JOIN kept k USING (doc_id)
+        ORDER BY s.doc_id
+    """
+    d["q_repetition_signals"] = """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        ml AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       generate_series(
+                           0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1
+                       ),
+                       i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+                   ), chr(10)) AS text2
+            FROM t
+        ),
+        base AS (
+            SELECT doc_id, text2,
+                   string_split(text2, chr(10)) AS lines,
+                   list_filter(string_split(text2, ' '),
+                               w -> w <> '') AS wt,
+                   len(text2) AS chars
+            FROM ml
+        ),
+        tg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(wt) - 1),
+                       i -> array_to_string(wt[i:i+1], ' ')
+                   )) AS g
+            FROM base WHERE len(wt) >= 2
+        ),
+        ttop AS (
+            SELECT doc_id, c * len(g) AS topchars FROM (
+                SELECT doc_id, g, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY count(*) DESC, g
+                       ) AS rn
+                FROM tg GROUP BY doc_id, g
+            ) WHERE rn = 1
+        ),
+        dg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(wt) - 4),
+                       i -> array_to_string(wt[i:i+4], ' ')
+                   )) AS g
+            FROM base WHERE len(wt) >= 5
+        ),
+        dsum AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
+                       AS dupchars,
+                   SUM(c * len(g)) AS allchars
+            FROM (
+                SELECT doc_id, g, count(*) AS c
+                FROM dg GROUP BY doc_id, g
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round(1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE)
+                     / len(b.lines), 6) AS dup_line_frac,
+               round(coalesce(CAST(t.topchars AS DOUBLE) / b.chars,
+                              0.0), 6) AS top2_char_frac,
+               round(coalesce(CAST(d.dupchars AS DOUBLE) / d.allchars,
+                              0.0), 6) AS dup5_char_frac
+        FROM base b
+        LEFT JOIN ttop t USING (doc_id)
+        LEFT JOIN dsum d USING (doc_id)
+        ORDER BY b.doc_id
     """
     return d

@@ -42,6 +42,10 @@ __all__ = [
     "dedup_repeated_spans",
     "drop_boilerplate_spans",
     "ngram_lm_score",
+    "line_dedup_global",
+    "repetition_signals",
+    "bpe_apply_merges",
+    "bpe_train_merges",
 ]
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -891,3 +895,340 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n"), "left", "right")
         .limit(k)
     )
+
+
+def line_dedup_global(
+    df: DataFrame, text_col: str, id_col: str,
+    line_sep: str = "\n", min_words: int = 1,
+) -> DataFrame:
+    """C4/RefinedWeb-style GLOBAL line-level dedup (Raffel et al. 2020
+    §2.2; Penedo et al. 2023): split every document into lines, keep
+    each distinct line's FIRST corpus occurrence only (ordered by
+    (id, position) — deterministic), drop lines under ``min_words``
+    whitespace words, and reassemble the surviving lines per document
+    in their original order. This removes boilerplate repeated across
+    pages (nav bars, cookie banners, license headers) that
+    whole-document dedup can never touch.
+
+    Output: (id, clean, n_lines_kept, n_lines_total) — one row per
+    INPUT document (a doc whose every line loses gets clean='').
+
+    Engine shape: the winner per line is ``groupBy(line).agg(min(
+    struct(id, pos)))`` — ONE shuffle with map-side partial
+    aggregation (crucially NOT a window over lines, which would
+    sort-shuffle every line occurrence; the partial agg collapses
+    corpus-frequent lines to one row per map task). The winner rows
+    already carry (id, pos, line), so reassembly is a groupBy(id) over
+    winners only — strictly smaller than the corpus — plus a broadcast-
+    friendly join back to the doc spine for the per-doc totals. At
+    100 TB the line-shuffle payload is the distinct-lines surface, the
+    same bound the final corpus pays anyway.
+    """
+    lines_col = F.split(F.col(text_col), F.lit(line_sep))
+    parts = (
+        spread(df.select(F.col(id_col), lines_col.alias("__ls")), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("__ls")).alias("__pos", "__line"),
+        )
+    )
+    n_words = F.size(
+        F.filter(F.split(F.col("__line"), " "), lambda w: w != "")
+    )
+    ok = parts.where(n_words >= min_words)
+    winners = (
+        ok.groupBy("__line")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+            ).alias("__w")
+        )
+        .select(
+            F.col("__w.i").alias(id_col),
+            F.col("__w.p").alias("__pos"),
+            F.col("__line"),
+        )
+    )
+    kept = (
+        winners.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias("clean"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    spine = df.select(
+        F.col(id_col), F.size(lines_col).alias("n_lines_total")
+    )
+    return (
+        spine.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            "n_lines_total",
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str,
+    line_sep: str = "\n", top_n: int = 2, dup_n: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    Appendix A1.1) per document:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line in the SAME document, ``1 − distinct/total``.
+    - ``top{top_n}_char_frac``: characters covered by the single most
+      frequent word ``top_n``-gram over the document's characters:
+      ``count·len(gram) / len(text)`` (ties → lexicographically
+      smallest gram; 0.0 when the doc has < top_n words).
+    - ``dup{dup_n}_char_frac``: fraction of ``dup_n``-gram-covered
+      characters lying in grams that occur ≥ 2 times:
+      ``Σ_{cnt≥2} cnt·len / Σ cnt·len`` (0.0 with no grams).
+
+    High values flag machine-generated / templated / crawler-looped
+    text that length and stopword filters miss.
+
+    Engine shape: dup_line_frac is pure per-row array math. The n-gram
+    counts group by (id, gram) and then by id — both satisfied by the
+    single spread-by-id exchange (HashPartitioning(id) co-locates
+    every (id, gram)), so the whole operator costs ONE shuffle and the
+    gram strings never leave their partition.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+    def grams(n: int) -> Column:
+        k = F.size(F.col("__t")) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(F.col("__t"), i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.split(F.col(text_col), F.lit(line_sep))
+    base = spread(
+        df.select(
+            F.col(id_col),
+            toks.alias("__t"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(lines)) / F.size(lines)
+            ).alias("__dlf"),
+            F.length(F.col(text_col)).alias("__chars"),
+        ),
+        id_col,
+    ).select(
+        F.col(id_col), "__dlf", "__chars",
+        grams(top_n).alias("__tg"), grams(dup_n).alias("__dg"),
+    )
+    exploded = base.select(
+        F.col(id_col), "__dlf", "__chars",
+        F.explode_outer(
+            F.arrays_zip(
+                F.col("__tg").alias("t"), F.col("__dg").alias("d")
+            )
+        ).alias("__z"),
+    ).select(
+        id_col, "__dlf", "__chars",
+        F.col("__z.t").alias("__tgram"), F.col("__z.d").alias("__dgram"),
+    )
+    # (id, gram) counts for both n settings in one pass; the null gram
+    # rows (doc shorter than n words / zip tail) drop out per column
+    tops = (
+        exploded.where(F.col("__tgram").isNotNull())
+        .groupBy(id_col, "__tgram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            # min(struct(-count, gram)): largest count wins, ties go to
+            # the lexicographically smallest gram — deterministic and
+            # oracle-replayable (row_number over count desc, gram asc)
+            F.min(
+                F.struct(
+                    (-F.col("__c")).alias("__nc"), F.col("__tgram")
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.col(id_col),
+            (
+                -F.col("__m.__nc") * F.length(F.col("__m.__tgram"))
+            ).alias("__topchars"),
+        )
+    )
+    dups = (
+        exploded.where(F.col("__dgram").isNotNull())
+        .groupBy(id_col, "__dgram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0)
+                * F.length("__dgram")
+            ).alias("__dupchars"),
+            F.sum(F.col("__c") * F.length("__dgram")).alias("__allchars"),
+        )
+    )
+    return (
+        base.select(id_col, "__dlf", "__chars")
+        .join(tops, id_col, "left")
+        .join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.col("__dlf"), decimals).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("__topchars") / F.col("__chars"),
+                           F.lit(0.0)),
+                decimals,
+            ).alias(f"top{top_n}_char_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("__dupchars") / F.col("__allchars"), F.lit(0.0)
+                ),
+                decimals,
+            ).alias(f"dup{dup_n}_char_frac"),
+        )
+    )
+
+
+def bpe_apply_merges(
+    df: DataFrame, text_col: str, id_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "units",
+) -> DataFrame:
+    """Apply a LEARNED byte-pair-encoding merge list to every document
+    (Sennrich et al. 2016): each whitespace word starts as its
+    character sequence; repeatedly merge the adjacent pair with the
+    LOWEST merge rank present (the standard greedy encode loop, the
+    one GPT-2's encoder runs) until no listed pair remains. Output:
+    (id, out_col array<string>) — the subword units, word boundaries
+    preserved by construction (merges never cross whitespace).
+
+    Engine shape: per-row sequential by nature (each merge changes the
+    neighbors the next merge sees), so this is the documented Python
+    tier — an Arrow-batched mapInPandas kernel with the rank dict
+    built once per executor batch iterator, never per row. Cost is
+    O(len·|applied merges|) per doc and embarrassingly parallel; no
+    shuffle at all.
+    """
+    from pyspark.sql import types as T
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+
+    def encode_word(word: str) -> list[str]:
+        units = list(word)
+        while len(units) > 1:
+            best, best_rank = None, None
+            for pair in zip(units, units[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = pair, r
+            if best is None:
+                return units
+            merged, i = [], 0
+            while i < len(units):
+                if (
+                    i + 1 < len(units)
+                    and (units[i], units[i + 1]) == best
+                ):
+                    merged.append(units[i] + units[i + 1])
+                    i += 2
+                else:
+                    merged.append(units[i])
+                    i += 1
+            units = merged
+        return units
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = [
+                [u for w in (t or "").split() for u in encode_word(w)]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, n_merges: int = 20
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on a corpus (Sennrich et al.
+    2016): each round counts adjacent-unit pairs across the corpus
+    under the merges learned so far and greedily adopts the most
+    frequent pair (count desc, pair asc — total order, so training is
+    deterministic and engine-reproducible).
+
+    Distributed the way real tokenizer training is run at scale:
+    training operates on the DISTINCT-WORD frequency table (one
+    aggregation up front — corpus size never matters again), each
+    round re-encodes the distinct words under the merges so far
+    (Arrow-batched, embarrassingly parallel) and counts
+    frequency-weighted adjacent pairs with one hash-agg shuffle; only
+    the single winning pair crosses to the driver. Train on a bounded
+    sample when the distinct-word surface itself is huge, then
+    :func:`bpe_apply_merges` encodes the full corpus in one pass.
+    Stops early when no pair occurs ≥ 2 times (weighted).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # distinct words with corpus frequencies; the weight rides through
+    # the encode kernel as the passthrough id column
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            enc = bpe_apply_merges(wf, "__t", "__n", merges, out_col="__u")
+            n = F.size(F.col("__u"))
+            adj = enc.select(
+                F.col("__n"),
+                F.when(
+                    n >= 2,
+                    F.zip_with(
+                        F.slice("__u", 1, F.greatest(n - 1, F.lit(0))),
+                        F.slice("__u", 2, F.greatest(n - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    ),
+                ).alias("__ps"),
+            ).select("__n", F.explode("__ps").alias("__p"))
+            top = (
+                adj.groupBy(
+                    F.col("__p.l").alias("l"), F.col("__p.r").alias("r")
+                )
+                .agg(F.sum("__n").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            merges.append((top[0]["l"], top[0]["r"]))
+        return merges
+    finally:
+        wf.unpersist()

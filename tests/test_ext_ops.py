@@ -2433,3 +2433,88 @@ def test_bpe_merge_candidates(spark):
     got = [(r["left"], r["right"], r["n"])
            for r in text.bpe_merge_candidates(df, "text", k=3).collect()]
     assert got == [("a", "b", 3), ("b", "a", 2), ("'", "t", 1)]
+
+
+def test_line_dedup_global(spark):
+    """C4-style global line dedup: first corpus occurrence wins
+    (ordered by id, pos), within-doc repeats drop too, short lines
+    filtered, docs losing every line survive with clean=''."""
+    rows = [
+        (0, "alpha beta gamma\nshared nav bar line\nunique tail zero"),
+        (1, "shared nav bar line\ndelta epsilon\nshared nav bar line"),
+        (2, "x\nshared nav bar line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean"], r["n_lines_kept"], r["n_lines_total"])
+        for r in text.line_dedup_global(
+            df, "text", "doc_id", min_words=2
+        ).collect()
+    }
+    assert out[0] == (
+        "alpha beta gamma\nshared nav bar line\nunique tail zero", 3, 3
+    )
+    assert out[1] == ("delta epsilon", 1, 3)
+    # doc 2: 'x' fails min_words, the shared line lost to doc 0
+    assert out[2] == ("", 0, 2)
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition metrics, hand-checked: dup_line_frac counts
+    repeated lines in-doc; top2_char_frac covers count*len of the most
+    frequent bigram over doc chars; dup5_char_frac is the weighted
+    share of 5-grams occurring twice or more."""
+    rows = [
+        (0, "a b a b a b c\nd e\nd e"),
+        (1, "one two three four five six seven"),
+        # doc 2: 'p q r s t' appears twice -> every 5-gram window
+        # inside the repeats duplicates
+        (2, "p q r s t p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["dup_line_frac"], r["top2_char_frac"], r["dup5_char_frac"]
+        )
+        for r in text.repetition_signals(df, "text", "doc_id").collect()
+    }
+    # doc 0: lines [aababab c, d e, d e] -> 1 - 2/3; top bigram 'a b' x3
+    # (len 3) over 21 chars; no repeated 5-gram
+    assert out[0] == (round(1 - 2 / 3, 6), round(9 / 21, 6), 0.0)
+    # doc 1: every bigram count 1 -> tie broken to the smallest gram
+    # 'five six' (len 8) over 33 chars
+    assert out[1] == (0.0, round(8 / 33, 6), 0.0)
+    # doc 2: six 5-gram windows, 'p q r s t' twice (2*9 chars) of the
+    # 6 windows' 9+9+9+9+9+9 chars... windows: pqrst,qrstp,rstpq,
+    # stpqr,tpqrs,pqrst -> dup mass 2*9 over total 54
+    assert out[2] == (0.0, round(2 * 3 / 19, 6), round(18 / 54, 6))
+
+
+def test_bpe_train_and_apply(spark):
+    """Sennrich-style BPE: merges learned greedily by weighted pair
+    frequency (ties lexicographic), encode applies lowest-rank-first —
+    both pinned on the classic low/lower/newest corpus."""
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "newer new newest low")],
+        "doc_id long, text string",
+    )
+    merges = text.bpe_train_merges(df, "text", n_merges=5)
+    assert merges == [
+        ("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew"), ("e", "r")
+    ]
+    enc = {
+        r["doc_id"]: r["units"]
+        for r in text.bpe_apply_merges(df, "text", "doc_id", merges).collect()
+    }
+    assert enc[0] == [
+        "low", "low", "er", "low", "e", "s", "t", "low", "low"
+    ]
+    assert enc[1] == ["new", "er", "new", "new", "e", "s", "t", "low"]
+    # no merges -> pure character split
+    chars = {
+        r["doc_id"]: r["units"]
+        for r in text.bpe_apply_merges(
+            df.limit(1), "text", "doc_id", []
+        ).collect()
+    }
+    assert chars[0][:8] == list("lowlower")
