@@ -4836,6 +4836,54 @@ def q_repetition_signals(spark, sf_dir):
     return repetition_signals(docs, "text", "doc_id").orderBy("doc_id")
 
 
+def q_hamming_near_dup(spark, sf_dir):
+    """Signature-agnostic Hamming near-dup join
+    (dedup.hamming_near_dup_pairs — the pigeonhole blocking factored
+    out of SimHash, reusable for perceptual media hashes): certified on
+    a PLANTED fingerprint family — cluster base = portable md5 60-bit
+    hash of (doc_id % 50), one per-doc bit flip (bit doc_id % 60) —
+    so every within-cluster pair sits at Hamming ≤ 2 and every
+    cross-cluster pair far outside. The oracle recomputes the identical
+    signatures and verifies the FULL pairwise predicate
+    bit_count(xor) ≤ 2, proving the blocked join lossless."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.conv(
+        F.substring(F.md5((F.col("doc_id") % 50).cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    flip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"
+    )
+    sigs = docs.select("doc_id", base.bitwiseXOR(flip).alias("sig"))
+    return hamming_near_dup_pairs(
+        sigs, "sig", "doc_id", max_hamming=2
+    ).orderBy("id_a", "id_b")
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe (group-aware) train/val/test split: the split hash
+    is taken over each row's near-dup CLUSTER ROOT (connected
+    components of the embedding near-dup pairs), so near-duplicates
+    can never straddle the train/test boundary. Certified: the oracle
+    rebuilds the identical pairs + recursive-CTE closure, coalesces
+    the root, and replays the md5 threshold CASE of q_split_assign."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, block_col="label")
+    out = leakage_safe_split(
+        emb.select("vec_id"), "vec_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("vec_id", "split").orderBy("vec_id")
+
+
 def q_bpe_encode(spark, sf_dir):
     """REAL byte-pair encoding end-to-end (Sennrich et al. 2016):
     greedily train 8 merges on the corpus' distinct-word frequency
@@ -5108,6 +5156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_bucket_rollup": q_time_bucket_rollup,
         "q_line_dedup": q_line_dedup,
         "q_repetition_signals": q_repetition_signals,
+        "q_hamming_near_dup": q_hamming_near_dup,
+        "q_leakage_safe_split": q_leakage_safe_split,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -9563,5 +9613,67 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ttop t USING (doc_id)
         LEFT JOIN dsum d USING (doc_id)
         ORDER BY b.doc_id
+    """
+    # the oracle runs the UNBLOCKED full pairwise predicate over the
+    # same planted signatures — a mismatch would mean the pigeonhole
+    # blocking dropped a within-radius pair (lossless-ness check)
+    d["q_hamming_near_dup"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   xor(
+                       CAST('0x' || substring(
+                           md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15
+                       ) AS BIGINT),
+                       (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                   ) AS sig
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        ORDER BY id_a, id_b
+    """
+    # same pairs + recursive-CTE closure as q_dedup_clusters; the split
+    # CASE replays q_split_assign's thresholds over the cluster ROOT
+    d["q_leakage_safe_split"] = """
+        WITH RECURSIVE v AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS ve,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS n
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= 0.35
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r
+            FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        rooted AS (
+            SELECT e.vec_id,
+                   coalesce(c.component, e.vec_id) AS root
+            FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+        )
+        SELECT vec_id,
+               CASE
+                 WHEN substr(md5(CAST(root AS VARCHAR)), 1, 12)
+                      < 'cccccccccccd' THEN 'train'
+                 WHEN substr(md5(CAST(root AS VARCHAR)), 1, 12)
+                      < 'e66666666666' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM rooted ORDER BY vec_id
     """
     return d

@@ -45,6 +45,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash64",
     "simhash_near_dup_pairs",
+    "hamming_near_dup_pairs",
     "ngram_jaccard_pairs",
     "dedup_survivors",
     "incremental_dedup",
@@ -669,26 +670,52 @@ def simhash_near_dup_pairs(
     ``max_hamming+1`` chunks — any pair within the radius agrees on at
     least one chunk, so an equi-join on (chunk_idx, chunk_value) finds
     all of them; verify with bit_count(xor)."""
+    sig = simhash64(df, text_col, id_col, shingle_k, hash_family)
+    return hamming_near_dup_pairs(
+        sig, "simhash", id_col, max_hamming=max_hamming, persist=persist
+    )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame, sig_col: str, id_col: str,
+    max_hamming: int = 3, persist: bool = True,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column with
+    Hamming(sig) ≤ max_hamming: the signature-agnostic core of
+    :func:`simhash_near_dup_pairs`, reusable for perceptual hashes of
+    decoded media (pHash/aHash of images, chromaprint-style audio
+    fingerprints) or any other bit-signature a kernel attaches.
+
+    Pigeonhole blocking: split the 64-bit signature into
+    ``max_hamming+1`` chunks — any pair within the radius agrees on at
+    least one chunk, so an equi-join on (chunk_idx, chunk_value) finds
+    all of them (lossless); verify with bit_count(xor). No all-pairs
+    comparison anywhere: candidate volume scales with bucket collision
+    counts, the same contract as the banded MinHash join."""
     nchunks = max_hamming + 1
     width = 64 // nchunks
-    sig = simhash64(df, text_col, id_col, shingle_k, hash_family)
+    # radius 0 → one 64-bit chunk: the all-ones mask is -1 in two's
+    # complement ((1<<64)-1 overflows a signed long literal)
+    mask = -1 if width == 64 else (1 << width) - 1
     chunks = [
-        F.shiftright(F.col("simhash"), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
+        F.shiftright(F.col(sig_col), i * width)
+        .bitwiseAND(F.lit(mask))
         .alias(f"c_{i}")
         for i in range(nchunks)
     ]
-    wide = sig.select(F.col(id_col).alias("__id"), F.col("simhash"), *chunks)
+    wide = df.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"), *chunks
+    )
     stack = "stack({n}, {args}) as (chunk_idx, chunk_val)".format(
         n=nchunks, args=", ".join(f"{i}, c_{i}" for i in range(nchunks))
     )
-    long = _pin(wide.select("__id", "simhash", F.expr(stack)), persist)
+    long = _pin(wide.select("__id", "__sig", F.expr(stack)), persist)
     a = long.select(
-        F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sh_a"),
         "chunk_idx", "chunk_val",
     )
     b = long.select(
-        F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sh_b"),
         "chunk_idx", "chunk_val",
     )
     cands = (

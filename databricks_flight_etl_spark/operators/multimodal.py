@@ -36,6 +36,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "decode_features_arrow",
+    "media_fingerprint",
 ]
 
 # Typed metadata carried next to the payload; mirrors what a real
@@ -329,3 +330,28 @@ def decode_features_arrow(
             )
 
     return src.mapInArrow(_extract, out_schema)
+
+
+def media_fingerprint(
+    df: DataFrame, payload_col: str, id_col: str,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """64-bit content fingerprint per payload for Hamming-join dedup:
+    (id, out_col long). The default kernel is the ENGINE-PORTABLE
+    exact-content hash (first 15 md5 hex digits as a positive 60-bit
+    long — the same derivation as ``dedup._base_hash('md5')``), fully
+    JVM-side and replayable by any SQL engine.
+
+    A PERCEPTUAL kernel (image pHash: grayscale → 32×32 resize → DCT →
+    top-8×8 median threshold) needs PIL, which this environment does
+    not ship — run it through :func:`decode_features`'s gated ``pil``
+    kernel pattern and threshold the features into bits. Pair with
+    :func:`..dedup.hamming_near_dup_pairs` (signature-agnostic pigeonhole
+    blocking) for near-dup detection either way; with the exact kernel
+    the radius-0 matches are exactly the byte-identical payloads."""
+    return df.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col(payload_col)), 1, 15), 16, 10)
+        .cast("long")
+        .alias(out_col),
+    )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 __all__ = ["hash_bucket", "deterministic_sample", "stratified_sample",
            "pack_by_token_budget", "split_assign", "epoch_shuffle",
            "sample_n", "stratified_sample_n", "resample_to_target", "weighted_sample", "token_budget_sample",
-           "temperature_targets"]
+           "temperature_targets", "leakage_safe_split"]
 
 _PREFIX_LEN = 12
 
@@ -201,7 +201,8 @@ def pack_by_token_budget(
 
 
 def split_assign(
-    df: DataFrame, key: str, fractions: dict[str, float], salt: str = ""
+    df: DataFrame, key: Column | str, fractions: dict[str, float],
+    salt: str = "",
 ) -> DataFrame:
     """Disjoint train/val/test-style split labels, content-hash
     deterministic: the [0,1) hash coordinate is cut into consecutive
@@ -452,4 +453,40 @@ def token_budget_sample(
         df.join(F.broadcast(rates), source_col)
         .where(h < thr)
         .drop("__rate")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame, key: str, pairs: DataFrame,
+    fractions: dict[str, float], salt: str = "",
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """Group-aware train/val/test split — near-dups can NEVER straddle
+    the split boundary. Rows connected through ``pairs`` (a near-dup
+    edge list from MinHash/SimHash/embedding dedup) are collapsed to
+    their cluster root (the component's min id, via
+    :func:`..graph.connected_components`) and the split hash is taken
+    over the ROOT, so every member of a near-dup cluster lands in the
+    same split: train/test contamination through the given pair list is
+    impossible by construction (Lee et al. 2022 'Deduplicating Training
+    Data Makes Language Models Better' measures exactly this leak).
+    Unpaired rows are their own root — for them the labels equal plain
+    :func:`split_assign` (same hash, same thresholds, same salt).
+
+    Output: all input columns + ``split``. Engine shape: one CC pass
+    over the pair list only (tiny vs the corpus; driver union-find
+    under the gated budget, distributed min-label above it), one
+    left equi-join of corpus to the (node, component) table — AQE
+    broadcasts it when small — then the same narrow hash-threshold
+    projection as split_assign."""
+    from .graph import connected_components
+
+    comps = connected_components(pairs, src, dst).select(
+        F.col("node").alias("__node"),
+        F.col("component").alias("__component"),
+    )
+    joined = df.join(comps, df[key] == comps["__node"], "left")
+    root = F.coalesce(F.col("__component"), F.col(key))
+    return split_assign(joined, root, fractions, salt).drop(
+        "__node", "__component"
     )

@@ -2518,3 +2518,86 @@ def test_bpe_train_and_apply(spark):
         ).collect()
     }
     assert chars[0][:8] == list("lowlower")
+
+
+def test_hamming_near_dup_pairs_lossless(spark):
+    """The pigeonhole-blocked Hamming join must equal the full
+    pairwise predicate on an adversarial signature set: pairs at the
+    exact radius, one past it, and at radius 0."""
+    sigs = [
+        (0, 0b0),
+        (1, 0b111),            # hamming 3 from 0 (at radius)
+        (2, 0b1111),           # hamming 4 from 0 (past radius)
+        (3, 0b0),              # hamming 0 from 0
+        (4, (1 << 63) * -1 + (1 << 62)),  # far negative-bit territory
+    ]
+    df = spark.createDataFrame(sigs, "vid long, sig long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_near_dup_pairs(
+            df, "sig", "vid", max_hamming=3
+        ).collect()
+    }
+    rows = df.collect()
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            h = bin((a["sig"] ^ b["sig"]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a["vid"], b["vid"])] = h
+    assert got == want and (0, 3) in got and (0, 2) not in got
+
+
+def test_media_fingerprint_portable(spark):
+    """media_fingerprint = first 15 md5 hex digits of the payload as a
+    positive 60-bit long — byte-identical payloads collide at radius 0,
+    any difference lands far away."""
+    import hashlib
+
+    rows = [(0, b"same payload"), (1, b"same payload"), (2, b"other")]
+    df = spark.createDataFrame(rows, "mid long, payload binary")
+    from databricks_flight_etl_spark.operators import multimodal
+
+    got = {
+        r["mid"]: r["fingerprint"]
+        for r in multimodal.media_fingerprint(
+            df, "payload", "mid"
+        ).collect()
+    }
+    exp = int(hashlib.md5(b"same payload").hexdigest()[:15], 16)
+    assert got[0] == got[1] == exp and got[2] != exp
+    pairs = dedup.hamming_near_dup_pairs(
+        multimodal.media_fingerprint(df, "payload", "mid"),
+        "fingerprint", "mid", max_hamming=0,
+    ).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_leakage_safe_split(spark):
+    """Linked rows always share a split; unlinked rows match plain
+    split_assign exactly (same hash, thresholds, salt)."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        leakage_safe_split, split_assign,
+    )
+
+    rows = [(i,) for i in range(200)]
+    df = spark.createDataFrame(rows, "rid long")
+    # chain 0-1-2, pair (10,11); everything else unlinked
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["rid"]: r["split"]
+        for r in leakage_safe_split(df, "rid", pairs, fr).collect()
+    }
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    plain = {
+        r["rid"]: r["split"] for r in split_assign(df, "rid", fr).collect()
+    }
+    linked = {0, 1, 2, 10, 11}
+    assert all(got[i] == plain[i] for i in range(200) if i not in linked)
+    # cluster members inherit the ROOT's plain label
+    assert got[0] == plain[0] and got[10] == plain[10]
