@@ -4864,6 +4864,33 @@ def q_hamming_near_dup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    view and purchase value distributions: max CDF gap over the
+    distinct-value histogram (no binning choice, unlike PSI). Integer
+    counts divided once at the end → engine-identical doubles; the
+    oracle replays the same cumulative construction."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_statistic,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_statistic(ev, "value", "event_type", "view", "purchase")
+
+
+def q_mad_grouped(spark, sf_dir):
+    """Per-group robust location/scale: median + MAD of value per
+    event_type (median(|x − median|)) — outlier-immune where
+    mean/stddev are not. Both medians use the engines' shared
+    even-count midpoint convention (q_median_group certification)."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        mad_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_grouped(ev, ["event_type"], "value")
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe (group-aware) train/val/test split: the split hash
     is taken over each row's near-dup CLUSTER ROOT (connected
@@ -5158,6 +5185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_signals": q_repetition_signals,
         "q_hamming_near_dup": q_hamming_near_dup,
         "q_leakage_safe_split": q_leakage_safe_split,
+        "q_ks_drift": q_ks_drift,
+        "q_mad_grouped": q_mad_grouped,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -9675,5 +9704,49 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'test'
                END AS split
         FROM rooted ORDER BY vec_id
+    """
+    d["q_ks_drift"] = """
+        WITH t AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+              AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM t GROUP BY v
+        ),
+        cum AS (
+            SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cuma,
+                   SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cumb
+            FROM hist
+        ),
+        tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM hist)
+        SELECT round(max(abs(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb)), 6)
+                   AS ks_stat,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM cum, tot GROUP BY na, nb
+    """
+    d["q_mad_grouped"] = """
+        WITH m AS (
+            SELECT event_type, median(value) AS med,
+                   COUNT(*) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS ad,
+                   m.med, m.n
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value IS NOT NULL
+        )
+        SELECT event_type,
+               round(any_value(med), 6) AS median,
+               round(median(ad), 6) AS mad,
+               CAST(any_value(n) AS BIGINT) AS n
+        FROM dev GROUP BY event_type ORDER BY event_type
     """
     return d

@@ -23,7 +23,8 @@ __all__ = ["summary_stats", "histogram", "describe",
            "ab_welch_t", "chi_square_independence", "spearman_corr",
            "grouped_outliers_iqr", "trailing_range_agg",
            "psi_drift", "trimmed_mean_by_group", "winsorized_mean_by_group",
-           "group_linear_trend", "benford_profile", "grouped_pearson"]
+           "group_linear_trend", "benford_profile", "grouped_pearson",
+           "ks_statistic", "mad_grouped"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -915,4 +916,99 @@ def grouped_pearson(
         *group_cols,
         F.col("__n").cast("long").alias("n"),
         F.round(corr, decimals).alias("corr"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, group_col: str,
+    group_a, group_b, decimals: int = 6,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups: ``max |F_a(x) − F_b(x)|`` over the
+    union of observed values — the standard drift test for a numeric
+    feature between two snapshots/cohorts (PSI's rank-free sibling;
+    unlike :func:`psi_drift` it needs no binning choice). Output one
+    row (ks_stat, n_a, n_b); nulls excluded.
+
+    Engine shape: one hash-agg to the per-(value) a/b counts, ONE
+    ordered window over the DISTINCT-value histogram (bounded by value
+    cardinality, ≪ rows — the quantiles_exact justification), then a
+    global max. The raw rows are never sorted. Pure integer counts
+    divided once at the end keep the doubles engine-reproducible."""
+    from pyspark.sql import Window
+
+    t = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == group_a).cast("long").alias("__a"),
+    )
+    hist = t.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    totals = hist.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("__cuma") / F.col("__na")
+                - F.col("__cumb") / F.col("__nb")
+            ).alias("__d"),
+            "__na", "__nb",
+        )
+        .groupBy("__na", "__nb")
+        .agg(F.round(F.max("__d"), decimals).alias("ks_stat"))
+        .select(
+            "ks_stat",
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+        )
+    )
+
+
+def mad_grouped(
+    df: DataFrame, group_cols: list[str], col: str, decimals: int = 6,
+) -> DataFrame:
+    """Per-group median and MAD (median absolute deviation,
+    ``median(|x − median_g(x)|)``) — the robust location/scale pair
+    that outliers cannot drag the way mean/stddev can; the basis of
+    the robust z-score ``|x − med| / (1.4826·mad)``. Both medians use
+    the engines' shared even-count midpoint convention (the
+    q_median_group certification), rounded to absorb the final-average
+    ulp. Output: (group_cols…, median, mad, n).
+
+    Engine shape: grouped median, join the per-group median back
+    (broadcast when the group table is small, plain keyed join
+    otherwise — AQE decides), grouped median of the absolute
+    deviations. Two hash-agg shuffles on the group key; the raw rows
+    shuffle once."""
+    meds = df.where(F.col(col).isNotNull()).groupBy(*group_cols).agg(
+        F.median(col).alias("__med"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    dev = (
+        df.where(F.col(col).isNotNull())
+        .join(meds, group_cols)
+        .select(
+            *group_cols, "__med", "__n",
+            F.abs(F.col(col) - F.col("__med")).alias("__ad"),
+        )
+    )
+    return (
+        dev.groupBy(*group_cols)
+        .agg(
+            F.round(F.first("__med"), decimals).alias("median"),
+            F.round(F.median("__ad"), decimals).alias("mad"),
+            F.first("__n").alias("n"),
+        )
+        .orderBy(*group_cols)
     )

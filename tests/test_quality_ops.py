@@ -884,3 +884,38 @@ def test_association_pairs_empty_schema_matches_item_type(spark):
     assert [f.dataType for f in out.schema.fields] == \
            [f.dataType for f in got.schema.fields]
     assert got.schema["item_a"].dataType.simpleString() == "string"
+
+
+def test_ks_statistic_hand_checked(spark):
+    """KS on a tiny hand-computable pair: A={1,2,3,4}, B={3,4,5,6}
+    -> max CDF gap at value 2: |2/4 - 0/4| = 0.5."""
+    from databricks_flight_etl_spark.operators.accuracy import ks_statistic
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("b", v) for v in [3.0, 4.0, 5.0, 6.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = ks_statistic(df, "x", "g", "a", "b").first()
+    assert (r["ks_stat"], r["n_a"], r["n_b"]) == (0.5, 4, 4)
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "g string, x double",
+    )
+    assert ks_statistic(same, "x", "g", "a", "b").first()["ks_stat"] == 0.0
+
+
+def test_mad_grouped_robust(spark):
+    """MAD ignores the outlier the stddev would explode on: group a =
+    {1..5, 1000}: median 3.5, |x-3.5| = {2.5,1.5,0.5,0.5,1.5,996.5},
+    MAD = 1.5. Null values drop."""
+    from databricks_flight_etl_spark.operators.accuracy import mad_grouped
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 1000]] + [
+        ("b", 7.0), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r["g"]: (r["median"], r["mad"], r["n"])
+           for r in mad_grouped(df, ["g"], "x").collect()}
+    assert out["a"] == (3.5, 1.5, 6)
+    assert out["b"] == (7.0, 0.0, 1)
