@@ -4864,6 +4864,63 @@ def q_hamming_near_dup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Bounded-state streaming heavy hitters: the documents' words
+    replayed as TWO micro-batches through a foreachBatch-maintained
+    Misra-Gries counter table (sum batch counts into state; cap by
+    subtracting the (capacity+1)-th largest when over capacity). In
+    the exact (capacity ≥ distinct-terms) configuration no cap fires,
+    so after the replay the state reads out EXACTLY the batch word
+    counts — the oracle — certifying the incremental fold end-to-end
+    (replay-idempotence unit-tested like the MRL twin)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.streaming import (
+        streaming_heavy_hitters,
+    )
+
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="flight_etl_shh_")
+    stage = f"{root}/in"
+    for name, half in (
+        ("even", docs.where(F.col("doc_id") % 2 == 0)),
+        ("odd", docs.where(F.col("doc_id") % 2 == 1)),
+    ):
+        tmp = f"{root}/tmp_{name}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{stage}/{name}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+    words = stream.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("w")
+    )
+    with _stream_parts(spark):
+        q = streaming_heavy_hitters(
+            words, "w", f"{root}/state", f"{root}/ckpt",
+            capacity=1_000_000,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    state = spark.read.parquet(f"{root}/state")
+    return state.select("term", "cnt").orderBy("term")
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample Kolmogorov–Smirnov drift statistic between the
     view and purchase value distributions: max CDF gap over the
@@ -5187,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_ks_drift": q_ks_drift,
         "q_mad_grouped": q_mad_grouped,
+        "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -9748,5 +9806,16 @@ def oracle_sql() -> dict[str, str]:
                round(median(ad), 6) AS mad,
                CAST(any_value(n) AS BIGINT) AS n
         FROM dev GROUP BY event_type ORDER BY event_type
+    """
+    # exact config (no cap fires): the streamed MG state must equal the
+    # one-shot word counts
+    d["q_streaming_heavy_hitters"] = """
+        SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS t
+            FROM documents
+        )
+        GROUP BY t ORDER BY term
     """
     return d

@@ -21,6 +21,7 @@ from .jobs import (
     streaming_running_counts_tws,
     streaming_sessionize,
     streaming_upsert_parquet,
+    streaming_heavy_hitters,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "streaming_sessionize",
     "streaming_upsert_parquet",
     "run_stream_to_memory",
+    "streaming_heavy_hitters",
 ]

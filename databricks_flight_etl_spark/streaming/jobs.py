@@ -24,6 +24,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_enrich",
     "streaming_minhash_candidates",
+    "streaming_heavy_hitters",
 ]
 
 
@@ -445,6 +446,76 @@ def streaming_mrl_sketch(
             .withColumn("__last_batch", F.lit(batch_id).cast("long"))
             .localCheckpoint(eager=True)
         )
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+):
+    """foreachBatch-maintained Misra-Gries heavy-hitter state: each
+    micro-batch's exact value counts are summed into the persisted
+    (term, cnt) state; when the counter table exceeds ``capacity``, the
+    classic mergeable-MG cap fires — subtract the (capacity+1)-th
+    largest count from every counter and drop the non-positive — so
+    the state parquet stays ≤ capacity rows FOREVER while every value
+    with true frequency > N/(capacity+1) is guaranteed to survive
+    (Misra & Gries 1982; merge rule per Agarwal et al., PODS'12).
+    Returns the StreamingQuery; read ``state_dir`` any time for the
+    current counters (cnt is a lower bound on the true count, exact
+    when no cap has fired — i.e. whenever capacity ≥ distinct terms,
+    the certifiable configuration).
+
+    Same durability contract as :func:`streaming_mrl_sketch`: the
+    last-applied batch_id travels IN the state parquet (atomic with the
+    counters), replayed batches are skipped, and the merged state is
+    localCheckpoint-materialized before overwriting the directory it
+    was read from."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(state_dir)
+        except Exception:
+            prev = None
+        if prev is not None and "__last_batch" in prev.columns:
+            last = prev.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already folded
+        fresh = (
+            batch_df.select(F.col(col).cast("string").alias("term"))
+            .where(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if prev is not None:
+            fresh = (
+                prev.select("term", "cnt").unionByName(fresh)
+                .groupBy("term").agg(F.sum("cnt").alias("cnt"))
+            )
+        n_counters = fresh.count()
+        if n_counters > capacity:
+            # (capacity+1)-th largest count — a bounded (capacity+1)-row
+            # top-k to the driver, same budget class as the MRL merge
+            thresh = (
+                fresh.orderBy(F.desc("cnt")).limit(capacity + 1)
+                .agg(F.min("cnt")).first()[0]
+            )
+            fresh = fresh.select(
+                "term", (F.col("cnt") - F.lit(thresh)).alias("cnt")
+            ).where(F.col("cnt") > 0)
+        merged = fresh.withColumn(
+            "__last_batch", F.lit(batch_id).cast("long")
+        ).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(state_dir)
 
     return (

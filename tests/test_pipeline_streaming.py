@@ -841,3 +841,74 @@ def test_xml_roundtrip(spark, tmp_path):
         (r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()
     )
     assert got == [(1, "en", 10), (2, "de", 20), (3, None, 30)]
+
+
+def test_streaming_heavy_hitters_exact_capped_and_idempotent(
+    spark, tmp_path
+):
+    """The foreachBatch MG state must (a) equal the one-shot counts in
+    the no-cap config, (b) stay <= capacity rows with every true heavy
+    hitter surviving when the cap fires, and (c) not double-fold on a
+    checkpoint-loss replay (the __last_batch watermark)."""
+    import shutil
+
+    from databricks_flight_etl_spark.streaming import (
+        streaming_heavy_hitters,
+    )
+
+    # 1000 rows: term 'hot' x 400, 'warm' x 200, 100 distinct cold x 4
+    df = spark.range(1000).selectExpr(
+        "id",
+        "CASE WHEN id < 400 THEN 'hot' WHEN id < 600 THEN 'warm' "
+        "ELSE concat('cold_', CAST(id % 100 AS STRING)) END AS term",
+    )
+    src = str(tmp_path / "hh_src")
+    df.coalesce(2).write.parquet(src)
+
+    def run(state, ckpt, capacity):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet").load(src)
+        )
+        q = streaming_heavy_hitters(
+            stream, "term", state, ckpt, capacity=capacity
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # (a) exact config
+    state = str(tmp_path / "hh_state_exact")
+    ckpt = str(tmp_path / "hh_ckpt_exact")
+    run(state, ckpt, capacity=10_000)
+    got = {
+        r["term"]: r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got["hot"] == 400 and got["warm"] == 200
+    assert sum(got.values()) == 1000 and len(got) == 102
+
+    # (c) replay idempotence: wipe the checkpoint, re-run — counts must
+    # not double
+    shutil.rmtree(ckpt)
+    run(state, ckpt, capacity=10_000)
+    got2 = {
+        r["term"]: r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2["hot"] == 400 and sum(got2.values()) == 1000
+
+    # (b) capped config: state bounded, heavy terms survive with
+    # lower-bound counts
+    state2 = str(tmp_path / "hh_state_cap")
+    ckpt2 = str(tmp_path / "hh_ckpt_cap")
+    run(state2, ckpt2, capacity=8)
+    capped = {
+        r["term"]: r["cnt"]
+        for r in spark.read.parquet(state2).collect()
+    }
+    assert len(capped) <= 8
+    assert "hot" in capped and "warm" in capped
+    assert capped["hot"] <= 400 and capped["warm"] <= 200
