@@ -4864,6 +4864,22 @@ def q_hamming_near_dup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_ohlc_bars(spark, sf_dir):
+    """OHLC downsampling bars: per 1-hour epoch bucket and event_type,
+    open (value at earliest µs), high, low, close (value at latest µs),
+    count — one hash aggregate, min_by/max_by partial-aggregated
+    map-side. The oracle replays arg_min/arg_max on the same integer
+    µs key (unique timestamps make the tie-break moot, but the
+    operator orders by (µs, value) anyway)."""
+    from databricks_flight_etl_spark.operators.timeliness import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, "ts", "value", bucket_us=3_600_000_000,
+        group_cols=["event_type"],
+    )
+
+
 def q_streaming_heavy_hitters(spark, sf_dir):
     """Bounded-state streaming heavy hitters: the documents' words
     replayed as TWO micro-batches through a foreachBatch-maintained
@@ -5244,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_ks_drift": q_ks_drift,
         "q_mad_grouped": q_mad_grouped,
+        "q_ohlc_bars": q_ohlc_bars,
         "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
@@ -9817,5 +9834,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         GROUP BY t ORDER BY term
+    """
+    d["q_ohlc_bars"] = """
+        SELECT bucket_us, event_type,
+               arg_min(value, us) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, us) AS close,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT epoch_us(ts) AS us,
+                   epoch_us(ts) - (epoch_us(ts) % 3600000000)
+                       AS bucket_us,
+                   event_type, value
+            FROM events WHERE value IS NOT NULL
+        )
+        GROUP BY bucket_us, event_type
+        ORDER BY bucket_us, event_type
     """
     return d

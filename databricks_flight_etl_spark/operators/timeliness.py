@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["per_period_counts", "date_spine", "day_coverage", "missing_periods", "sequence_gaps"]
+__all__ = ["per_period_counts", "date_spine", "day_coverage", "missing_periods", "sequence_gaps", "ohlc_bars"]
 
 
 def per_period_counts(df: DataFrame, ts_col: str, period: str = "day") -> DataFrame:
@@ -245,4 +245,41 @@ def period_over_period(
             ),
             decimals,
         ).alias("pct_change"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int = 900_000_000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-bucketed OHLC bars — the downsampling primitive of every
+    metrics/market pipeline: per fixed epoch bucket (default 15 min,
+    pure integer µs arithmetic — no calendar), the value at the
+    earliest timestamp (open), max (high), min (low), and the value at
+    the latest timestamp (close), plus row count. ``group_cols`` makes
+    it per-series (per user, per symbol).
+
+    Engine shape: ONE hash aggregate on (bucket[, groups]) — min_by/
+    max_by partial-aggregate map-side like any other agg, so the
+    shuffle carries one row per (bucket, group) regardless of input
+    size. Tie-break: min_by/max_by order by (µs, ``value``) struct so
+    equal-timestamp rows resolve deterministically on any engine."""
+    us = F.unix_micros(F.col(ts_col))
+    bucket = (us - us % F.lit(bucket_us)).alias("bucket_us")
+    order = F.struct(us.alias("u"), F.col(value_col).alias("v"))
+    gcols = list(group_cols or [])
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bucket, *gcols)
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket_us", *gcols)
     )

@@ -279,3 +279,28 @@ def test_period_over_period(spark):
     for bad in ("quarter", "fortnight", "1 day'); DROP TABLE x; --"):
         with pytest.raises(ValueError, match="period must be one of"):
             period_over_period(df, "ts", "k", "v", period=bad)
+
+
+def test_ohlc_bars_with_ties(spark):
+    """OHLC per bucket; equal-timestamp rows resolve by the (µs, value)
+    struct order: open takes the SMALLER value, close the LARGER."""
+    from datetime import datetime
+
+    from databricks_flight_etl_spark.operators.timeliness import ohlc_bars
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 5, 0)
+    t2 = datetime(2024, 1, 1, 0, 20, 0)  # next 15-min bucket
+    rows = [
+        (t0, 5.0), (t0, 3.0),   # tie at bucket open
+        (t1, 9.0), (t1, 11.0),  # tie at bucket close
+        (t2, 7.0), (t2, None),  # null drops
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ohlc_bars(df, "ts", "value").collect()
+    assert len(out) == 2
+    b0, b1 = out
+    assert (b0["open"], b0["high"], b0["low"], b0["close"], b0["n"]) == (
+        3.0, 11.0, 3.0, 11.0, 4
+    )
+    assert (b1["open"], b1["close"], b1["n"]) == (7.0, 7.0, 1)
