@@ -278,6 +278,22 @@ def _centroid(vecs):
     return similarity.centroid_outlier_scores(g, "label").count()
 
 
+def _relined(docs, wpl=8):
+    """Re-line the single-line synthetic docs at ``wpl`` words/line so
+    the line-level operators see realistic multi-line input."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(float(wpl))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * wpl + 1, wpl), " "),
+    )
+    return docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
@@ -300,6 +316,12 @@ def main() -> None:
         ).count(),
         "winnow": lambda d, v: text.winnow_fingerprints(
             d, "text", "doc_id"
+        ).count(),
+        "line_dedup": lambda d, v: text.line_dedup_global(
+            _relined(d), "text", "doc_id", min_words=2
+        ).count(),
+        "repetition": lambda d, v: text.repetition_signals(
+            _relined(d), "text", "doc_id"
         ).count(),
         "embed_near_dup": lambda d, v: similarity.cosine_near_dup_pairs(
             v, threshold=0.35
