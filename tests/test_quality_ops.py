@@ -919,3 +919,104 @@ def test_mad_grouped_robust(spark):
            for r in mad_grouped(df, ["g"], "x").collect()}
     assert out["a"] == (3.5, 1.5, 6)
     assert out["b"] == (7.0, 0.0, 1)
+
+
+def test_ks_statistic_one_row_contract(spark):
+    """ADVICE r5: ks_statistic must ALWAYS emit exactly one row — an
+    absent group yields ks_stat=null with the zero n count naming the
+    empty side, never an empty DataFrame or a divide-by-zero null
+    surprise."""
+    from databricks_flight_etl_spark.operators.accuracy import ks_statistic
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, x double"
+    )
+    r = ks_statistic(df, "x", "g", "a", "zzz").collect()
+    assert len(r) == 1
+    assert r[0]["ks_stat"] is None
+    assert (r[0]["n_a"], r[0]["n_b"]) == (2, 0)
+    # both sides absent (fully empty input)
+    r = ks_statistic(df.limit(0), "x", "g", "a", "b").collect()
+    assert len(r) == 1
+    assert r[0]["ks_stat"] is None
+    assert (r[0]["n_a"], r[0]["n_b"]) == (0, 0)
+
+
+def test_ks_statistic_bucket_count_invariant(spark):
+    """The distributed two-level prefix-sum is a pure execution
+    strategy: any n_buckets gives the identical exact statistic."""
+    import random
+
+    from databricks_flight_etl_spark.operators.accuracy import ks_statistic
+
+    rng = random.Random(11)
+    rows = [("a" if i % 2 else "b", rng.gauss(i % 2 * 0.4, 1.0))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    outs = {
+        nb: ks_statistic(df, "x", "g", "a", "b", n_buckets=nb).first()
+        for nb in (1, 2, 7, 64, 257)
+    }
+    base = (outs[64]["ks_stat"], outs[64]["n_a"], outs[64]["n_b"])
+    assert base[0] is not None
+    for nb, r in outs.items():
+        assert (r["ks_stat"], r["n_a"], r["n_b"]) == base, nb
+
+
+def test_ks_statistic_max_points_bound(spark):
+    """max_points quantization only ever UNDERESTIMATES the exact D
+    (CDFs evaluated at bin edges), and converges to it as the bin
+    count grows."""
+    import random
+
+    from databricks_flight_etl_spark.operators.accuracy import ks_statistic
+
+    rng = random.Random(23)
+    rows = [("a", rng.gauss(0, 1)) for _ in range(800)] + [
+        ("b", rng.gauss(0.5, 1)) for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    exact = ks_statistic(df, "x", "g", "a", "b").first()["ks_stat"]
+    prev = -1.0
+    for mp in (8, 64, 512):
+        binned = ks_statistic(
+            df, "x", "g", "a", "b", max_points=mp
+        ).first()["ks_stat"]
+        assert binned <= exact + 1e-9
+        assert binned >= prev - 0.05  # coarse monotone-ish convergence
+        prev = binned
+    assert exact - prev < 0.02  # 512 bins ≈ exact on a smooth pair
+
+
+def test_ks_statistic_grouped_matches_per_group(spark):
+    """ks_statistic_grouped == one ks_statistic per segment, in one
+    pass; a segment with one side empty keeps its row with a null
+    stat."""
+    import random
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_statistic, ks_statistic_grouped,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(900):
+        seg = ["s1", "s2", "s3"][i % 3]
+        g = "a" if rng.random() < 0.5 else "b"
+        if seg == "s3" and g == "b":
+            g = "a"  # s3 has NO b rows
+        rows.append((seg, g, rng.gauss(0.2 if g == "b" else 0, 1)))
+    df = spark.createDataFrame(rows, "seg string, g string, x double")
+    got = {
+        r["seg"]: (r["ks_stat"], r["n_a"], r["n_b"])
+        for r in ks_statistic_grouped(
+            df, "x", "g", "a", "b", ["seg"]
+        ).collect()
+    }
+    assert set(got) == {"s1", "s2", "s3"}
+    for seg in ("s1", "s2"):
+        w = ks_statistic(
+            df.where(F.col("seg") == seg), "x", "g", "a", "b"
+        ).first()
+        assert got[seg] == (w["ks_stat"], w["n_a"], w["n_b"])
+    assert got["s3"][0] is None and got["s3"][2] == 0

@@ -122,6 +122,26 @@ def _heavy(docs):
     return _sk().heavy_hitters(words, "w", min_fraction=0.01).count()
 
 
+def _ks(docs):
+    """KS on a CONTINUOUS hash-derived double (distinct ≈ rows) — the
+    regime where the pre-round-6 single-partition window collapsed the
+    whole distinct-value surface onto one task."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_statistic,
+    )
+
+    t = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (
+            F.pmod(F.xxhash64("doc_id", F.lit("ksv")), F.lit(10 ** 15))
+            .cast("double") / 1e9
+        ).alias("x"),
+    )
+    return ks_statistic(t, "x", "g", "a", "b").count()
+
+
 def _quant(docs):
     from pyspark.sql import functions as F
 
@@ -336,6 +356,7 @@ def main() -> None:
             d, "doc_id", p=12).count(),
         "heavy_hitters": lambda d, v: _heavy(d),
         "quantiles_exact": lambda d, v: _quant(d),
+        "ks_drift": lambda d, v: _ks(d),
         "semantic_dedup": lambda d, v: _semdedup(v),
         "semdedup_2level": lambda d, v: _semdedup_2level(v, v.count()),
         "pagerank": lambda d, v: _pagerank(d),
