@@ -9901,7 +9901,8 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - (epoch_us(ts) % 3600000000)
                        AS bucket_us,
                    event_type, value
-            FROM events WHERE value IS NOT NULL
+            FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
         )
         GROUP BY bucket_us, event_type
         ORDER BY bucket_us, event_type

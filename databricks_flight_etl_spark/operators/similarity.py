@@ -599,6 +599,13 @@ def ann_topk_ivf(
         if not checkpoint:
             return out
         return out.localCheckpoint()
+    except BaseException:
+        # checkpoint=False promises the cache stays pinned only for a
+        # SUCCESSFUL lazy return — on any raise (e.g. probe not found)
+        # the caller gets no handle to free it, so free it here
+        # (unpersist is idempotent; the finally below may repeat it)
+        pruned.unpersist()
+        raise
     finally:
         if checkpoint:
             pruned.unpersist()
@@ -768,6 +775,13 @@ def ann_topk_ivf_batch(
         if not checkpoint:
             return out
         return out.localCheckpoint()
+    except BaseException:
+        # checkpoint=False promises the cache stays pinned only for a
+        # SUCCESSFUL lazy return — on any raise (e.g. probe not found)
+        # the caller gets no handle to free it, so free it here
+        # (unpersist is idempotent; the finally below may repeat it)
+        pruned.unpersist()
+        raise
     finally:
         if checkpoint:
             pruned.unpersist()

@@ -1103,6 +1103,15 @@ def repetition_signals(
     )
 
 
+# The single BPE word-boundary rule, stated once for both the trainer
+# (Spark split) and the encode kernel (Python re.split): runs of ASCII
+# whitespace — exactly the Java regex \s class, so the two engines and
+# the two code paths agree character-for-character. (Python str.split()
+# additionally splits on Unicode spaces; Java \s does not — using it in
+# the kernel would re-open the trainer/encoder divergence.)
+_BPE_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def bpe_apply_merges(
     df: DataFrame, text_col: str, id_col: str,
     merges: list[tuple[str, str]],
@@ -1122,6 +1131,13 @@ def bpe_apply_merges(
     built once per executor batch iterator, never per row. Cost is
     O(len·|applied merges|) per doc and embarrassingly parallel; no
     shuffle at all.
+
+    Word boundary = ASCII whitespace runs (``_BPE_WS`` — the Java
+    ``\\s`` class), the SAME rule :func:`bpe_train_merges` splits its
+    training words with, so every pair the trainer counts is a pair
+    this encoder can actually merge (ADVICE r5: Python ``str.split()``
+    here vs single-space ``tokens()`` there let multi-line text train
+    on cross-boundary pairs the encoder never merges).
     """
     from pyspark.sql import types as T
 
@@ -1155,13 +1171,22 @@ def bpe_apply_merges(
         return units
 
     def kernel(batches):
+        import re
+
         import pandas as pd
+
+        ws = re.compile(_BPE_WS)
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out = [
-                [u for w in (t or "").split() for u in encode_word(w)]
+                [
+                    u
+                    for w in ws.split(t or "")
+                    if w
+                    for u in encode_word(w)
+                ]
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
@@ -1190,13 +1215,30 @@ def bpe_train_merges(
     sample when the distinct-word surface itself is huge, then
     :func:`bpe_apply_merges` encodes the full corpus in one pass.
     Stops early when no pair occurs ≥ 2 times (weighted).
+
+    Training words are split on ``_BPE_WS`` — the identical whitespace
+    rule the encode kernel uses — so the counted pair statistics are
+    exactly the pairs the encoder can merge (no cross-word-boundary
+    phantom pairs on multi-line text).
     """
     from pyspark.storagelevel import StorageLevel
 
     # distinct words with corpus frequencies; the weight rides through
-    # the encode kernel as the passthrough id column
+    # the encode kernel as the passthrough id column. Words are split
+    # on _BPE_WS — the SAME whitespace rule the encode kernel uses —
+    # so every training word is whitespace-free and every counted pair
+    # is one bpe_apply_merges can actually merge (ADVICE r5: the old
+    # single-space tokens() left \n/\t inside 'words', and pair counts
+    # over the kernel's flattened re-split crossed boundaries the
+    # encoder never merges)
     wf = (
-        df.select(F.explode(tokens(text_col)).alias("__t"))
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), _BPE_WS), lambda t: t != ""
+                )
+            ).alias("__t")
+        )
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__n"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -266,13 +266,19 @@ def ohlc_bars(
     max_by partial-aggregate map-side like any other agg, so the
     shuffle carries one row per (bucket, group) regardless of input
     size. Tie-break: min_by/max_by order by (µs, ``value``) struct so
-    equal-timestamp rows resolve deterministically on any engine."""
+    equal-timestamp rows resolve deterministically on any engine.
+    Null timestamps are dropped along with null values — a null-ts row
+    has no bucket, and letting it form a NULL bucket would make that
+    bucket's open/close ordering-dependent (the min_by struct's
+    leading field would be null)."""
     us = F.unix_micros(F.col(ts_col))
     bucket = (us - us % F.lit(bucket_us)).alias("bucket_us")
     order = F.struct(us.alias("u"), F.col(value_col).alias("v"))
     gcols = list(group_cols or [])
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
         .groupBy(bucket, *gcols)
         .agg(
             F.min_by(F.col(value_col), order).alias("open"),

@@ -28,6 +28,63 @@ __all__ = [
 ]
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — the
+    same resolution Spark's own writers use, so the swap helpers below
+    work on any supported scheme (local, HDFS, …), not just local
+    paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read foreachBatch fold state, or None ONLY when no committed
+    state exists yet. Unlike a bare ``except Exception`` around the
+    read (the round-5 ADVICE finding), a corrupted directory or a
+    transient FS error RAISES instead of silently restarting the fold
+    from scratch. Also rolls back a crash that died between the two
+    renames of :func:`_commit_state` (state gone, ``.__old`` intact):
+    the previous version is restored and the interrupted batch — whose
+    checkpoint never committed — replays on top of it."""
+    fs, path = _hadoop_fs(spark, state_dir)
+    old_fs, old_path = _hadoop_fs(spark, state_dir + ".__old")
+    if not fs.exists(path) and old_fs.exists(old_path):
+        if not fs.rename(old_path, path):
+            raise IOError(
+                f"state rollback rename failed: {state_dir}.__old"
+            )
+    if not fs.exists(path):
+        return None
+    return spark.read.parquet(state_dir)
+
+
+def _commit_state(df: DataFrame, state_dir: str) -> None:
+    """Atomically swap ``df`` in as the new fold state: write to a
+    sibling temp dir, then rename current→``.__old``, temp→current,
+    drop ``.__old``. The state dir is never delete-then-write (the
+    round-5 ADVICE finding: ``mode('overwrite')`` on the live dir
+    loses state+watermark together on a mid-write crash); every crash
+    point leaves either the previous committed state readable or the
+    ``.__old`` copy that :func:`_read_state` rolls back to. Also makes
+    the old localCheckpoint materialization unnecessary — the plan
+    reads the live dir and writes the temp dir, never its own input."""
+    spark = df.sparkSession
+    tmp = state_dir + ".__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    fs, path = _hadoop_fs(spark, state_dir)
+    _, tmp_path = _hadoop_fs(spark, tmp)
+    _, old_path = _hadoop_fs(spark, state_dir + ".__old")
+    if fs.exists(old_path):
+        fs.delete(old_path, True)
+    if fs.exists(path) and not fs.rename(path, old_path):
+        raise IOError(f"state swap rename failed: {state_dir}")
+    if not fs.rename(tmp_path, path):
+        raise IOError(f"state swap rename failed: {tmp}")
+    fs.delete(old_path, True)
+
+
 def streaming_day_counts(
     stream: DataFrame, ts_col: str = "ts", watermark: str = "1 day"
 ) -> DataFrame:
@@ -412,16 +469,19 @@ def streaming_mrl_sketch(
     the collapse-free config; production k is rows-only, like every
     approximate twin).
 
-    The merged state is localCheckpoint-materialized before the
-    overwrite — the state dir is both the read source and the write
-    target of the same micro-batch, and overwriting an un-materialized
-    self-referencing plan reads deleted files.
+    Durability: the state swap is ATOMIC — the merged state is written
+    to a sibling temp dir and renamed into place (:func:`_commit_state`;
+    the live dir is never delete-then-write, so a crash mid-commit
+    always leaves a committed version recoverable), and only
+    no-committed-state-yet reads as "first batch" — a corrupted dir or
+    transient FS error raises instead of silently discarding the
+    accumulated state (:func:`_read_state`).
 
     Idempotent under micro-batch REPLAY (the foreachBatch contract:
     after a crash between the state write and the checkpoint commit,
     Spark re-delivers the same batch_id): the last-applied batch_id is
     stored IN the state parquet (a constant ``__last_batch`` column, so
-    state + watermark commit in one atomic overwrite — a sidecar file
+    state + watermark commit in one atomic swap — a sidecar file
     could desync), and a batch whose id is ≤ the stored watermark is
     skipped instead of being folded twice. Readers are unaffected
     (``mrl_quantiles`` touches only value/weight)."""
@@ -429,10 +489,7 @@ def streaming_mrl_sketch(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(state_dir)
-        except Exception:
-            prev = None  # first batch: no state yet
+        prev = _read_state(spark, state_dir)
         if prev is not None and "__last_batch" in prev.columns:
             last = prev.agg(F.max("__last_batch")).first()[0]
             if last is not None and batch_id <= last:
@@ -441,12 +498,10 @@ def streaming_mrl_sketch(
         if prev is not None:
             pooled = prev.select(
                 "level", "value", "weight").unionByName(pooled)
-        merged = (
-            mrl_merge(pooled, k=k)
-            .withColumn("__last_batch", F.lit(batch_id).cast("long"))
-            .localCheckpoint(eager=True)
+        merged = mrl_merge(pooled, k=k).withColumn(
+            "__last_batch", F.lit(batch_id).cast("long")
         )
-        merged.write.mode("overwrite").parquet(state_dir)
+        _commit_state(merged, state_dir)
 
     return (
         stream.writeStream.foreachBatch(_fold)
@@ -476,17 +531,15 @@ def streaming_heavy_hitters(
     the certifiable configuration).
 
     Same durability contract as :func:`streaming_mrl_sketch`: the
-    last-applied batch_id travels IN the state parquet (atomic with the
-    counters), replayed batches are skipped, and the merged state is
-    localCheckpoint-materialized before overwriting the directory it
-    was read from."""
+    last-applied batch_id travels IN the state parquet (atomic with
+    the counters), replayed batches are skipped, the state swap is a
+    temp-write + rename (:func:`_commit_state`, never delete-then-
+    write on the live dir), and only no-state-yet reads as first
+    batch — other read failures raise (:func:`_read_state`)."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(state_dir)
-        except Exception:
-            prev = None
+        prev = _read_state(spark, state_dir)
         if prev is not None and "__last_batch" in prev.columns:
             last = prev.agg(F.max("__last_batch")).first()[0]
             if last is not None and batch_id <= last:
@@ -515,8 +568,8 @@ def streaming_heavy_hitters(
             ).where(F.col("cnt") > 0)
         merged = fresh.withColumn(
             "__last_batch", F.lit(batch_id).cast("long")
-        ).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        )
+        _commit_state(merged, state_dir)
 
     return (
         stream.writeStream.foreachBatch(_fold)

@@ -1971,9 +1971,15 @@ def test_project_embeddings_autoswitch_to_arrow(spark):
         out_dim=4)
     assert "MapInPandas" not in \
         small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vector_ops_null_dim_inference(spark):
     """ADVICE r3: dim inference must use the first NON-NULL vector — a
     null embedding landing first in partition order silently emptied
-    centroid_outlier_scores / project_embeddings / the pandas twin."""
+    centroid_outlier_scores / project_embeddings / the pandas twin.
+    (r5 verdict task #6: previously merged into the JL auto-switch
+    test above — a failure would have misattributed, and skipping one
+    silently disabled the other.)"""
     from databricks_flight_etl_spark.operators.similarity import (
         centroid_outlier_scores,
         group_vector_mean,
@@ -2601,3 +2607,48 @@ def test_leakage_safe_split(spark):
     assert all(got[i] == plain[i] for i in range(200) if i not in linked)
     # cluster members inherit the ROOT's plain label
     assert got[0] == plain[0] and got[10] == plain[10]
+
+
+def test_ann_ivf_no_cache_leak_on_raise(spark):
+    """ADVICE r5: a checkpoint=False call that RAISES (probe id not in
+    the corpus) must not leave the MEMORY_AND_DISK corpus cache pinned
+    with no handle for the caller to free."""
+    import pytest
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    vecs = spark.range(64).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), "
+        "i -> CAST(pmod(xxhash64(id, i), 97) AS DOUBLE)) AS embedding",
+    )
+    before = {r.id() for r in
+              spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    with pytest.raises(ValueError, match="probe"):
+        ann_topk_ivf(vecs, probe_id=-12345, k=3, n_lists=4,
+                     checkpoint=False)
+    after = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+             if r.id() not in before]
+    assert after == [], [str(r) for r in after]
+
+
+def test_bpe_train_whitespace_rule_matches_kernel(spark):
+    """ADVICE r5: training must split words on the SAME whitespace rule
+    the encode kernel uses — multi-line text may not contribute pair
+    counts across a word boundary the encoder never merges. Newline-
+    and tab-separated corpora must train the identical merge list as
+    their space-separated equivalent."""
+    sp = spark.createDataFrame(
+        [(0, "ab ab ab cd cd")], "doc_id long, text string"
+    )
+    nl = spark.createDataFrame(
+        [(0, "ab\nab\tab\ncd \t cd")], "doc_id long, text string"
+    )
+    m_sp = text.bpe_train_merges(sp, "text", n_merges=3)
+    m_nl = text.bpe_train_merges(nl, "text", n_merges=3)
+    assert m_sp == m_nl == [("a", "b"), ("c", "d")]
+    # the old single-space trainer saw the word "ab\nab" and counted
+    # the phantom cross-boundary pair (b, a) — must not appear
+    assert ("b", "a") not in m_nl

@@ -912,3 +912,48 @@ def test_streaming_heavy_hitters_exact_capped_and_idempotent(
     assert len(capped) <= 8
     assert "hot" in capped and "warm" in capped
     assert capped["hot"] <= 400 and capped["warm"] <= 200
+
+
+def test_state_commit_atomic_swap_and_rollback(spark, tmp_path):
+    """ADVICE r5 (medium): the fold-state swap must never be
+    delete-then-write, and a state-read failure must not silently mean
+    'first batch'.
+
+    (a) _commit_state leaves no temp/old residue and the live dir
+        readable after each commit;
+    (b) a crash between the two renames (state gone, .__old intact) is
+        rolled back by the next _read_state — accumulated state
+        survives;
+    (c) a CORRUPTED state dir raises instead of returning None."""
+    import shutil
+
+    from databricks_flight_etl_spark.streaming.jobs import (
+        _commit_state, _read_state,
+    )
+
+    state = str(tmp_path / "state")
+    s1 = spark.range(10).selectExpr("id", "CAST(1 AS LONG) AS v")
+    _commit_state(s1, state)
+    s2 = spark.range(20).selectExpr("id", "CAST(2 AS LONG) AS v")
+    _commit_state(s2, state)
+    assert not os.path.exists(state + ".__tmp")
+    assert not os.path.exists(state + ".__old")
+    assert _read_state(spark, state).count() == 20
+
+    # (b) simulate the mid-swap crash: current renamed to .__old, new
+    # version never renamed in
+    os.rename(state, state + ".__old")
+    got = _read_state(spark, state)
+    assert got is not None and got.count() == 20
+    assert not os.path.exists(state + ".__old")
+
+    # (c) corrupted state: parquet dir with a garbage file must RAISE
+    shutil.rmtree(state)
+    os.makedirs(state)
+    with open(os.path.join(state, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        _read_state(spark, state).collect()
+
+    # missing state (no dir at all) is the ONLY None case
+    assert _read_state(spark, str(tmp_path / "nope")) is None

@@ -304,3 +304,18 @@ def test_ohlc_bars_with_ties(spark):
         3.0, 11.0, 3.0, 11.0, 4
     )
     assert (b1["open"], b1["close"], b1["n"]) == (7.0, 7.0, 1)
+
+
+def test_ohlc_bars_drops_null_timestamps(spark):
+    """ADVICE r5: a null-ts row has no bucket — it must be dropped, not
+    form a NULL bucket whose open/close depends on engine ordering."""
+    from datetime import datetime
+
+    from databricks_flight_etl_spark.operators.timeliness import ohlc_bars
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(t0, 5.0), (None, 99.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = ohlc_bars(df, "ts", "value").collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 1 and out[0]["high"] == 5.0
