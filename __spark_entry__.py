@@ -5054,17 +5054,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- round-4 additions rotated INTO the window for a driver-
-        # -- green round (r4 verdict task #3); the r4-certified
-        # -- q_k_anonymize / q_quantile_sketch_merge / q_interpolate_gaps
-        # -- / q_tfidf / q_triangle_counts / q_semantic_dedup_2level
-        # -- rotate out (still certified locally, below) ----------------
-        "q_association_pairs": q_association_pairs,
-        "q_period_over_period": q_period_over_period,
-        "q_grouped_corr": q_grouped_corr,
-        "q_transition_matrix": q_transition_matrix,
-        "q_bpe_merges": q_bpe_merges,
-        "q_diff_cells": q_diff_cells,
+        # -- round-5 additions rotated INTO the window for a driver-
+        # -- green round (r5 verdict task #4); the r5-driver-certified
+        # -- q_association_pairs / q_period_over_period / q_grouped_corr
+        # -- / q_transition_matrix / q_bpe_merges / q_diff_cells rotate
+        # -- out (still certified locally, below), as do q_ngram_jaccard
+        # -- and q_quality_signals (families X1/X4 keep other window
+        # -- rows) -------------------------------------------------------
+        "q_line_dedup": q_line_dedup,
+        "q_repetition_signals": q_repetition_signals,
+        "q_hamming_near_dup": q_hamming_near_dup,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_ks_drift": q_ks_drift,
+        "q_mad_grouped": q_mad_grouped,
+        "q_ohlc_bars": q_ohlc_bars,
+        "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
         # -- relational core (X5) ---------------------------------------
         "q_join_inner": q_join_inner,
         "q_join_outer": q_join_outer,
@@ -5075,10 +5079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_chunk_documents": q_chunk_documents,
-        "q_quality_signals": q_quality_signals,
         # -- X1 dedup ---------------------------------------------------
         "q_dedup_exact": q_dedup_exact,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
@@ -5102,6 +5104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_survivors_by": q_dedup_survivors_by,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
+        "q_quality_signals": q_quality_signals,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_association_pairs": q_association_pairs,
+        "q_period_over_period": q_period_over_period,
+        "q_grouped_corr": q_grouped_corr,
+        "q_transition_matrix": q_transition_matrix,
+        "q_bpe_merges": q_bpe_merges,
+        "q_diff_cells": q_diff_cells,
         "q_k_anonymize": q_k_anonymize,
         "q_quantile_sketch_merge": q_quantile_sketch_merge,
         "q_interpolate_gaps": q_interpolate_gaps,
@@ -5272,15 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitwise": q_bitwise,
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
-        "q_line_dedup": q_line_dedup,
-        "q_repetition_signals": q_repetition_signals,
-        "q_hamming_near_dup": q_hamming_near_dup,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_ks_drift": q_ks_drift,
         "q_ks_drift_grouped": q_ks_drift_grouped,
-        "q_mad_grouped": q_mad_grouped,
-        "q_ohlc_bars": q_ohlc_bars,
-        "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
