@@ -4492,6 +4492,46 @@ def q_decode_features_arrow(spark, sf_dir):
     )
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """X3 perceptual media dedup (r5 verdict task #5): 64-bit DCT
+    pHash per payload via the Arrow kernel (numpy 32×32 area resize →
+    DCT-II → top-8×8 median threshold; deterministic byte-plane fake
+    decode in this container — the PIL tier swaps in where media libs
+    exist), then the signature-agnostic pigeonhole Hamming join for
+    radius-8 neighbors. Rows-only by nature (float DCT isn't
+    SQL-replayable); the exact md5 kernel stays the certified
+    configuration (q_hamming_near_dup)."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    ).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fp = multimodal.media_fingerprint(
+        docs, "payload", "doc_id", kernel="phash"
+    )
+    pairs = hamming_near_dup_pairs(
+        fp, "fingerprint", "doc_id", max_hamming=8
+    )
+    # pairs are emitted once with id_a < id_b — count both directions
+    # so n_neighbors is the symmetric degree
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).withColumn("__n", F.lit(1))
+    return (
+        fp.join(ends, "doc_id", "left")
+        .groupBy("doc_id", "fingerprint")
+        .agg(
+            F.sum(F.coalesce(F.col("__n"), F.lit(0)))
+            .cast("long").alias("n_neighbors")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape (national market share): 8-way join (nation twice
     — customer-side restricts the region, supplier-side names the
@@ -5286,6 +5326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_phash_near_dup": q_phash_near_dup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_lsh_multiprobe": q_ann_lsh_multiprobe,

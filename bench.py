@@ -109,6 +109,95 @@ def main() -> None:
             tag = f" median of {len(runs)}" if reps > 1 else ""
             print(f"# {name}: {dt:.3f}s{tag} ({n} rows)", file=sys.stderr)
 
+    # ---- noise self-adjudication (r5 verdict task #3) ----------------
+    # A single pass cannot distinguish host contention from a real
+    # regression (round 5: 46 queries recorded 2-5x slower, all host
+    # noise, full manual re-investigation). Any query whose recorded
+    # time moved >1.5x in EITHER direction vs the previous round's
+    # committed BENCH_DETAIL.json is re-timed with extra reps and BOTH
+    # figures are recorded; the stdout line carries the adjudicated
+    # count so a noisy round is self-describing.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prev_timings: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev_timings = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    adjudication: dict[str, dict] = {}
+    adj_reps = max(
+        3, int(os.environ.get("SPARK_GRAFT_BENCH_ADJ_REPS", "3"))
+    )
+    for name, recorded in sorted(timings.items()):
+        prev = prev_timings.get(name)
+        # sub-0.2s pairs are all jitter; re-timing them buys nothing
+        if prev is None or (prev < 0.2 and recorded < 0.2):
+            continue
+        ratio = recorded / max(prev, 1e-9)
+        if 1 / 1.5 < ratio < 1.5:
+            continue
+        fn = entrymod.queries()[name]
+        runs = []
+        for _ in range(adj_reps):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception:
+                break
+            runs.append(time.time() - t0)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        if runs:
+            med = sorted(runs)[len(runs) // 2]
+            adjudication[name] = {
+                "prev": prev,
+                "recorded": recorded,
+                "retimed_median": round(med, 3),
+                "reps": len(runs),
+            }
+            print(
+                f"# adjudicate {name}: prev {prev:.3f}s, recorded "
+                f"{recorded:.3f}s, re-timed median {med:.3f}s "
+                f"of {len(runs)}",
+                file=sys.stderr,
+            )
+
+    # ---- streaming fixed-overhead estimate (r5 verdict task #7) ------
+    # Streaming queries carry a data-independent floor (stream startup
+    # + trigger cycles + memory-sink drain). Estimate it by running the
+    # same pipeline at the smallest SF: at ~100x less data the
+    # remaining wall-clock IS the fixed floor, so `recorded - floor`
+    # is the honest data-proportional share for 2x-bar comparisons.
+    stream_overhead: dict[str, float] = {}
+    tiny_dir = os.environ.get(
+        "SPARK_GRAFT_TINY_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAM_OVERHEAD", "1") != "0" \
+            and os.path.isdir(tiny_dir):
+        for name, fn in entrymod.queries().items():
+            if not name.startswith("q_streaming_") or name in errors:
+                continue
+            t0 = time.time()
+            try:
+                fn(spark, tiny_dir).count()
+            except Exception:
+                continue
+            stream_overhead[name] = round(time.time() - t0, 3)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        if stream_overhead:
+            print(
+                "# streaming fixed-overhead floor (sf0.001 run): "
+                + json.dumps(stream_overhead),
+                file=sys.stderr,
+            )
+
     detail = {
         "metric": "harness_suite_wall_clock",
         "value": round(total, 3),
@@ -116,10 +205,17 @@ def main() -> None:
         "sf": sf,
         "queries": timings,
         "errors": errors,
+        "noise_adjudication": adjudication,
+        "streaming_fixed_overhead": {
+            "method": (
+                "same pipeline timed once at sf0.001; at ~100x less "
+                "data the remaining wall-clock is trigger/startup "
+                "floor, not data — subtract from the recorded figure "
+                "for data-proportional comparisons"
+            ),
+            "seconds": stream_overhead,
+        },
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
@@ -131,6 +227,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "noise_adjudicated": len(adjudication),
+        "streaming_overhead_sec": round(
+            sum(stream_overhead.values()), 3
+        ),
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
     }
     line = json.dumps(out)

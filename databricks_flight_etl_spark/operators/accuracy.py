@@ -160,6 +160,104 @@ def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     )
 
 
+def _hist_cumsum(
+    hist: DataFrame, value_col: str, sum_cols: list[str],
+    by: list[str] | None = None, n_buckets: int = 64,
+    inclusive: bool = True, persist: bool = True,
+) -> DataFrame:
+    """DISTRIBUTED running sum over a (by…, value, counts…) histogram —
+    the two-level range-bucket prefix-sum every cumulative-rank
+    operator here shares (quantiles, rank normalization, Spearman
+    midranks, KS CDFs). Output: the input columns plus one
+    ``__cum_{c}`` per sum column (``inclusive`` picks ≤-value vs
+    <-value semantics).
+
+    Level 1 assigns each distinct value an equi-width range bucket
+    (order-preserving by construction; the bounds row is a broadcast
+    1-row agg — no driver action, plan stays lazy). Level 2 runs the
+    ordered window per (by…, bucket) — each partition holds only one
+    bucket's values — and adds the bucket offset from a prefix-sum over
+    the per-bucket sums table (≤ n_buckets rows per (by…) group, the
+    one intentionally-single-partition window, keyed explicitly so
+    WindowExec's size-agnostic warning stays honest). No task ever
+    holds a whole (by…) group's distinct-value surface: a CONTINUOUS
+    column (distinct ≈ rows) spreads over n_buckets × shuffle
+    partitions, where the one-level window this replaced collapsed it
+    onto a single task.
+
+    The histogram is pinned (MEMORY_AND_DISK) by default: three
+    consumers (bucket sums, the window join, callers' totals) would
+    otherwise each re-execute the lineage back to the raw scan —
+    the plan audit showed 8 source scans on the unpinned KS form.
+
+    Exactness: pure integer/decimal column sums, no doubles introduced
+    — any n_buckets yields bit-identical cumulative counts (pinned by
+    test_ks_statistic_bucket_count_invariant)."""
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    if persist:
+        from pyspark import StorageLevel
+
+        hist = hist.persist(StorageLevel.MEMORY_AND_DISK)
+    bounds = hist.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+    # the double cast is for bucket math only — monotone, so
+    # bucket(v1) ≤ bucket(v2) whenever v1 < v2 (ties share a bucket);
+    # ordering/grouping keep the original-typed value
+    span = F.col("__hi") - F.col("__lo")
+    vd = F.col(value_col).cast("double")
+    bkt = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((vd - F.col("__lo")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    t = hist.crossJoin(F.broadcast(bounds)).select(
+        *by, value_col, *sum_cols, bkt.alias("__bkt")
+    )
+    bsum = t.groupBy(*by, "__bkt").agg(
+        *[F.sum(c).alias(f"__b_{c}") for c in sum_cols]
+    )
+    # (pmod(__bkt, 1) rather than lit(0): the optimizer strips a
+    # foldable literal key, resurrecting the warning)
+    woff = (
+        Window.partitionBy(*(by or [F.pmod(F.col("__bkt"), F.lit(1))]))
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bsum.select(
+        *by, "__bkt",
+        *[
+            F.coalesce(F.sum(f"__b_{c}").over(woff), F.lit(0))
+            .alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    win = (
+        Window.partitionBy(*by, "__bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    return t.join(offs, [*by, "__bkt"]).select(
+        *by, value_col, *sum_cols,
+        *[
+            (
+                F.col(f"__off_{c}")
+                + F.coalesce(F.sum(c).over(win), F.lit(0))
+            ).alias(f"__cum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
 def quantiles_exact(
     df: DataFrame, col: str, qs: list[float]
 ) -> DataFrame:
@@ -168,16 +266,13 @@ def quantiles_exact(
     floor(q·(n−1)) among the n non-null values.
 
     Scale shape: never sorts the raw rows. One group-by collapses the
-    input to its VALUE HISTOGRAM (|distinct| rows), a cumulative sum
-    over that histogram assigns each distinct value its rank range, and
-    each quantile picks the first value whose cumulative count covers
-    its target rank. The only ordered window runs over the histogram,
-    not the data — fine for measurement-like columns whose distinct
-    count is ≪ row count; for unbounded domains use
-    ``quantiles_approx`` (sketch-based, one pass, fixed memory).
+    input to its VALUE HISTOGRAM, the cumulative count comes from the
+    shared distributed prefix-sum (:func:`_hist_cumsum` — bucketed
+    windows, no single-partition stage even when distinct ≈ rows, e.g.
+    a continuous double), and each quantile picks the first value whose
+    cumulative count covers its target rank. For one-pass fixed-memory
+    estimates use ``quantiles_approx`` (GK sketch).
     """
-    from pyspark.sql import Window
-
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile must be in [0, 1], got {q}")
@@ -186,11 +281,12 @@ def quantiles_exact(
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     total = hist.agg(F.sum("cnt").alias("n"))
-    cum = hist.select(
-        "value", F.sum("cnt").over(w).alias("cum")
-    ).crossJoin(F.broadcast(total))
+    cum = (
+        _hist_cumsum(hist, "value", ["cnt"])
+        .select("value", F.col("__cum_cnt").alias("cum"))
+        .crossJoin(F.broadcast(total))
+    )
     targets = F.explode(
         F.array(*[
             F.struct(
@@ -254,12 +350,12 @@ def grouped_quantiles(
     df: DataFrame, group_cols: list[str], col: str, qs: list[float]
 ) -> DataFrame:
     """Per-group EXACT quantiles: (group_cols…, q, value), same type-1
-    rank rule as :func:`quantiles_exact`. Unlike the global version,
-    everything here is a PARTITIONED window over the per-group value
-    histogram — no single-partition stage at all, so this scales to any
-    group count; only per-group distinct-value cardinality matters."""
-    from pyspark.sql import Window
-
+    rank rule as :func:`quantiles_exact`. Cumulative counts via the
+    shared distributed prefix-sum (:func:`_hist_cumsum` with
+    ``by=group_cols``): windows are partitioned on (group…, value
+    bucket), so BOTH group count and per-group distinct-value
+    cardinality parallelize — one giant group with a continuous column
+    no longer lands on a single task."""
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile must be in [0, 1], got {q}")
@@ -268,13 +364,11 @@ def grouped_quantiles(
         .groupBy(*group_cols, F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy(*group_cols).orderBy("value").rowsBetween(
-        Window.unboundedPreceding, 0)
-    wall = Window.partitionBy(*group_cols)
-    cum = hist.select(
-        *group_cols, "value",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
+    totals = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    cum = (
+        _hist_cumsum(hist, "value", ["cnt"], by=list(group_cols))
+        .select(*group_cols, "value", F.col("__cum_cnt").alias("cum"))
+        .join(totals, list(group_cols))
     )
     targets = F.explode(
         F.array(*[
@@ -328,22 +422,22 @@ def rank_normalize(
     """Rank-based feature transform: pct_rank(x) = (# values < x) /
     (n − 1) ∈ [0, 1] — the distribution-free normalization for
     heavy-tailed features. Computed against the value HISTOGRAM: the
-    cumulative rank table has |distinct| rows and joins back on the
-    value (an equi-join shuffled by value — scales; never a global
-    row sort or a giant broadcast)."""
-    from pyspark.sql import Window
-
+    cumulative rank table joins back on the value (an equi-join
+    shuffled by value — scales; never a global row sort or a giant
+    broadcast), and the below-count comes from the shared distributed
+    prefix-sum (:func:`_hist_cumsum`, exclusive frame) — no
+    single-partition window even on a continuous column."""
     hist = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     total = hist.agg(F.sum("__c").alias("__n"))
-    ranks = hist.select(
-        "__v",
-        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below"),
-    ).crossJoin(F.broadcast(total))
+    ranks = (
+        _hist_cumsum(hist, "__v", ["__c"], inclusive=False)
+        .select("__v", F.col("__cum___c").alias("__below"))
+        .crossJoin(F.broadcast(total))
+    )
     return (
         df.join(ranks, df[col] == ranks["__v"])
         .select(
@@ -506,13 +600,16 @@ def spearman_corr(
             .groupBy(F.col(c).alias("v"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, -1)
-        return hist.select(
-            F.col("v").alias(f"__{c}"),
-            (F.coalesce(F.sum("cnt").over(w), F.lit(0))
-             + (F.col("cnt") + 1) / 2).cast("decimal(28,6)")
-            .alias(f"__r_{c}"),
+        # below-count via the shared distributed prefix-sum — no
+        # single-partition window on a continuous column
+        return (
+            _hist_cumsum(hist, "v", ["cnt"], inclusive=False)
+            .select(
+                F.col("v").alias(f"__{c}"),
+                (F.col("__cum_cnt") + (F.col("cnt") + 1) / 2)
+                .cast("decimal(28,6)")
+                .alias(f"__r_{c}"),
+            )
         )
     both = df.where(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
@@ -922,21 +1019,12 @@ def grouped_pearson(
 def _ks_cumulative(
     df: DataFrame, value_col: str, group_col: str,
     group_a, group_b, by: list[str], n_buckets: int,
-    max_points: int | None,
+    max_points: int | None, persist: bool,
 ):
-    """Shared KS engine: per-(by…, value) cumulative a/b counts via a
-    DISTRIBUTED two-level prefix-sum, plus the per-(by…) totals.
-
-    Level 1 buckets the distinct-value histogram into ``n_buckets``
-    equi-width value ranges (order-preserving by construction — no
-    driver action, the bounds row is a broadcast 1-row agg, the
-    pack_shards range-bucket pattern). Level 2 is a per-bucket ordered
-    window (partitioned on (by…, bucket) — each partition holds only
-    that bucket's distinct values) plus a bucket-offset window over the
-    per-bucket sums table, which is ≤ n_buckets rows per (by…) group.
-    No window ever sees the whole distinct-value surface, so a
-    continuous 100 TB feature (distinct ≈ rows) spreads across
-    n_buckets × shuffle-partitions tasks instead of one.
+    """Shared KS engine: per-(by…, value) cumulative a/b counts via the
+    library's distributed two-level prefix-sum (:func:`_hist_cumsum` —
+    bucketed windows, no task ever holds a whole distinct-value
+    surface), plus the per-(by…) totals.
 
     ``max_points`` quantizes values to equi-width bin left edges FIRST,
     capping the distinct-value surface outright: the empirical CDFs are
@@ -947,8 +1035,6 @@ def _ks_cumulative(
     Returns (cum, totals): ``cum`` has (by…, __cuma, __cumb); ``totals``
     has (by…, __na, __nb) — 1 row (possibly null counts) when ``by`` is
     empty."""
-    from pyspark.sql import Window
-
     t = df.where(
         F.col(group_col).isin(group_a, group_b)
         & F.col(value_col).isNotNull()
@@ -957,22 +1043,17 @@ def _ks_cumulative(
         F.col(value_col).alias("__v"),
         (F.col(group_col) == group_a).cast("long").alias("__a"),
     )
-    # value-axis bounds for (optional) quantization and range-bucketing:
-    # one broadcast 1-row agg, no driver action, plan stays lazy. The
-    # double cast is for bucket math only — it is monotone, so
-    # bucket(v1) ≤ bucket(v2) whenever v1 < v2 (ties collapse into the
-    # same bucket), which is all the prefix-sum order needs; the
-    # grouping/ordering key stays the original-typed value.
-    bounds = t.agg(
-        F.min(F.col("__v").cast("double")).alias("__lo"),
-        F.max(F.col("__v").cast("double")).alias("__hi"),
-    )
-    t = t.crossJoin(F.broadcast(bounds))
-    span = F.col("__hi") - F.col("__lo")
-    vd = F.col("__v").cast("double")
     if max_points is not None:
         if max_points < 2:
             raise ValueError(f"max_points must be ≥ 2, got {max_points}")
+        # quantize values to equi-width bin LEFT EDGES before the
+        # histogram: one broadcast 1-row bounds agg, no driver action
+        bounds = t.agg(
+            F.min(F.col("__v").cast("double")).alias("__lo"),
+            F.max(F.col("__v").cast("double")).alias("__hi"),
+        )
+        span = F.col("__hi") - F.col("__lo")
+        vd = F.col("__v").cast("double")
         binned = F.when(
             span > 0,
             F.col("__lo")
@@ -982,55 +1063,22 @@ def _ks_cumulative(
             )
             * (span / max_points),
         ).otherwise(F.col("__lo"))
-        t = t.withColumn("__v", binned)
-        vd = F.col("__v")
-    bkt = (
-        F.when(
-            span > 0,
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((vd - F.col("__lo")) / span * n_buckets),
-            ),
+        t = (
+            t.crossJoin(F.broadcast(bounds))
+            .withColumn("__v", binned)
+            .drop("__lo", "__hi")
         )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    hist = t.groupBy(*by, F.col("__v"), bkt.alias("__bkt")).agg(
+    hist = t.groupBy(*by, "__v").agg(
         F.sum("__a").alias("__ca"),
         F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
     )
-    # bucket offsets: prefix-sum over the per-bucket sums table — at
-    # most n_buckets rows per (by…) group, so the ordered window is
-    # bounded regardless of value cardinality
-    bsum = hist.groupBy(*by, "__bkt").agg(
-        F.sum("__ca").alias("__bca"), F.sum("__cb").alias("__bcb")
-    )
-    # the offset table is ≤ n_buckets rows per (by…) group BY
-    # CONSTRUCTION, so a single partition per group is the intended
-    # plan; the constant key in the global case states that explicitly
-    # (and keeps the size-agnostic WindowExec warning honest — it would
-    # otherwise flag a 64-row window as a scale hazard)
-    # (pmod(__bkt, 1) rather than lit(0): the optimizer strips a
-    # foldable literal key, resurrecting the warning)
-    woff = (
-        Window.partitionBy(*(by or [F.pmod(F.col("__bkt"), F.lit(1))]))
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = bsum.select(
-        *by, "__bkt",
-        F.coalesce(F.sum("__bca").over(woff), F.lit(0)).alias("__offa"),
-        F.coalesce(F.sum("__bcb").over(woff), F.lit(0)).alias("__offb"),
-    )
-    win = (
-        Window.partitionBy(*by, "__bkt")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.join(offs, [*by, "__bkt"]).select(
+    cum = _hist_cumsum(
+        hist, "__v", ["__ca", "__cb"], by=by, n_buckets=n_buckets,
+        persist=persist,
+    ).select(
         *by,
-        (F.col("__offa") + F.sum("__ca").over(win)).alias("__cuma"),
-        (F.col("__offb") + F.sum("__cb").over(win)).alias("__cumb"),
+        F.col("__cum___ca").alias("__cuma"),
+        F.col("__cum___cb").alias("__cumb"),
     )
     if by:
         totals = hist.groupBy(*by).agg(
@@ -1047,6 +1095,7 @@ def ks_statistic(
     df: DataFrame, value_col: str, group_col: str,
     group_a, group_b, decimals: int = 6,
     n_buckets: int = 64, max_points: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic between the value
     distributions of two groups: ``max |F_a(x) − F_b(x)|`` over the
@@ -1077,7 +1126,7 @@ def ks_statistic(
     value distributions."""
     cum, totals = _ks_cumulative(
         df, value_col, group_col, group_a, group_b, [], n_buckets,
-        max_points,
+        max_points, persist,
     )
     dmax = cum.crossJoin(F.broadcast(totals)).agg(
         F.round(
@@ -1101,6 +1150,7 @@ def ks_statistic_grouped(
     df: DataFrame, value_col: str, group_col: str,
     group_a, group_b, by: list[str], decimals: int = 6,
     n_buckets: int = 64, max_points: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-segment two-sample KS in ONE pass — the drift-monitor shape
     (:func:`ks_statistic` per ``by`` group, e.g. per country or per
@@ -1115,7 +1165,7 @@ def ks_statistic_grouped(
         raise ValueError("by must name at least one grouping column")
     cum, totals = _ks_cumulative(
         df, value_col, group_col, group_a, group_b, list(by), n_buckets,
-        max_points,
+        max_points, persist,
     )
     gaps = cum.join(totals, list(by)).select(
         *by,

@@ -332,26 +332,135 @@ def decode_features_arrow(
     return src.mapInArrow(_extract, out_schema)
 
 
+_DCT32 = None
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (numpy-only — the scipy-free
+    route to a 2-D DCT as ``D @ A @ D.T``)."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    j = np.arange(n, dtype=np.float64)[None, :]
+    m = np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+def _area_resize(gray, out: int = 32):
+    """Area-mean resize of a 2-D array to (out × out) via reduceat —
+    the box-filter downscale pHash expects, no PIL. Sides smaller than
+    ``out`` upsample by segment repetition (duplicate reduceat starts),
+    so tiny inputs still produce a full hash."""
+    res = gray.astype(np.float64)
+    for axis in (0, 1):
+        side = res.shape[axis]
+        starts = (np.arange(out) * side) // out
+        counts = np.diff(np.append(starts, side))
+        counts[counts == 0] = 1
+        summed = np.add.reduceat(res, starts, axis=axis)
+        shape = [1, 1]
+        shape[axis] = out
+        res = summed / counts.reshape(shape)
+    return res
+
+
+def _phash64(payload, hash_size: int = 8) -> int:
+    """Perceptual 64-bit pHash (the classic imagehash construction):
+    grayscale plane → 32×32 area resize → 2-D DCT-II → top-left
+    (hash_size × hash_size) low-frequency block → bits = coefficient >
+    block median. Near-identical content flips few bits, so the hash
+    pairs with ``dedup.hamming_near_dup_pairs`` for radius>0 media
+    dedup (the exact md5 kernel only ever catches radius 0).
+
+    Decode tier: with PIL installed the payload is decoded as a real
+    image; in this container (no media libs — the documented gate) the
+    grayscale plane is the DETERMINISTIC FAKE decode — payload bytes
+    reshaped to the largest square. The DCT/threshold math — the part
+    that makes perturbation-tolerance work — is real either way, and
+    swapping in a real codec touches only the plane construction.
+
+    Returned as a SIGNED 64-bit value (two's-complement wrap) so it
+    fits Spark's LongType; XOR+bit_count Hamming math is sign-blind."""
+    global _DCT32
+    if payload is None or len(payload) == 0:
+        return 0
+    plane = None
+    if HAS_PIL:  # pragma: no cover - container has no PIL
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(bytes(payload)))
+            plane = np.asarray(img.convert("L"), dtype=np.float64)
+        except Exception:
+            plane = None
+    if plane is None or plane.ndim != 2 or min(plane.shape) < 2:
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        if len(arr) < 4:
+            arr = np.pad(arr, (0, 4 - len(arr)))
+        side = int(np.sqrt(len(arr)))
+        plane = arr[: side * side].reshape(side, side).astype(np.float64)
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    coef = _DCT32 @ _area_resize(plane, 32) @ _DCT32.T
+    block = coef[:hash_size, :hash_size].ravel()
+    bits = block > np.median(block)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    if h >= 1 << 63:  # wrap to signed long for Spark LongType
+        h -= 1 << 64
+    return h
+
+
 def media_fingerprint(
     df: DataFrame, payload_col: str, id_col: str,
     out_col: str = "fingerprint",
+    kernel: str = "exact",
 ) -> DataFrame:
     """64-bit content fingerprint per payload for Hamming-join dedup:
-    (id, out_col long). The default kernel is the ENGINE-PORTABLE
-    exact-content hash (first 15 md5 hex digits as a positive 60-bit
-    long — the same derivation as ``dedup._base_hash('md5')``), fully
-    JVM-side and replayable by any SQL engine.
+    (id, out_col long).
 
-    A PERCEPTUAL kernel (image pHash: grayscale → 32×32 resize → DCT →
-    top-8×8 median threshold) needs PIL, which this environment does
-    not ship — run it through :func:`decode_features`'s gated ``pil``
-    kernel pattern and threshold the features into bits. Pair with
-    :func:`..dedup.hamming_near_dup_pairs` (signature-agnostic pigeonhole
-    blocking) for near-dup detection either way; with the exact kernel
-    the radius-0 matches are exactly the byte-identical payloads."""
-    return df.select(
-        F.col(id_col),
-        F.conv(F.substring(F.md5(F.col(payload_col)), 1, 15), 16, 10)
-        .cast("long")
-        .alias(out_col),
+    ``kernel="exact"`` (default, the CERTIFIED config) is the
+    ENGINE-PORTABLE exact-content hash (first 15 md5 hex digits as a
+    positive 60-bit long — the same derivation as
+    ``dedup._base_hash('md5')``), fully JVM-side and replayable by any
+    SQL engine; its radius-0 Hamming matches are exactly the
+    byte-identical payloads.
+
+    ``kernel="phash"`` is the PERCEPTUAL hash (:func:`_phash64`:
+    32×32 area resize → numpy DCT-II → top-8×8 median threshold), an
+    Arrow-batched mapInArrow kernel — zero shuffle, embarrassingly
+    parallel, rows-only by nature (float DCT + media decode are not
+    SQL-replayable). Small payload perturbations flip few bits, so
+    radius>0 ``hamming_near_dup_pairs`` joins find near-duplicate
+    media the exact kernel cannot. PIL-decoded real images when PIL
+    exists; the deterministic byte-plane fake decode otherwise (this
+    container — see the _phash64 docstring)."""
+    if kernel == "exact":
+        return df.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col(payload_col)), 1, 15), 16, 10)
+            .cast("long")
+            .alias(out_col),
+        )
+    if kernel != "phash":
+        raise ValueError(f"kernel must be 'exact' or 'phash': {kernel!r}")
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(out_col, T.LongType()),
+        ]
     )
+    src = spread(df.select(F.col(id_col), F.col(payload_col)))
+
+    def _kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            fps = [_phash64(p.as_py()) for p in batch.column(payload_col)]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(fps, type=pa.int64())],
+                names=[id_col, out_col],
+            )
+
+    return src.mapInArrow(_kernel, out_schema)

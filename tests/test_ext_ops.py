@@ -2652,3 +2652,73 @@ def test_bpe_train_whitespace_rule_matches_kernel(spark):
     # the old single-space trainer saw the word "ab\nab" and counted
     # the phantom cross-boundary pair (b, a) — must not appear
     assert ("b", "a") not in m_nl
+
+
+def test_phash_perturbation_tolerance():
+    """r5 verdict task #5: the perceptual kernel must be locality-
+    sensitive where the exact md5 kernel is not — identical payloads
+    hash identically, small perturbations flip few of the 64 bits,
+    unrelated payloads differ in many. Pure numpy, no Spark."""
+    import random
+
+    from databricks_flight_etl_spark.operators.multimodal import _phash64
+
+    rng = random.Random(3)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    h0 = _phash64(base)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, _phash64(base)) == 0
+    pert = bytearray(base)
+    for i in range(8):
+        pert[i * 500] ^= 0xFF
+    assert ham(h0, _phash64(bytes(pert))) <= 10
+    far = bytes(rng.randrange(256) for _ in range(4096))
+    assert ham(h0, _phash64(far)) >= 16
+    # degenerate payloads never crash and stay in signed-long range
+    for p in (None, b"", b"a", b"ab", bytes(range(9))):
+        v = _phash64(p)
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_media_fingerprint_phash_spark_and_hamming_join(spark):
+    """The phash kernel end-to-end on Spark: mapInArrow plumbing
+    produces one signed-long fingerprint per row matching the local
+    kernel, and hamming_near_dup_pairs over it finds the planted
+    near-identical payload pair (radius>0 — the exact kernel cannot)."""
+    import random
+
+    from databricks_flight_etl_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from databricks_flight_etl_spark.operators.multimodal import (
+        _phash64, media_fingerprint,
+    )
+
+    rng = random.Random(9)
+    payloads = [bytes(rng.randrange(256) for _ in range(2048))
+                for _ in range(12)]
+    near = bytearray(payloads[0])
+    near[100] ^= 0xFF  # 1-byte perturbation of payload 0
+    payloads.append(bytes(near))
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    fp = media_fingerprint(df, "payload", "doc_id", kernel="phash")
+    got = {r["doc_id"]: r["fingerprint"] for r in fp.collect()}
+    assert len(got) == 13
+    for i, p in enumerate(payloads):
+        assert got[i] == _phash64(p), i
+    pairs = hamming_near_dup_pairs(
+        fp, "fingerprint", "doc_id", max_hamming=8
+    )
+    found = {tuple(sorted((r[0], r[1]))) for r in pairs.collect()}
+    assert (0, 12) in found
+    # exact kernel still the default and radius-0 only
+    ex = media_fingerprint(df, "payload", "doc_id")
+    exact = {r["doc_id"]: r["fingerprint"] for r in ex.collect()}
+    assert exact[0] != exact[12]
+    assert all(v >= 0 for v in exact.values())

@@ -153,6 +153,25 @@ def _quant(docs):
     return quantiles_exact(lens, "x", [0.25, 0.5, 0.9, 0.99]).count()
 
 
+def _quant_cont(docs):
+    """Exact quantiles on a CONTINUOUS hash-derived double (distinct ≈
+    rows) — exercises the shared _hist_cumsum distributed prefix-sum
+    the same way the ks_drift probe does."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        quantiles_exact,
+    )
+
+    t = docs.select(
+        (
+            F.pmod(F.xxhash64("doc_id", F.lit("qv")), F.lit(10 ** 15))
+            .cast("double") / 1e9
+        ).alias("x")
+    )
+    return quantiles_exact(t, "x", [0.25, 0.5, 0.9, 0.99]).count()
+
+
 def _semdedup(vecs):
     from databricks_flight_etl_spark.operators.similarity import (
         semantic_dedup,
@@ -357,6 +376,7 @@ def main() -> None:
         "heavy_hitters": lambda d, v: _heavy(d),
         "quantiles_exact": lambda d, v: _quant(d),
         "ks_drift": lambda d, v: _ks(d),
+        "quantiles_cont": lambda d, v: _quant_cont(d),
         "semantic_dedup": lambda d, v: _semdedup(v),
         "semdedup_2level": lambda d, v: _semdedup_2level(v, v.count()),
         "pagerank": lambda d, v: _pagerank(d),
