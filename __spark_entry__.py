@@ -5009,6 +5009,44 @@ def q_ks_drift_grouped(spark, sf_dir):
     )
 
 
+def q_ks_drift_report(spark, sf_dir):
+    """Whole-table drift report: KS view-vs-purchase for every listed
+    numeric column in ONE pass — melt to (column, value) long form,
+    then per-column KS through the shared bounded prefix-sum; no
+    per-column job loop. The oracle replays the same UNION-ALL melt
+    and partitioned cumulative construction."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_drift_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_drift_report(
+        ev, ["value", "user_id"], "event_type", "view", "purchase"
+    )
+
+
+def q_linear_scorer(spark, sf_dir):
+    """X4 corpus-scale linear text-classifier application (the
+    fastText/CCNet quality-filter shape): score = sigmoid(bias +
+    Σ count(token)·weight) as pure joins + aggregates — no model
+    runtime, no Python. The dot product folds EXACT decimal weights so
+    both engines sum identically; sigmoid's exp is the only float op,
+    absorbed by the 6-dp round."""
+    from databricks_flight_etl_spark.operators.text import (
+        linear_score_documents,
+    )
+
+    weights = spark.createDataFrame(
+        [("spark", 0.8), ("join", 0.25), ("scan", -0.4),
+         ("batch", -0.15), ("window", 0.3), ("hash", -0.2)],
+        "token string, weight double",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return linear_score_documents(
+        docs, "text", "doc_id", weights, bias=-0.1
+    ).orderBy("doc_id")
+
+
 def q_mad_grouped(spark, sf_dir):
     """Per-group robust location/scale: median + MAD of value per
     event_type (median(|x − median|)) — outlier-immune where
@@ -5323,6 +5361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
         "q_ks_drift_grouped": q_ks_drift_grouped,
+        "q_ks_drift_report": q_ks_drift_report,
+        "q_linear_scorer": q_linear_scorer,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -9902,6 +9942,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(nb AS BIGINT) AS n_b
         FROM cum c JOIN tot USING (seg)
         GROUP BY c.seg, na, nb ORDER BY seg
+    """
+    d["q_ks_drift_report"] = """
+        WITH s AS (
+            SELECT 'value' AS col, CAST(value AS DOUBLE) AS v,
+                   event_type
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS DOUBLE), event_type
+            FROM events
+        ),
+        f AS (
+            SELECT col, v,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+            FROM s
+            WHERE event_type IN ('view', 'purchase') AND v IS NOT NULL
+        ),
+        hist AS (
+            SELECT col, v, SUM(a) AS ca, SUM(1 - a) AS cb
+            FROM f GROUP BY col, v
+        ),
+        cum AS (
+            SELECT col,
+                   SUM(ca) OVER (PARTITION BY col ORDER BY v ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cuma,
+                   SUM(cb) OVER (PARTITION BY col ORDER BY v ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cumb
+            FROM hist
+        ),
+        tot AS (
+            SELECT col, SUM(ca) AS na, SUM(cb) AS nb
+            FROM hist GROUP BY col
+        )
+        SELECT c.col AS "column",
+               round(max(abs(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb)), 6)
+                   AS ks_stat,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b
+        FROM cum c JOIN tot USING (col)
+        GROUP BY c.col, na, nb ORDER BY "column"
+    """
+    d["q_linear_scorer"] = """
+        WITH w(token, weight) AS (
+            VALUES ('spark', 0.8), ('join', 0.25), ('scan', -0.4),
+                   ('batch', -0.15), ('window', 0.3), ('hash', -0.2)
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS t
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
+        ),
+        dots AS (
+            SELECT doc_id,
+                   SUM(c * CAST(weight AS DECIMAL(28,9))) AS dot
+            FROM counts JOIN w ON t = token GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-(-0.1
+                   + COALESCE(CAST(dot AS DOUBLE), 0.0)))), 6) AS score
+        FROM documents d LEFT JOIN dots USING (doc_id)
+        ORDER BY d.doc_id
     """
     d["q_mad_grouped"] = """
         WITH m AS (

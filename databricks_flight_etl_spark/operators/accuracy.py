@@ -24,7 +24,8 @@ __all__ = ["summary_stats", "histogram", "describe",
            "grouped_outliers_iqr", "trailing_range_agg",
            "psi_drift", "trimmed_mean_by_group", "winsorized_mean_by_group",
            "group_linear_trend", "benford_profile", "grouped_pearson",
-           "ks_statistic", "ks_statistic_grouped", "mad_grouped"]
+           "ks_statistic", "ks_statistic_grouped", "ks_drift_report",
+           "mad_grouped"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -1222,4 +1223,59 @@ def mad_grouped(
             F.first("__n").alias("n"),
         )
         .orderBy(*group_cols)
+    )
+
+
+def ks_drift_report(
+    df: DataFrame, cols: list[str], group_col: str,
+    group_a, group_b, decimals: int = 6,
+    n_buckets: int = 64, max_points: int | None = None,
+) -> DataFrame:
+    """Whole-table drift report: the two-sample KS statistic for EVERY
+    listed numeric column, in ONE pass — the snapshot-vs-snapshot
+    monitoring report (each column's view of cohort a vs cohort b).
+    Output one row per column: (column, ks_stat, n_a, n_b), ordered by
+    column name; a column where either cohort has no non-null values
+    keeps its row with a null ks_stat (the n counts say which side).
+
+    Engine shape: melt the columns into (column, value) long form with
+    one narrow explode — no per-column job loop — then
+    :func:`ks_statistic_grouped` with ``by=["column"]``, so all
+    columns share the same bounded two-level prefix-sum
+    (:func:`_hist_cumsum`). Values are cast to double for the shared
+    value axis (the melt needs one type); exact counts are unaffected.
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    stacked = df.select(
+        F.col(group_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("double").alias("__val"),
+                )
+                for c in cols
+            ])
+        ).alias("__s"),
+    ).select(group_col, F.col("__s.column").alias("column"),
+             F.col("__s.__val").alias("__val"))
+    report = ks_statistic_grouped(
+        stacked, "__val", group_col, group_a, group_b, ["column"],
+        decimals=decimals, n_buckets=n_buckets, max_points=max_points,
+    )
+    # groups where a column had a/b rows but ALL values null can drop
+    # out of the melt-filter entirely; restore the guaranteed
+    # row-per-column contract with a spine join
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in sorted(cols)], "column string"
+    )
+    return (
+        spine.join(report, "column", "left")
+        .select(
+            "column", "ks_stat",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .orderBy("column")
     )

@@ -38,6 +38,7 @@ __all__ = [
     "chunk_documents",
     "pii_redact",
     "quality_signals",
+    "linear_score_documents",
     "contamination_overlap",
     "dedup_repeated_spans",
     "drop_boilerplate_spans",
@@ -1274,3 +1275,68 @@ def bpe_train_merges(
         return merges
     finally:
         wf.unpersist()
+
+
+def linear_score_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    bias: float = 0.0,
+    tokenizer: str = "whitespace",
+    out_col: str = "score",
+    decimals: int = 6,
+) -> DataFrame:
+    """Apply an externally-trained LINEAR text classifier at corpus
+    scale: ``score = sigmoid(bias + Σ_t count(t) · w(t))`` over the
+    document's tokens — the fastText/CCNet quality-classifier shape
+    (the model trains offline; corpus-scale APPLICATION is a pure
+    join-and-aggregate, which is what this operator keeps it as: no
+    Python in the hot path, no model runtime). Output: (id, out_col);
+    every input document gets a row — documents with no in-vocabulary
+    token score ``sigmoid(bias)``.
+
+    ``weights`` is a (token string, weight double) DataFrame — the
+    exported model vocabulary. Engine shape: tokenize (narrow) →
+    per-(doc, token) counts (one hash agg, map-side partials) → join
+    the vocabulary (broadcast when small — AQE decides) → per-doc dot
+    product as an EXACT DECIMAL sum (double summation order is not
+    engine-reproducible; the certified twin divides once at the end) →
+    left join back so out-of-vocabulary documents keep their row.
+    ``tokenizer``: "whitespace" (:func:`tokens`) or "bpe_ish"
+    (:func:`bpe_ish_tokens`)."""
+    if tokenizer == "whitespace":
+        tok = tokens(text_col)
+    elif tokenizer == "bpe_ish":
+        tok = bpe_ish_tokens(text_col)
+    else:
+        raise ValueError(
+            f"tokenizer must be 'whitespace' or 'bpe_ish': {tokenizer!r}"
+        )
+    counts = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tok).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = weights.select(
+        F.col("token").alias("__t"),
+        F.col("weight").cast("decimal(28,9)").alias("__w"),
+    )
+    dots = (
+        counts.join(w, "__t")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__w")).alias("__dot"))
+    )
+    z = F.lit(float(bias)) + F.coalesce(
+        F.col("__dot").cast("double"), F.lit(0.0)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), decimals)
+            .alias(out_col),
+        )
+    )

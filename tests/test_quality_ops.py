@@ -1020,3 +1020,77 @@ def test_ks_statistic_grouped_matches_per_group(spark):
         ).first()
         assert got[seg] == (w["ks_stat"], w["n_a"], w["n_b"])
     assert got["s3"][0] is None and got["s3"][2] == 0
+
+
+def test_ks_drift_report_matches_per_column(spark):
+    """One-pass melt + grouped KS == per-column ks_statistic; an
+    all-null column keeps its row with a null stat and zero counts."""
+    import random
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_drift_report, ks_statistic,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        ("a" if i % 2 else "b",
+         rng.gauss(0.3 if i % 2 else 0, 1),
+         float(rng.randrange(5)),
+         None)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, x double, y double, z double"
+    )
+    rep = {r["column"]: (r["ks_stat"], r["n_a"], r["n_b"])
+           for r in ks_drift_report(
+               df, ["x", "y", "z"], "g", "a", "b").collect()}
+    assert set(rep) == {"x", "y", "z"}
+    for c in ("x", "y"):
+        w = ks_statistic(
+            df.select("g", F.col(c).cast("double").alias("v")),
+            "v", "g", "a", "b",
+        ).first()
+        assert rep[c] == (w["ks_stat"], w["n_a"], w["n_b"]), c
+    assert rep["z"] == (None, 0, 0)
+
+
+def test_linear_score_documents_hand_checked(spark):
+    """score = sigmoid(bias + Σ count·w): hand-checked dots, OOV doc
+    scores sigmoid(bias), repeated tokens weight by count, bpe_ish
+    tokenizer splits punctuation."""
+    import math
+
+    from databricks_flight_etl_spark.operators.text import (
+        linear_score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "good good bad"), (1, "nothing known here"), (2, "")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [("good", 1.5), ("bad", -2.0)], "token string, weight double"
+    )
+    out = {r["doc_id"]: r["score"]
+           for r in linear_score_documents(
+               docs, "text", "doc_id", w, bias=0.5).collect()}
+
+    def sig(z):
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    assert out[0] == sig(0.5 + 2 * 1.5 - 2.0)
+    assert out[1] == sig(0.5)
+    assert out[2] == sig(0.5)
+    # bpe_ish: "good," splits into good + ','
+    docs2 = spark.createDataFrame(
+        [(0, "good, bad")], "doc_id long, text string"
+    )
+    out2 = linear_score_documents(
+        docs2, "text", "doc_id", w, tokenizer="bpe_ish"
+    ).first()["score"]
+    assert out2 == sig(1.5 - 2.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="tokenizer"):
+        linear_score_documents(docs, "text", "doc_id", w, tokenizer="x")
