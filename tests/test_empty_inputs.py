@@ -290,3 +290,42 @@ def test_empty_inputs_round4_ops(spark):
     one = spark.createDataFrame([(1, "x")], "k long, s string")
     d = {(r["k"], r["column"]) for r in diff_cells(e2, one, ["k"]).collect()}
     assert d == {(1, "__row__")}
+
+
+def test_empty_inputs_round6_ops(spark):
+    """Round-6 additions on empty/degenerate inputs: defined rows, no
+    crashes."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_drift_report, ks_statistic, ks_statistic_grouped,
+    )
+    from databricks_flight_etl_spark.operators.multimodal import (
+        media_fingerprint,
+    )
+    from databricks_flight_etl_spark.operators.text import (
+        linear_score_documents,
+    )
+
+    ev = spark.createDataFrame([], "g string, x double, y double")
+    # ks_statistic: ALWAYS one row (the round-6 contract)
+    r = ks_statistic(ev, "x", "g", "a", "b").collect()
+    assert len(r) == 1 and r[0]["ks_stat"] is None
+    # grouped: empty in, empty out
+    assert ks_statistic_grouped(ev, "x", "g", "a", "b", ["g"]).count() == 0
+    # report: one row per requested column even on empty input
+    rep = ks_drift_report(ev, ["x", "y"], "g", "a", "b").collect()
+    assert [(r["column"], r["ks_stat"], r["n_a"]) for r in rep] == [
+        ("x", None, 0), ("y", None, 0)
+    ]
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    w = spark.createDataFrame([("t", 1.0)], "token string, weight double")
+    assert linear_score_documents(docs, "text", "doc_id", w).count() == 0
+    # empty weight table: every doc scores sigmoid(bias)
+    one = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got = linear_score_documents(
+        one, "text", "doc_id", w.limit(0), bias=0.0).first()
+    assert got["score"] == 0.5
+
+    payloads = spark.createDataFrame([], "doc_id long, payload binary")
+    assert media_fingerprint(
+        payloads, "payload", "doc_id", kernel="phash").count() == 0
