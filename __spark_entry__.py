@@ -4977,6 +4977,62 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     return state.select("term", "cnt").orderBy("term")
 
 
+def q_streaming_drift(spark, sf_dir):
+    """Bounded-state streaming drift monitor: purchase values replayed
+    as TWO micro-batches into fixed reference-derived bins (view
+    values' min/max — the train-time convention; state ≤ bins + 2
+    rows forever), then the binned two-sample KS readout vs the
+    reference. Binning is pure IEEE double arithmetic (the q_histogram
+    certification precedent), so the oracle replays bucket-for-bucket:
+    the incremental fold is certified exactly, not rows-only."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from databricks_flight_etl_spark.streaming import (
+        streaming_drift_monitor, streaming_drift_readout,
+    )
+
+    tune(spark)
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") == "view").select("value")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="flight_etl_sdrift_")
+    stage = f"{root}/in"
+    for name, half in (
+        ("even", purchases.where(F.col("event_id") % 2 == 0)),
+        ("odd", purchases.where(F.col("event_id") % 2 == 1)),
+    ):
+        tmp = f"{root}/tmp_{name}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{stage}/{name}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(stage)
+    )
+    with _stream_parts(spark):
+        q = streaming_drift_monitor(
+            stream, "value", ref, f"{root}/state", f"{root}/ckpt",
+            bins=64,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return streaming_drift_readout(
+        spark, f"{root}/state", ref, "value", bins=64
+    )
+
+
 def q_ks_drift(spark, sf_dir):
     """Exact two-sample Kolmogorov–Smirnov drift statistic between the
     view and purchase value distributions: max CDF gap over the
@@ -5363,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift_grouped": q_ks_drift_grouped,
         "q_ks_drift_report": q_ks_drift_report,
         "q_linear_scorer": q_linear_scorer,
+        "q_streaming_drift": q_streaming_drift,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -9984,6 +10041,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(nb AS BIGINT) AS n_b
         FROM cum c JOIN tot USING (col)
         GROUP BY c.col, na, nb ORDER BY "column"
+    """
+    d["q_streaming_drift"] = """
+        WITH b AS (
+            SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                   MAX(CAST(value AS DOUBLE)) AS hi
+            FROM events
+            WHERE event_type = 'view' AND value IS NOT NULL
+        ),
+        binned AS (
+            SELECT CASE WHEN e.event_type = 'view' THEN 'r'
+                        ELSE 's' END AS g,
+                   CASE WHEN v < lo THEN -1
+                        WHEN v >= hi THEN 64
+                        ELSE LEAST(63, CAST(FLOOR(
+                            (v - lo) / (hi - lo) * 64) AS INTEGER))
+                   END AS bucket
+            FROM (
+                SELECT CAST(value AS DOUBLE) AS v, event_type
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                  AND value IS NOT NULL
+            ) e, b
+        ),
+        hist AS (
+            SELECT bucket,
+                   SUM(CASE WHEN g = 's' THEN 1 ELSE 0 END) AS cs,
+                   SUM(CASE WHEN g = 'r' THEN 1 ELSE 0 END) AS cr
+            FROM binned GROUP BY bucket
+        ),
+        cum AS (
+            SELECT SUM(cs) OVER (ORDER BY bucket ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+                   SUM(cr) OVER (ORDER BY bucket ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cumr
+            FROM hist
+        ),
+        tot AS (SELECT SUM(cs) AS ns, SUM(cr) AS nr FROM hist)
+        SELECT round(max(abs(CAST(cums AS DOUBLE) / ns
+                             - CAST(cumr AS DOUBLE) / nr)), 6)
+                   AS ks_stat,
+               CAST(ns AS BIGINT) AS n_stream,
+               CAST(nr AS BIGINT) AS n_ref
+        FROM cum, tot GROUP BY ns, nr
     """
     d["q_linear_scorer"] = """
         WITH w(token, weight) AS (

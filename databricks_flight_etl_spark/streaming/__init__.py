@@ -22,6 +22,8 @@ from .jobs import (
     streaming_sessionize,
     streaming_upsert_parquet,
     streaming_heavy_hitters,
+    streaming_drift_monitor,
+    streaming_drift_readout,
 )
 
 __all__ = [
@@ -38,4 +40,6 @@ __all__ = [
     "streaming_upsert_parquet",
     "run_stream_to_memory",
     "streaming_heavy_hitters",
+    "streaming_drift_monitor",
+    "streaming_drift_readout",
 ]

@@ -25,6 +25,8 @@ __all__ = [
     "streaming_enrich",
     "streaming_minhash_candidates",
     "streaming_heavy_hitters",
+    "streaming_drift_monitor",
+    "streaming_drift_readout",
 ]
 
 
@@ -295,11 +297,14 @@ def streaming_upsert_parquet(
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.dropDuplicates(keys)
-        try:
+        # existence check, not a bare try/except (the ADVICE-r5 class):
+        # a transient read error must RAISE — swallowing it would skip
+        # the anti-join and append duplicate keys, silently breaking
+        # the operator's whole idempotence contract
+        fs, sink = _hadoop_fs(spark, path)
+        if fs.exists(sink):
             existing = spark.read.parquet(path).select(*keys).distinct()
             new = new.join(existing, keys, "left_anti")
-        except Exception:
-            pass  # first batch: sink does not exist yet
         new.write.mode("append").parquet(path)
 
     return (
@@ -575,4 +580,179 @@ def streaming_heavy_hitters(
         stream.writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def _drift_bucket(col: str, lo: float, hi: float, bins: int):
+    """Fixed-bin bucket index for the drift monitor: equi-width over
+    the REFERENCE (train-time) bounds — the production drift-monitor
+    convention, and what makes the stream state bounded (≤ bins + 2
+    counters forever). Out-of-range stream values land in the edge
+    bins (index -1 / ``bins``), which is itself a drift signal. All
+    arithmetic is IEEE double (sub/div/mul correctly rounded), so any
+    engine assigns identical buckets — the q_histogram certification
+    precedent."""
+    v = F.col(col).cast("double")
+    if hi > lo:
+        idx = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * bins)
+        return (
+            F.when(v < F.lit(lo), F.lit(-1))
+            .when(v >= F.lit(hi), F.lit(bins))
+            .otherwise(F.least(F.lit(bins - 1), idx))
+            .cast("int")
+        )
+    return F.when(v == F.lit(lo), F.lit(0)).otherwise(
+        F.when(v < F.lit(lo), F.lit(-1)).otherwise(F.lit(bins))
+    ).cast("int")
+
+
+def streaming_drift_monitor(
+    stream: DataFrame,
+    col: str,
+    reference: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    bins: int = 256,
+):
+    """foreachBatch-maintained distribution-drift state: the stream's
+    values are counted into FIXED equi-width bins derived from the
+    ``reference`` distribution's min/max (one setup action, like the
+    IVF fit), so the persisted state is ≤ bins + 2 rows FOREVER no
+    matter how continuous the feature or how long the stream — the
+    bounded-state answer to "run a KS drift test against the training
+    snapshot, continuously". Values outside the reference range count
+    into explicit under/overflow bins (their growth is itself drift).
+
+    Read the drift at any time with :func:`streaming_drift_readout`
+    (binned two-sample KS of stream-so-far vs reference; CDFs compared
+    at bin edges — underestimates the exact D by at most the largest
+    single-bin mass, the documented ``max_points`` trade of the batch
+    operator).
+
+    Durability contract shared with :func:`streaming_mrl_sketch`:
+    atomic temp-write + rename state swap (:func:`_commit_state`),
+    narrow no-state-yet detection (:func:`_read_state`), and the
+    last-applied batch_id stored IN the state parquet so replayed
+    batches are skipped, never double-counted."""
+    b = reference.agg(
+        F.min(F.col(col).cast("double")),
+        F.max(F.col(col).cast("double")),
+    ).first()
+    if b[0] is None:
+        raise ValueError(
+            f"reference has no non-null values in {col!r} — "
+            "cannot derive drift bins"
+        )
+    lo, hi = float(b[0]), float(b[1])
+    bucket = _drift_bucket(col, lo, hi, bins)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = _read_state(spark, state_dir)
+        if prev is not None and "__last_batch" in prev.columns:
+            last = prev.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already counted
+        fresh = (
+            batch_df.where(F.col(col).isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if prev is not None:
+            fresh = (
+                prev.select("bucket", "cnt").unionByName(fresh)
+                .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            )
+        _commit_state(
+            fresh.withColumn(
+                "__last_batch", F.lit(batch_id).cast("long")
+            ),
+            state_dir,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def streaming_drift_readout(
+    spark: SparkSession,
+    state_dir: str,
+    reference: DataFrame,
+    col: str,
+    bins: int = 256,
+    decimals: int = 6,
+) -> DataFrame:
+    """Binned two-sample KS of the monitored stream-so-far
+    (:func:`streaming_drift_monitor` state) vs the reference: ONE row
+    (ks_stat, n_stream, n_ref); ks_stat null when either side is empty
+    (the n counts say which — the batch ks_statistic contract). The
+    reference is re-binned here with the identical deterministic
+    bounds derivation, so monitor and readout always agree on the bin
+    axis. Every table involved is ≤ bins + 2 rows, so the one ordered
+    window is bounded by construction (keyed explicitly — the
+    _hist_cumsum convention)."""
+    from pyspark.sql import Window
+
+    b = reference.agg(
+        F.min(F.col(col).cast("double")),
+        F.max(F.col(col).cast("double")),
+    ).first()
+    if b[0] is None:
+        raise ValueError(
+            f"reference has no non-null values in {col!r} — "
+            "cannot derive drift bins"
+        )
+    lo, hi = float(b[0]), float(b[1])
+    bucket = _drift_bucket(col, lo, hi, bins)
+    ref_hist = (
+        reference.where(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    state = _read_state(spark, state_dir)
+    if state is None:
+        s_hist = spark.createDataFrame([], "bucket int, __cs long")
+    else:
+        s_hist = state.select("bucket", F.col("cnt").alias("__cs"))
+    hist = (
+        ref_hist.join(s_hist, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("__cs", F.lit(0)).alias("__cs"),
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        )
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        F.sum("__cs").over(w).alias("__cums"),
+        F.sum("__cr").over(w).alias("__cumr"),
+    )
+    totals = hist.agg(
+        F.sum("__cs").alias("__ns"), F.sum("__cr").alias("__nr")
+    )
+    dmax = cum.crossJoin(F.broadcast(totals)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("__cums") / F.col("__ns")
+                    - F.col("__cumr") / F.col("__nr")
+                )
+            ),
+            decimals,
+        ).alias("ks_stat")
+    )
+    return dmax.crossJoin(F.broadcast(totals)).select(
+        "ks_stat",
+        F.coalesce(F.col("__ns"), F.lit(0)).cast("long")
+        .alias("n_stream"),
+        F.coalesce(F.col("__nr"), F.lit(0)).cast("long").alias("n_ref"),
     )

@@ -957,3 +957,92 @@ def test_state_commit_atomic_swap_and_rollback(spark, tmp_path):
 
     # missing state (no dir at all) is the ONLY None case
     assert _read_state(spark, str(tmp_path / "nope")) is None
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Bounded-state stream drift: (a) state stays ≤ bins + 2 rows on a
+    continuous feature; (b) a shifted stream reads out a clearly larger
+    KS than a same-distribution stream; (c) checkpoint-loss replay does
+    not double-count (the __last_batch contract); (d) the readout
+    equals the batch binned KS on the same data."""
+    import shutil
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_statistic,
+    )
+    from databricks_flight_etl_spark.streaming import (
+        streaming_drift_monitor, streaming_drift_readout,
+    )
+
+    ref = spark.range(2000).selectExpr(
+        "CAST(pmod(id * 2654435761, 9973) AS DOUBLE) / 9973 AS x"
+    )
+    bins = 64
+
+    def run(src_df, name):
+        src = str(tmp_path / f"drift_src_{name}")
+        state = str(tmp_path / f"drift_state_{name}")
+        ckpt = str(tmp_path / f"drift_ckpt_{name}")
+        src_df.coalesce(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet").load(src)
+        )
+        q = streaming_drift_monitor(stream, "x", ref, state, ckpt,
+                                    bins=bins)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return src, state, ckpt
+
+    same = spark.range(1500).selectExpr(
+        "CAST(pmod(id * 48271, 9973) AS DOUBLE) / 9973 AS x"
+    )
+    shifted = same.selectExpr("x * 0.5 + 0.75 AS x")  # mass pushed up
+
+    _, st_same, _ = run(same, "same")
+    src_sh, st_sh, ck_sh = run(shifted, "shifted")
+
+    assert spark.read.parquet(st_same).count() <= bins + 2
+    r_same = streaming_drift_readout(
+        spark, st_same, ref, "x", bins=bins).first()
+    r_sh = streaming_drift_readout(
+        spark, st_sh, ref, "x", bins=bins).first()
+    assert r_same["n_stream"] == 1500 and r_same["n_ref"] == 2000
+    assert r_same["ks_stat"] < 0.1 < r_sh["ks_stat"]
+
+    # (d) readout == batch binned KS over the union (bin = the value's
+    # reference-range bucket; with values quantized to their bucket
+    # index the exact KS IS the binned KS)
+    from databricks_flight_etl_spark.streaming.jobs import _drift_bucket
+
+    lo, hi = 0.0, ref.agg(F.max("x")).first()[0]
+    both = ref.selectExpr("x", "'r' AS g").unionByName(
+        shifted.selectExpr("x", "'s' AS g")
+    ).select(
+        _drift_bucket("x", lo, hi, bins).alias("b"), "g"
+    )
+    want = ks_statistic(both, "b", "g", "s", "r").first()
+    assert (r_sh["ks_stat"], r_sh["n_stream"], r_sh["n_ref"]) == (
+        want["ks_stat"], want["n_a"], want["n_b"]
+    )
+
+    # (c) replay: wipe the checkpoint, rerun the same source — counts
+    # must not double
+    shutil.rmtree(ck_sh)
+    stream = (
+        spark.readStream.schema(shifted.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet").load(src_sh)
+    )
+    q = streaming_drift_monitor(stream, "x", ref, st_sh, ck_sh,
+                                bins=bins)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    r2 = streaming_drift_readout(
+        spark, st_sh, ref, "x", bins=bins).first()
+    assert r2["n_stream"] == 1500
