@@ -5103,6 +5103,42 @@ def q_linear_scorer(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_domain_caps(spark, sf_dir):
+    """X4/X6 domain-level curation — the Dolma/CCNet 'no domain
+    dominates' cap: extract each doc's URL host engine-portably
+    (url_host: one regexp, strips scheme/credentials/port), drop
+    non-URL rows via the null host, keep a deterministic content-hash
+    cap of 12 docs per host (stratified_sample_n — window per host
+    over md5 order, rerun/engine-stable). URLs synthesized with
+    credential/port/non-URL variants to exercise the full pattern."""
+    from databricks_flight_etl_spark.operators.sampling import (
+        stratified_sample_n,
+    )
+    from databricks_flight_etl_spark.operators.text import url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/doc/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://user:pw@"), F.col("source"),
+                     F.lit(".example.com:8443/doc/"), sid),
+        )
+        .otherwise(F.concat(F.lit("plain text "), sid))
+    )
+    t = docs.select("doc_id", url_host(url).alias("host")).where(
+        F.col("host").isNotNull()
+    )
+    return stratified_sample_n(t, "host", "doc_id", 12).orderBy(
+        "host", "doc_id"
+    )
+
+
 def q_mad_grouped(spark, sf_dir):
     """Per-group robust location/scale: median + MAD of value per
     event_type (median(|x − median|)) — outlier-immune where
@@ -5420,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift_report": q_ks_drift_report,
         "q_linear_scorer": q_linear_scorer,
         "q_streaming_drift": q_streaming_drift,
+        "q_domain_caps": q_domain_caps,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10084,6 +10121,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(ns AS BIGINT) AS n_stream,
                CAST(nr AS BIGINT) AS n_ref
         FROM cum, tot GROUP BY ns, nr
+    """
+    d["q_domain_caps"] = """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                            'https://' || source || '.example.com/doc/'
+                            || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1 THEN
+                            'https://user:pw@' || source
+                            || '.example.com:8443/doc/'
+                            || CAST(doc_id AS VARCHAR)
+                        ELSE 'plain text ' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                       1)) AS host
+            FROM u
+        ),
+        f AS (
+            SELECT doc_id, host FROM h
+            WHERE host IS NOT NULL AND host <> ''
+        ),
+        r AS (
+            SELECT doc_id, host,
+                   row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 12), doc_id) AS rn
+            FROM f
+        )
+        SELECT doc_id, host FROM r WHERE rn <= 12
+        ORDER BY host, doc_id
     """
     d["q_linear_scorer"] = """
         WITH w(token, weight) AS (

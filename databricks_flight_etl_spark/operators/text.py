@@ -39,6 +39,8 @@ __all__ = [
     "pii_redact",
     "quality_signals",
     "linear_score_documents",
+    "URL_HOST_PATTERN",
+    "url_host",
     "contamination_overlap",
     "dedup_repeated_spans",
     "drop_boilerplate_spans",
@@ -1323,8 +1325,12 @@ def linear_score_documents(
         F.col("token").alias("__t"),
         F.col("weight").cast("decimal(28,9)").alias("__w"),
     )
+    # the vocabulary is ≪ the corpus by construction (an exported
+    # model's vocab, ~1e5-1e6 rows) — broadcast it so the per-(doc,
+    # token) counts never shuffle for this join; only the final
+    # per-doc aggregation exchanges
     dots = (
-        counts.join(w, "__t")
+        counts.join(F.broadcast(w), "__t")
         .groupBy(id_col)
         .agg(F.sum(F.col("__c") * F.col("__w")).alias("__dot"))
     )
@@ -1340,3 +1346,21 @@ def linear_score_documents(
             .alias(out_col),
         )
     )
+
+
+# Scheme-prefixed URL host: capture group 1 is the authority's host
+# part (credentials stripped, port excluded). Only portable regex
+# constructs (non-capturing groups, char classes) so Java regex
+# (Spark) and RE2 (DuckDB) read it identically.
+URL_HOST_PATTERN = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host of a scheme-prefixed URL, NULL when the string
+    is not a URL — the grouping key of every domain-level curation
+    step (per-domain caps, blocklist joins, domain mixing). Pure
+    regexp_extract: JVM-side, engine-portable (the pattern means the
+    same in Java regex and RE2), no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.regexp_extract(c, URL_HOST_PATTERN, 1)
+    return F.when(h != "", F.lower(h))

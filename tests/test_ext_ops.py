@@ -2722,3 +2722,31 @@ def test_media_fingerprint_phash_spark_and_hamming_join(spark):
     exact = {r["doc_id"]: r["fingerprint"] for r in ex.collect()}
     assert exact[0] != exact[12]
     assert all(v >= 0 for v in exact.values())
+
+
+def test_url_host_edge_cases(spark):
+    """url_host: credentials and ports stripped, scheme required,
+    non-URLs null, case folded."""
+    from databricks_flight_etl_spark.operators.text import url_host
+
+    rows = [
+        (0, "https://Example.COM/path?q=1"),
+        (1, "http://user:pw@sub.host.org:8080/x"),
+        (2, "ftp://files.example.net"),
+        (3, "no scheme here.com"),
+        (4, "https://"),
+        (5, None),
+        (6, "custom+x-1://h-1.io#frag"),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r["i"]: r["h"]
+           for r in df.select("i", url_host("u").alias("h")).collect()}
+    assert got == {
+        0: "example.com",
+        1: "sub.host.org",
+        2: "files.example.net",
+        3: None,
+        4: None,
+        5: None,
+        6: "h-1.io",
+    }
