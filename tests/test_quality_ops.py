@@ -1094,3 +1094,26 @@ def test_linear_score_documents_hand_checked(spark):
 
     with pytest.raises(ValueError, match="tokenizer"):
         linear_score_documents(docs, "text", "doc_id", w, tokenizer="x")
+
+
+def test_ks_statistic_decimal_and_nan_values(spark):
+    """The bucket math casts to double for RANGE assignment only — a
+    decimal value column yields the same statistic as its double twin,
+    and NaN values neither crash nor change the non-NaN ordering
+    contract (NaN sorts last, lands in the top bucket)."""
+    from databricks_flight_etl_spark.operators.accuracy import ks_statistic
+
+    rows = [("a" if i % 2 else "b", i * 7 % 30 / 4.0) for i in range(200)]
+    dd = spark.createDataFrame(rows, "g string, x double")
+    dec = dd.selectExpr("g", "CAST(x AS DECIMAL(10,4)) AS x")
+    a = ks_statistic(dd, "x", "g", "a", "b").first()
+    b = ks_statistic(dec, "x", "g", "a", "b").first()
+    assert (a["ks_stat"], a["n_a"], a["n_b"]) == (
+        b["ks_stat"], b["n_a"], b["n_b"])
+
+    withnan = dd.unionByName(spark.createDataFrame(
+        [("a", float("nan")), ("b", float("nan"))], "g string, x double"
+    ))
+    c = ks_statistic(withnan, "x", "g", "a", "b").first()
+    assert c["n_a"] == a["n_a"] + 1 and c["n_b"] == a["n_b"] + 1
+    assert c["ks_stat"] is not None
