@@ -153,6 +153,24 @@ def _quant(docs):
     return quantiles_exact(lens, "x", [0.25, 0.5, 0.9, 0.99]).count()
 
 
+def _linear_scorer(docs):
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.text import (
+        linear_score_documents,
+    )
+
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        [("lorem", 0.4), ("ipsum", -0.2), ("dolor", 0.1),
+         ("tempor", -0.3), ("magna", 0.25)],
+        "token string, weight double",
+    )
+    return linear_score_documents(
+        docs, "text", "doc_id", w, bias=-0.05
+    ).count()
+
+
 def _quant_cont(docs):
     """Exact quantiles on a CONTINUOUS hash-derived double (distinct ≈
     rows) — exercises the shared _hist_cumsum distributed prefix-sum
@@ -377,6 +395,7 @@ def main() -> None:
         "quantiles_exact": lambda d, v: _quant(d),
         "ks_drift": lambda d, v: _ks(d),
         "quantiles_cont": lambda d, v: _quant_cont(d),
+        "linear_scorer": lambda d, v: _linear_scorer(d),
         "semantic_dedup": lambda d, v: _semdedup(v),
         "semdedup_2level": lambda d, v: _semdedup_2level(v, v.count()),
         "pagerank": lambda d, v: _pagerank(d),
