@@ -5274,6 +5274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_survivors_by": q_dedup_survivors_by,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
+        # ROUND-7 ROTATION CANDIDATES (round-6 additions, all locally
+        # certified): q_ks_drift_grouped, q_ks_drift_report,
+        # q_linear_scorer, q_streaming_drift, q_domain_caps (certified)
+        # and q_phash_near_dup (rows-only by design).
         "q_quality_signals": q_quality_signals,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_association_pairs": q_association_pairs,
