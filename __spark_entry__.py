@@ -5103,6 +5103,30 @@ def q_linear_scorer(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_strip_html(spark, sf_dir):
+    """X4 crawl cleaning: documents wrapped in synthetic HTML (style
+    block, heading with an entity, script, comment) and stripped back
+    to visible text with strip_html — per-row JVM regexp chain, no
+    shuffle, no Python. Every pattern is Java-regex/RE2-portable, so
+    the oracle replays the identical replace chain character for
+    character."""
+    from databricks_flight_etl_spark.operators.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head>"
+              "<body><h1>Doc &amp; no. "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p><script>alert('x')</script><!-- hidden -->"
+              "</body></html>"),
+    )
+    return docs.select(
+        "doc_id", strip_html(html).alias("text")
+    ).orderBy("doc_id")
+
+
 def q_domain_caps(spark, sf_dir):
     """X4/X6 domain-level curation — the Dolma/CCNet 'no domain
     dominates' cap: extract each doc's URL host engine-portably
@@ -5461,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linear_scorer": q_linear_scorer,
         "q_streaming_drift": q_streaming_drift,
         "q_domain_caps": q_domain_caps,
+        "q_strip_html": q_strip_html,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10126,6 +10151,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(nr AS BIGINT) AS n_ref
         FROM cum, tot GROUP BY ns, nr
     """
+    d["q_strip_html"] = '''
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><style>p{color:red}</style></head>'
+                   || '<body><h1>Doc &amp; no. '
+                   || CAST(doc_id AS VARCHAR)
+                   || '</h1>' || chr(10) || '<p>' || text
+                   || '</p><script>alert(' || chr(39) || 'x'
+                   || chr(39) || ')</script>'
+                   || '<!-- hidden --></body></html>' AS x
+            FROM documents WHERE doc_id < 300
+        ),
+        s1 AS (SELECT doc_id, regexp_replace(x,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
+               FROM h),
+        s2 AS (SELECT doc_id, regexp_replace(x,
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
+               FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(x,
+                   '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(x,
+                   '(?s)<[^>]*>', ' ', 'g') AS x FROM s3),
+        e1 AS (SELECT doc_id, regexp_replace(x, '(?i)&nbsp;', ' ',
+                   'g') AS x FROM s4),
+        e2 AS (SELECT doc_id, regexp_replace(x, '(?i)&amp;', '&',
+                   'g') AS x FROM e1),
+        e3 AS (SELECT doc_id, regexp_replace(x, '(?i)&lt;', '<',
+                   'g') AS x FROM e2),
+        e4 AS (SELECT doc_id, regexp_replace(x, '(?i)&gt;', '>',
+                   'g') AS x FROM e3),
+        e5 AS (SELECT doc_id, regexp_replace(x, '(?i)&quot;',
+                   chr(34), 'g') AS x FROM e4),
+        e6 AS (SELECT doc_id, regexp_replace(x, '(?i)&#39;',
+                   chr(39), 'g') AS x FROM e5),
+        e7 AS (SELECT doc_id, regexp_replace(x, '&[a-zA-Z]{2,8};',
+                   ' ', 'g') AS x FROM e6)
+        SELECT doc_id,
+               trim(regexp_replace(x, '\\s+', ' ', 'g')) AS text
+        FROM e7 ORDER BY doc_id
+    '''
     d["q_domain_caps"] = """
         WITH u AS (
             SELECT doc_id,

@@ -41,6 +41,7 @@ __all__ = [
     "linear_score_documents",
     "URL_HOST_PATTERN",
     "url_host",
+    "strip_html",
     "contamination_overlap",
     "dedup_repeated_spans",
     "drop_boilerplate_spans",
@@ -1364,3 +1365,31 @@ def url_host(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     h = F.regexp_extract(c, URL_HOST_PATTERN, 1)
     return F.when(h != "", F.lower(h))
+
+
+def strip_html(col: Column | str) -> Column:
+    """Visible text of an HTML fragment — the classic crawl-cleaning
+    step before any quality/dedup pass: script/style blocks dropped
+    WITH their contents, tags and comments removed, the common named
+    entities (and the apostrophe's numeric form) decoded and the
+    remaining named ones blanked (the pragmatic CCNet-style subset —
+    not a DOM parser, which no regexp is; for full fidelity plug a
+    real parser into the mapInPandas tier),
+    whitespace collapsed and trimmed. Every pattern is portable
+    between Java regex and RE2 ((?i)/(?s) flags, char classes — no
+    backreferences), so the operation certifies against a SQL oracle
+    and runs fully JVM-side: per-row regexp chains, no shuffle, no
+    Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    # script/style: content is never visible text
+    c = F.regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, "(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("(?i)&nbsp;", " "), ("(?i)&amp;", "&"), ("(?i)&lt;", "<"),
+        ("(?i)&gt;", ">"), ("(?i)&quot;", "\""), ("(?i)&#39;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, "&[a-zA-Z]{2,8};", " ")  # unknown named
+    return F.trim(F.regexp_replace(c, "\\s+", " "))

@@ -2750,3 +2750,28 @@ def test_url_host_edge_cases(spark):
         5: None,
         6: "h-1.io",
     }
+
+
+def test_strip_html(spark):
+    """strip_html: script/style contents gone, tags/comments gone,
+    common entities decoded, whitespace collapsed, non-HTML untouched
+    (modulo whitespace collapse)."""
+    from databricks_flight_etl_spark.operators.text import strip_html
+
+    rows = [
+        (0, "<html><head><STYLE>p{color:red}</STYLE></head>"
+            "<body><h1>Title</h1><p>Hello <b>world</b>!</p>"
+            "<script type='x'>alert('no');</script></body></html>"),
+        (1, "A &amp; B &lt;ok&gt; it&#39;s &nbsp; fine &hellip; end"),
+        (2, "plain   text\n unchanged"),
+        (3, "<!-- secret --><div\nclass='x'>multi\nline</div>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, h string")
+    got = {r["i"]: r["t"]
+           for r in df.select("i", strip_html("h").alias("t")).collect()}
+    assert got[0] == "Title Hello world !"
+    assert got[1] == "A & B <ok> it's fine end"
+    assert got[2] == "plain text unchanged"
+    assert got[3] == "multi line"
+    assert got[4] is None
