@@ -5301,7 +5301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-7 ROTATION CANDIDATES (round-6 additions, all locally
         # certified): q_ks_drift_grouped, q_ks_drift_report,
         # q_linear_scorer, q_streaming_drift, q_domain_caps (certified)
-        # and q_phash_near_dup (rows-only by design).
+        # q_strip_html (certified) and q_phash_near_dup (rows-only by
+        # design).
         "q_quality_signals": q_quality_signals,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_association_pairs": q_association_pairs,
