@@ -1588,6 +1588,21 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", k=40).orderBy("rank")
 
 
+def q_vocab_curve_full(spark, sf_dir):
+    """Round-7 rewrite certification: the FULL vocabulary-cutoff curve
+    (no k) through the distributed split — per-count cumulative
+    types/mass via _hist_cumsum on the count, within-count token rank
+    via _hist_cumsum partitioned by count and range-bucketed on the
+    token's first-6-byte integer (monotone w.r.t. the bytewise string
+    order both engines share). No window anywhere touches the whole
+    vocabulary. Oracle replays the one-window textbook form — same
+    rows, bit-identical coverage."""
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text").orderBy("rank")
+
+
 def q_sequence_gaps(spark, sf_dir):
     """Dropped-message monitor: per-user event_id sequence coverage
     with deterministic holes punched (every 7th id removed) — ONE
@@ -5248,20 +5263,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- round-5 additions rotated INTO the window for a driver-
-        # -- green round (r5 verdict task #4); the r5-driver-certified
-        # -- q_association_pairs / q_period_over_period / q_grouped_corr
-        # -- / q_transition_matrix / q_bpe_merges / q_diff_cells rotate
-        # -- out (still certified locally, below), as do q_ngram_jaccard
-        # -- and q_quality_signals (families X1/X4 keep other window
-        # -- rows) -------------------------------------------------------
-        "q_line_dedup": q_line_dedup,
-        "q_repetition_signals": q_repetition_signals,
-        "q_hamming_near_dup": q_hamming_near_dup,
-        "q_leakage_safe_split": q_leakage_safe_split,
+        # -- round-6 additions rotated INTO the window for driver
+        # -- certification (r6 verdict task #2); the r6-driver-certified
+        # -- q_line_dedup / q_repetition_signals / q_hamming_near_dup /
+        # -- q_leakage_safe_split / q_mad_grouped / q_ohlc_bars rotate
+        # -- out (still certified locally, below — families X1/X4/X6
+        # -- and the robust-stats/KS rows keep other window members) ----
         "q_ks_drift": q_ks_drift,
-        "q_mad_grouped": q_mad_grouped,
-        "q_ohlc_bars": q_ohlc_bars,
+        "q_ks_drift_grouped": q_ks_drift_grouped,
+        "q_ks_drift_report": q_ks_drift_report,
+        "q_linear_scorer": q_linear_scorer,
+        "q_streaming_drift": q_streaming_drift,
+        "q_domain_caps": q_domain_caps,
+        "q_strip_html": q_strip_html,
         "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
         # -- relational core (X5) ---------------------------------------
         "q_join_inner": q_join_inner,
@@ -5294,15 +5308,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_textprep_full_certified": q_textprep_full_certified,
         "q_corpus_release": q_corpus_release,
         "q_streaming_day_counts": q_streaming_day_counts,
-        "q_minhash_incremental": q_minhash_incremental,
-        "q_dedup_survivors_by": q_dedup_survivors_by,
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
-        # ROUND-7 ROTATION CANDIDATES (round-6 additions, all locally
-        # certified): q_ks_drift_grouped, q_ks_drift_report,
-        # q_linear_scorer, q_streaming_drift, q_domain_caps (certified)
-        # q_strip_html (certified) and q_phash_near_dup (rows-only by
-        # design).
+        "q_minhash_incremental": q_minhash_incremental,
+        "q_dedup_survivors_by": q_dedup_survivors_by,
+        # ROUND-8 ROTATION CANDIDATES (round-7 additions, locally
+        # certified): q_vocab_curve_full, q_corpus_release_domains.
+        # Rotated out this round after r6 driver certification:
+        "q_line_dedup": q_line_dedup,
+        "q_repetition_signals": q_repetition_signals,
+        "q_hamming_near_dup": q_hamming_near_dup,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_mad_grouped": q_mad_grouped,
+        "q_ohlc_bars": q_ohlc_bars,
         "q_quality_signals": q_quality_signals,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_association_pairs": q_association_pairs,
@@ -5481,12 +5499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitwise": q_bitwise,
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
-        "q_ks_drift_grouped": q_ks_drift_grouped,
-        "q_ks_drift_report": q_ks_drift_report,
-        "q_linear_scorer": q_linear_scorer,
-        "q_streaming_drift": q_streaming_drift,
-        "q_domain_caps": q_domain_caps,
-        "q_strip_html": q_strip_html,
+        "q_vocab_curve_full": q_vocab_curve_full,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10174,12 +10187,12 @@ def oracle_sql() -> dict[str, str]:
                    '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
         s4 AS (SELECT doc_id, regexp_replace(x,
                    '(?s)<[^>]*>', ' ', 'g') AS x FROM s3),
-        e1 AS (SELECT doc_id, regexp_replace(x, '(?i)&nbsp;', ' ',
+        e0 AS (SELECT doc_id, regexp_replace(x, '(?i)&amp;', chr(1),
                    'g') AS x FROM s4),
-        e2 AS (SELECT doc_id, regexp_replace(x, '(?i)&amp;', '&',
-                   'g') AS x FROM e1),
+        e1 AS (SELECT doc_id, regexp_replace(x, '(?i)&nbsp;', ' ',
+                   'g') AS x FROM e0),
         e3 AS (SELECT doc_id, regexp_replace(x, '(?i)&lt;', '<',
-                   'g') AS x FROM e2),
+                   'g') AS x FROM e1),
         e4 AS (SELECT doc_id, regexp_replace(x, '(?i)&gt;', '>',
                    'g') AS x FROM e3),
         e5 AS (SELECT doc_id, regexp_replace(x, '(?i)&quot;',
@@ -10187,10 +10200,11 @@ def oracle_sql() -> dict[str, str]:
         e6 AS (SELECT doc_id, regexp_replace(x, '(?i)&#39;',
                    chr(39), 'g') AS x FROM e5),
         e7 AS (SELECT doc_id, regexp_replace(x, '&[a-zA-Z]{2,8};',
-                   ' ', 'g') AS x FROM e6)
+                   ' ', 'g') AS x FROM e6),
+        e8 AS (SELECT doc_id, replace(x, chr(1), '&') AS x FROM e7)
         SELECT doc_id,
                trim(regexp_replace(x, '\\s+', ' ', 'g')) AS text
-        FROM e7 ORDER BY doc_id
+        FROM e8 ORDER BY doc_id
     '''
     d["q_domain_caps"] = """
         WITH u AS (
@@ -10244,7 +10258,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         dots AS (
             SELECT doc_id,
-                   SUM(c * CAST(weight AS DECIMAL(28,9))) AS dot
+                   SUM(CAST(c AS DECIMAL(18,0))
+                       * CAST(weight AS DECIMAL(19,9))) AS dot
             FROM counts JOIN w ON t = token GROUP BY doc_id
         )
         SELECT d.doc_id,
@@ -10299,5 +10314,29 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY bucket_us, event_type
         ORDER BY bucket_us, event_type
+    """
+    # Textbook one-window form — the engine side computes the same
+    # curve WITHOUT any whole-vocabulary window (per-count split +
+    # byte-bucketed within-count rank); bit-identical by construction
+    # (integer cumsums, one double division, same round).
+    d["q_vocab_curve_full"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+        t AS (SELECT sum(n) AS tot FROM c),
+        r AS (
+            SELECT token, CAST(n AS BIGINT) AS n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rank,
+                   sum(n) OVER (ORDER BY n DESC, token
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+            FROM c
+        )
+        SELECT token, n, CAST(rank AS INT) AS rank,
+               round(cum * 1.0 / tot, 6) AS coverage
+        FROM r, t ORDER BY rank
     """
     return d

@@ -198,9 +198,26 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # ---- adjudicated headline (r6 verdict task #4) --------------------
+    # Two rounds running, the recorded total led the stdout line while
+    # the bench's own re-timings showed the inflation was host
+    # contention — the headline misrepresented the code. The adjudicated
+    # total substitutes each re-timed median for its contention-inflated
+    # recorded figure and removes the measured data-independent
+    # streaming floor (clamped per query so a floor measured at sf0.001
+    # can never drive a query negative). `value` stays the raw recorded
+    # total; consumers comparing against BASELINE.md should use
+    # `value_adjudicated`.
+    adj_total = 0.0
+    for name, t in timings.items():
+        t2 = adjudication.get(name, {}).get("retimed_median", t)
+        t2 -= min(stream_overhead.get(name, 0.0), t2)
+        adj_total += t2
+
     detail = {
         "metric": "harness_suite_wall_clock",
         "value": round(total, 3),
+        "value_adjudicated": round(adj_total, 3),
         "unit": "sec",
         "sf": sf,
         "queries": timings,
@@ -223,6 +240,7 @@ def main() -> None:
     out = {
         "metric": "harness_suite_wall_clock",
         "value": round(total, 3),
+        "value_adjudicated": round(adj_total, 3),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),

@@ -11,7 +11,7 @@ groupBy — two passes total, no driver bulk transfer, works at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -25,7 +25,7 @@ __all__ = ["summary_stats", "histogram", "describe",
            "psi_drift", "trimmed_mean_by_group", "winsorized_mean_by_group",
            "group_linear_trend", "benford_profile", "grouped_pearson",
            "ks_statistic", "ks_statistic_grouped", "ks_drift_report",
-           "mad_grouped"]
+           "mad_grouped", "release_histogram_caches"]
 
 
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -161,10 +161,37 @@ def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     )
 
 
+_PINNED_HISTS: list[DataFrame] = []
+
+
+def release_histogram_caches() -> int:
+    """Unpersist every histogram :func:`_hist_cumsum` has pinned this
+    session and return how many were released.
+
+    ``_hist_cumsum`` persists its input histogram (three internal
+    consumers — see its docstring) but returns a LAZY frame, so neither
+    it nor its callers (ks_statistic, quantiles_exact, grouped_quantiles,
+    rank_normalize, spearman_corr, ks_drift_report, vocab_coverage) can
+    unpersist before the caller's eventual action. Batch jobs release
+    everything at session end; a LONG-LIVED session running repeated
+    drift checks should call this between checks (blocks are
+    MEMORY_AND_DISK and LRU-evictable, so skipping it degrades cache
+    hit-rate, not correctness). Unpersist is idempotent and non-blocking.
+    """
+    n = len(_PINNED_HISTS)
+    while _PINNED_HISTS:
+        try:
+            _PINNED_HISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to free
+    return n
+
+
 def _hist_cumsum(
     hist: DataFrame, value_col: str, sum_cols: list[str],
     by: list[str] | None = None, n_buckets: int = 64,
     inclusive: bool = True, persist: bool = True,
+    bucket_on: Column | None = None,
 ) -> DataFrame:
     """DISTRIBUTED running sum over a (by…, value, counts…) histogram —
     the two-level range-bucket prefix-sum every cumulative-rank
@@ -190,6 +217,19 @@ def _hist_cumsum(
     consumers (bucket sums, the window join, callers' totals) would
     otherwise each re-execute the lineage back to the raw scan —
     the plan audit showed 8 source scans on the unpinned KS form.
+    Every pin is registered so :func:`release_histogram_caches` can
+    free them (the returned frame is lazy, so neither this function
+    nor its callers can unpersist before the caller's action);
+    ``persist=False`` opts out entirely for one-shot lineages.
+
+    ``bucket_on`` generalizes level 1 beyond numeric value columns: a
+    NUMERIC column expression over ``hist`` that is monotone
+    non-decreasing in ``value_col``'s ascending sort order (ties may
+    collapse — rows sharing a proxy value share a bucket, which only
+    coarsens the split). This is how a STRING value column distributes:
+    e.g. its first-6-bytes-as-integer, monotone w.r.t. Spark's bytewise
+    UTF8String ordering (see text.vocab_coverage). Default: the value
+    column itself cast to double (monotone by construction).
 
     Exactness: pure integer/decimal column sums, no doubles introduced
     — any n_buckets yields bit-identical cumulative counts (pinned by
@@ -201,15 +241,17 @@ def _hist_cumsum(
         from pyspark import StorageLevel
 
         hist = hist.persist(StorageLevel.MEMORY_AND_DISK)
-    bounds = hist.agg(
-        F.min(F.col(value_col).cast("double")).alias("__lo"),
-        F.max(F.col(value_col).cast("double")).alias("__hi"),
+        _PINNED_HISTS.append(hist)
+    vd = (
+        F.col(value_col).cast("double")
+        if bucket_on is None
+        else bucket_on.cast("double")
     )
+    bounds = hist.agg(F.min(vd).alias("__lo"), F.max(vd).alias("__hi"))
     # the double cast is for bucket math only — monotone, so
     # bucket(v1) ≤ bucket(v2) whenever v1 < v2 (ties share a bucket);
     # ordering/grouping keep the original-typed value
     span = F.col("__hi") - F.col("__lo")
-    vd = F.col(value_col).cast("double")
     bkt = (
         F.when(
             span > 0,

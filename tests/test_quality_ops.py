@@ -1096,6 +1096,33 @@ def test_linear_score_documents_hand_checked(spark):
         linear_score_documents(docs, "text", "doc_id", w, tokenizer="x")
 
 
+def test_linear_score_documents_nine_dp_weights_exact(spark):
+    """Round-6 ADVICE: the old long×decimal(28,9) product was silently
+    quantized to 6 dp by Spark's precision-loss rules. The
+    decimal(18,0)×decimal(19,9) form keeps scale 9 within precision 38,
+    so 9-dp weights contribute exactly (7e-7·count shifts the dot; at
+    6-dp product quantization it rounded to 1e-6·count instead)."""
+    import math
+
+    from databricks_flight_etl_spark.operators.text import (
+        linear_score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "t t t t t t t t t t")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame(
+        [("t", 0.100000070)], "token string, weight double"
+    )
+    got = linear_score_documents(
+        docs, "text", "doc_id", w, decimals=9
+    ).first()["score"]
+    want = round(1.0 / (1.0 + math.exp(-(10 * 0.100000070))), 9)
+    bad = round(1.0 / (1.0 + math.exp(-(10 * 0.100000))), 9)
+    assert got == want
+    assert got != bad  # the 6-dp-quantized form really differed
+
+
 def test_ks_statistic_decimal_and_nan_values(spark):
     """The bucket math casts to double for RANGE assignment only — a
     decimal value column yields the same statistic as its double twin,
