@@ -41,19 +41,45 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
-def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def _read_state(
+    spark: SparkSession, state_dir: str, rollback: bool = True
+) -> DataFrame | None:
     """Read foreachBatch fold state, or None ONLY when no committed
     state exists yet. Unlike a bare ``except Exception`` around the
     read (the round-5 ADVICE finding), a corrupted directory or a
     transient FS error RAISES instead of silently restarting the fold
-    from scratch. Also rolls back a crash that died between the two
-    renames of :func:`_commit_state` (state gone, ``.__old`` intact):
-    the previous version is restored and the interrupted batch — whose
-    checkpoint never committed — replays on top of it."""
+    from scratch.
+
+    ``rollback=True`` (the FOLD path — foreachBatch is single-writer,
+    so no commit can be in flight) also rolls back a crash that died
+    between the two renames of :func:`_commit_state` (state gone,
+    ``.__old`` intact): the previous version is restored and the
+    interrupted batch — whose checkpoint never committed — replays on
+    top of it.
+
+    ``rollback=False`` (read-only observers like
+    :func:`streaming_drift_readout`, documented as callable at any
+    time) NEVER mutates: renaming ``.__old`` back while a live
+    ``_commit_state`` sits between its two renames would make the
+    commit's ``rename(tmp, path)`` land on an occupied path and kill
+    the streaming query (the round-6 ADVICE race). Instead the
+    ``.__old`` copy is read in place — a legitimate point-in-time view
+    of the last commit — and pinned eagerly (localCheckpoint) so the
+    commit deleting ``.__old`` moments later cannot yank files out
+    from under the caller's action."""
     fs, path = _hadoop_fs(spark, state_dir)
     old_fs, old_path = _hadoop_fs(spark, state_dir + ".__old")
     if not fs.exists(path) and old_fs.exists(old_path):
-        if not fs.rename(old_path, path):
+        if not rollback:
+            try:
+                return spark.read.parquet(
+                    state_dir + ".__old"
+                ).localCheckpoint()
+            except Exception:
+                # the in-flight commit finished in between (live dir
+                # back, .__old dropped) — fall through to the live read
+                pass
+        elif not fs.rename(old_path, path):
             raise IOError(
                 f"state rollback rename failed: {state_dir}.__old"
             )
@@ -714,7 +740,7 @@ def streaming_drift_readout(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("__cr"))
     )
-    state = _read_state(spark, state_dir)
+    state = _read_state(spark, state_dir, rollback=False)
     if state is None:
         s_hist = spark.createDataFrame([], "bucket int, __cs long")
     else:

@@ -1046,3 +1046,145 @@ def test_streaming_drift_monitor(spark, tmp_path):
     r2 = streaming_drift_readout(
         spark, st_sh, ref, "x", bins=bins).first()
     assert r2["n_stream"] == 1500
+
+
+def _run_fold_stream(spark, factory, src, schema):
+    """Start a foreachBatch fold over the parquet dir ``src`` (one file
+    per micro-batch), drain, stop."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet").load(src)
+    )
+    q = factory(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("kind", ["mrl", "hh"])
+def test_fold_state_mid_crash_rollback_replay(spark, tmp_path, kind):
+    """Verdict r6 task #5: stage the EXACT mid-crash layout — death
+    between _commit_state's two renames (live state dir gone, .__old
+    intact, the interrupted batch's checkpoint never committed) — and
+    assert rollback + replay reproduce the no-crash state, for both
+    the MRL and heavy-hitters folds.
+
+    Staging: batch 0 commits normally; before batch 1's file is even
+    visible we rename state -> state.__old (what a crash inside batch
+    1's commit leaves behind). On restart _read_state must roll the
+    previous version back and the fold must apply batch 1 exactly once
+    — bit-identical to the run that never crashed."""
+    import shutil
+
+    from databricks_flight_etl_spark.streaming import (
+        streaming_heavy_hitters, streaming_mrl_sketch,
+    )
+
+    df = spark.range(1200).selectExpr(
+        "id",
+        "CAST(pmod(id * 48271, 499) AS DOUBLE) AS value",
+        "CAST(pmod(id, 37) AS STRING) AS term",
+    )
+    part0 = df.where("id < 600")
+    part1 = df.where("id >= 600")
+
+    def factory_for(state, ckpt):
+        if kind == "mrl":
+            return lambda s: streaming_mrl_sketch(
+                s, "value", state, ckpt, k=10_000
+            )
+        return lambda s: streaming_heavy_hitters(
+            s, "term", state, ckpt, capacity=4096
+        )
+
+    def state_rows(state):
+        sdf = spark.read.parquet(state)
+        cols = [c for c in sorted(sdf.columns)]
+        return sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+
+    # ---- no-crash reference run: both batches straight through ------
+    src_ref = str(tmp_path / f"{kind}_src_ref")
+    part0.coalesce(1).write.parquet(src_ref)
+    part1.coalesce(1).write.mode("append").parquet(src_ref)
+    st_ref = str(tmp_path / f"{kind}_state_ref")
+    ck_ref = str(tmp_path / f"{kind}_ckpt_ref")
+    _run_fold_stream(
+        spark, factory_for(st_ref, ck_ref), src_ref, df.schema
+    )
+
+    # ---- crash run: batch 0, mid-commit crash layout, then batch 1 --
+    src = str(tmp_path / f"{kind}_src_crash")
+    part0.coalesce(1).write.parquet(src)
+    st = str(tmp_path / f"{kind}_state_crash")
+    ck = str(tmp_path / f"{kind}_ckpt_crash")
+    _run_fold_stream(spark, factory_for(st, ck), src, df.schema)
+
+    os.rename(st, st + ".__old")  # death between the two renames
+    # batch 1's data arrives; the restarted query folds it on top of
+    # the ROLLED-BACK batch-0 state
+    part1.coalesce(1).write.mode("append").parquet(src)
+    _run_fold_stream(spark, factory_for(st, ck), src, df.schema)
+
+    assert not os.path.exists(st + ".__old")  # rollback consumed it
+    assert state_rows(st) == state_rows(st_ref)
+
+    # and the whole thing again with the crash layout left UNTOUCHED
+    # by a read-only observer in between (the rollback=False contract)
+    from databricks_flight_etl_spark.streaming.jobs import _read_state
+
+    os.rename(st, st + ".__old")
+    seen = _read_state(spark, st, rollback=False)
+    assert seen is not None and seen.count() > 0
+    assert os.path.exists(st + ".__old") and not os.path.exists(st)
+    # the fold path still rolls back afterwards
+    restored = _read_state(spark, st)
+    assert restored is not None
+    assert os.path.exists(st) and not os.path.exists(st + ".__old")
+    assert state_rows(st) == state_rows(st_ref)
+
+
+def test_read_state_observer_never_mutates(spark, tmp_path):
+    """ADVICE r6 (low): streaming_drift_readout is callable at any
+    time, so its state read must NEVER rename .__old back — doing so
+    races an in-flight _commit_state between its two renames and kills
+    the commit's rename(tmp, path). rollback=False must (a) read the
+    .__old point-in-time copy without touching the layout, (b) still
+    prefer the live dir when it exists, (c) return None only when
+    neither exists — and the readout itself must work mid-crash."""
+    from databricks_flight_etl_spark.streaming.jobs import (
+        _commit_state, _read_state,
+    )
+    from databricks_flight_etl_spark.streaming import (
+        streaming_drift_readout,
+    )
+
+    state = str(tmp_path / "obs_state")
+    ref = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS x")
+    hist = spark.createDataFrame(
+        [(0, 40), (1, 60)], "bucket int, cnt long"
+    )
+    _commit_state(hist.withColumn(
+        "__last_batch", F.lit(0).cast("long")), state)
+
+    # (b) live dir present: observer reads it
+    assert _read_state(spark, state, rollback=False).count() == 2
+
+    # (a) mid-crash layout: observer reads .__old IN PLACE
+    os.rename(state, state + ".__old")
+    got = _read_state(spark, state, rollback=False)
+    assert got is not None and got.count() == 2
+    assert os.path.exists(state + ".__old")
+    assert not os.path.exists(state)
+    # full readout works off the point-in-time copy too
+    r = streaming_drift_readout(spark, state, ref, "x", bins=8)
+    row = r.first()
+    assert row["n_stream"] == 100
+    # layout STILL untouched after the readout's action
+    assert os.path.exists(state + ".__old")
+    assert not os.path.exists(state)
+
+    # (c) neither dir: None
+    assert _read_state(
+        spark, str(tmp_path / "missing"), rollback=False) is None
