@@ -2987,6 +2987,44 @@ def q_corpus_release(spark, sf_dir):
     return rel.released
 
 
+def q_corpus_release_domains(spark, sf_dir):
+    """X7 corpus release with the per-domain cap ON (r6 verdict task
+    #6): quality → language → exact dedup → 'no domain dominates' cap
+    (url_host + deterministic per-host content-hash top-N, non-URL
+    docs pass uncapped) → PII redaction → token counts → shard
+    packing. URLs synthesized over 7 hosts with credential/port and
+    non-URL variants so the cap, the host regexp, and the pass-through
+    all bite. Oracle replays the identical funnel + cap in one SQL."""
+    from databricks_flight_etl_spark.pipeline import run_corpus_release
+
+    sid = F.col("doc_id").cast("string")
+    host_n = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://site"), host_n,
+                     F.lit(".example.com/d/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://user:pw@site"), host_n,
+                     F.lit(".example.com:8443/d/"), sid),
+        )
+        .otherwise(F.concat(F.lit("plain text "), sid))
+    )
+    rel = run_corpus_release(
+        _docs_with_pii(spark, sf_dir).withColumn("url", url),
+        min_tokens=10,
+        chunk_tokens=64,
+        overlap=16,
+        near_dup=False,
+        budget=512,
+        url_col="url",
+        max_per_domain=10,
+    )
+    return rel.released
+
+
 def q_textprep_full_certified(spark, sf_dir):
     """X7 capstone: the COMPLETE text-prep funnel with the near-dup
     stage ON — quality filter → language filter → exact dedup →
@@ -5500,6 +5538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
         "q_vocab_curve_full": q_vocab_curve_full,
+        "q_corpus_release_domains": q_corpus_release_domains,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -7865,6 +7904,117 @@ def oracle_sql() -> dict[str, str]:
                            '""" + PII_IP + """', '[IP]', 'g'),
                            '""" + PII_PHONE + """', '[PHONE]', 'g') AS clean
                 FROM uniq
+            ),
+            counted AS (
+                SELECT doc_id, clean,
+                       CAST(len(list_filter(string_split(clean, ' '),
+                                            x -> x <> '')) AS BIGINT)
+                           AS n_tokens
+                FROM red
+            ),
+            packed AS (
+                SELECT doc_id, clean, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS cum_tokens
+                FROM counted
+            )
+            SELECT doc_id, clean, n_tokens, cum_tokens,
+                   (cum_tokens - n_tokens) // 512 AS shard
+            FROM packed
+        """,
+        # Release + 'no domain dominates': same funnel with the
+        # per-host content-hash cap between dedup and redaction —
+        # URL-less docs pass uncapped, the row_number order replays
+        # stratified_sample_n's (md5-prefix, id) coordinate.
+        "q_corpus_release_domains": """
+            WITH t AS (""" + _DOCS_PII_SQL + """),
+            toks AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS tk
+                FROM t
+            ),
+            m AS (
+                SELECT doc_id, text, len(tk) AS n_tokens,
+                       round(CASE WHEN len(tk) > 0 THEN
+                           len(list_filter(tk, x -> list_contains(
+                               ['the','a','of','and','to','in','is','on',
+                                'for','with'], x))) * 1.0 / len(tk)
+                       END, 6) AS stop_ratio,
+                       len(list_filter(tk, x -> list_contains(
+                           ['the','a','of','and','to','in','is','on','for',
+                            'with'], x))) AS s_en,
+                       len(list_filter(tk, x -> list_contains(
+                           ['el','la','de','y','en','es','los','por','con',
+                            'del'], x))) AS s_es,
+                       len(list_filter(tk, x -> list_contains(
+                           ['der','die','das','und','ist','von','mit','den',
+                            'im','ein'], x))) AS s_de,
+                       len(list_filter(tk, x -> list_contains(
+                           ['le','la','de','et','est','les','un','une',
+                            'dans','pour'], x))) AS s_fr
+                FROM toks
+            ),
+            kept AS (
+                SELECT doc_id, text FROM m
+                WHERE n_tokens >= 10 AND n_tokens <= 100000
+                  AND stop_ratio <= 0.9
+                  AND (CASE
+                       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                           THEN 'en'
+                       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de'
+                       ELSE 'fr' END) = 'en'
+            ),
+            uniq AS (
+                SELECT doc_id, text FROM kept
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM kept
+                    GROUP BY md5(lower(trim(text)))
+                )
+            ),
+            hosted AS (
+                SELECT doc_id, text,
+                       lower(regexp_extract(
+                           CASE WHEN doc_id % 3 = 0 THEN
+                                'https://site'
+                                || CAST(doc_id % 7 AS VARCHAR)
+                                || '.example.com/d/'
+                                || CAST(doc_id AS VARCHAR)
+                           WHEN doc_id % 3 = 1 THEN
+                                'https://user:pw@site'
+                                || CAST(doc_id % 7 AS VARCHAR)
+                                || '.example.com:8443/d/'
+                                || CAST(doc_id AS VARCHAR)
+                           ELSE 'plain text '
+                                || CAST(doc_id AS VARCHAR)
+                           END,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                           1)) AS h
+                FROM uniq
+            ),
+            capped AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (
+                               PARTITION BY h
+                               ORDER BY substr(md5(
+                                   CAST(doc_id AS VARCHAR)), 1, 12),
+                                   doc_id) AS rn
+                    FROM hosted WHERE h IS NOT NULL AND h <> ''
+                ) WHERE rn <= 10
+                UNION ALL
+                SELECT doc_id, text FROM hosted
+                WHERE h IS NULL OR h = ''
+            ),
+            red AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '""" + PII_EMAIL + """', '[EMAIL]', 'g'),
+                           '""" + PII_IP + """', '[IP]', 'g'),
+                           '""" + PII_PHONE + """', '[PHONE]', 'g') AS clean
+                FROM capped
             ),
             counted AS (
                 SELECT doc_id, clean,

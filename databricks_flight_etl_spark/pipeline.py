@@ -109,6 +109,18 @@ class TextPrepReport:
     exact_unique: DataFrame
     survivors: DataFrame       # after near-dup clustering
     chunks: DataFrame          # (id, chunk_idx, chunk_text, n_chunk_tokens)
+    domain_capped: DataFrame | None = None  # after per-domain cap (if on)
+
+    @property
+    def kept(self) -> DataFrame:
+        """The documents the funnel keeps — domain-capped when the cap
+        stage is on, plain near-dup survivors otherwise. Downstream
+        stages (chunking, release) consume this."""
+        return (
+            self.domain_capped
+            if self.domain_capped is not None
+            else self.survivors
+        )
 
 
 def run_textprep_pipeline(
@@ -127,11 +139,14 @@ def run_textprep_pipeline(
     persist: bool = True,
     hash_family: str = "xxhash64",
     bands: int | None = None,
+    url_col: str | None = None,
+    max_per_domain: int | None = None,
 ) -> TextPrepReport:
     """LLM training-data preprocessing over a documents table: quality
     filter → language filter → exact dedup → near-dup dedup (MinHash
     LSH candidates, exact-Jaccard verify, connected-component clusters,
-    min-id survivor) → overlapping token-window chunking.
+    min-id survivor) → optional per-domain cap → overlapping
+    token-window chunking.
 
     Composition is shuffle-frugal by construction: the quality and
     language stages are per-row column appends + ``where`` (no
@@ -139,7 +154,19 @@ def run_textprep_pipeline(
     never document text; the survivor selections are left-anti/semi
     joins on ids. The near-dup input is persisted because the pair
     pipeline and the survivor anti-join both consume it.
-    """
+
+    ``url_col`` + ``max_per_domain`` turn on the Dolma/CCNet 'no domain
+    dominates' stage BETWEEN dedup and chunking/packing (capping before
+    dedup would let duplicates burn a domain's budget): each document's
+    host comes from one JVM regexp (:func:`operators.text.url_host`),
+    and every host keeps its ``max_per_domain`` lowest
+    content-hash-ordered docs (deterministic, rerun/engine-stable —
+    :func:`operators.sampling.stratified_sample_n`). Documents whose
+    ``url_col`` is not a URL (null host) pass through UNCAPPED — they
+    carry no domain to attribute, and silently dropping them would turn
+    a curation knob into data loss. One window shuffled by host is the
+    whole cost; the capped frame lands in ``report.domain_capped`` and
+    ``report.kept`` routes downstream stages to it."""
     from pyspark.sql import functions as F
 
     from .operators import dedup, graph, text
@@ -180,8 +207,21 @@ def run_textprep_pipeline(
         # the SQL-oracle-expressible subset of the funnel (near-dup
         # clustering needs MinHash, which no oracle can mirror)
         survivors = exact_unique
+    domain_capped = None
+    if url_col is not None and max_per_domain is not None:
+        from .operators.sampling import stratified_sample_n
+
+        hosted = survivors.withColumn("__host", text.url_host(F.col(url_col)))
+        capped = stratified_sample_n(
+            hosted.where(F.col("__host").isNotNull()),
+            "__host", id_col, max_per_domain,
+        )
+        domain_capped = capped.unionByName(
+            hosted.where(F.col("__host").isNull())
+        ).drop("__host")
     chunks = text.chunk_documents(
-        survivors, text_col, id_col,
+        domain_capped if domain_capped is not None else survivors,
+        text_col, id_col,
         chunk_tokens=chunk_tokens, overlap=overlap,
     )
     return TextPrepReport(
@@ -191,6 +231,7 @@ def run_textprep_pipeline(
         exact_unique=exact_unique,
         survivors=survivors,
         chunks=chunks,
+        domain_capped=domain_capped,
     )
 
 
@@ -228,7 +269,7 @@ def run_corpus_release(
     from .operators.sampling import pack_by_token_budget
 
     rep = run_textprep_pipeline(df, text_col, id_col, **textprep_kwargs)
-    redacted = text.pii_redact(rep.survivors, text_col, id_col)
+    redacted = text.pii_redact(rep.kept, text_col, id_col)
     with_tokens = redacted.select(
         F.col(id_col),
         "clean",
