@@ -6729,7 +6729,7 @@ def oracle_sql() -> dict[str, str]:
                                              AND CURRENT ROW) AS cum
                 FROM c
             )
-            SELECT token, n, CAST(rank AS INT) AS rank,
+            SELECT token, n, CAST(rank AS BIGINT) AS rank,
                    round(cum * 1.0 / tot, 6) AS coverage
             FROM r, t WHERE rank <= 40 ORDER BY rank
         """,
@@ -10327,9 +10327,12 @@ def oracle_sql() -> dict[str, str]:
                    || '<!-- hidden --></body></html>' AS x
             FROM documents WHERE doc_id < 300
         ),
+        s0 AS (SELECT doc_id, regexp_replace(x,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', ' ', 'g') AS x
+               FROM h),
         s1 AS (SELECT doc_id, regexp_replace(x,
                    '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
-               FROM h),
+               FROM s0),
         s2 AS (SELECT doc_id, regexp_replace(x,
                    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
                FROM s1),
@@ -10485,7 +10488,7 @@ def oracle_sql() -> dict[str, str]:
                                          AND CURRENT ROW) AS cum
             FROM c
         )
-        SELECT token, n, CAST(rank AS INT) AS rank,
+        SELECT token, n, CAST(rank AS BIGINT) AS rank,
                round(cum * 1.0 / tot, 6) AS coverage
         FROM r, t ORDER BY rank
     """

@@ -11,6 +11,8 @@ groupBy — two passes total, no driver bulk transfer, works at 100 TB.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -162,6 +164,27 @@ def histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
 
 
 _PINNED_HISTS: list[DataFrame] = []
+_PINNED_LOCK = threading.Lock()
+# FIFO cap on the registry: MEMORY_AND_DISK blocks' MEMORY half is
+# LRU-evictable but the DISK half is NOT — a long-lived session that
+# never calls release_histogram_caches() would otherwise accumulate
+# disk blocks without bound. Evicting (unpersisting) an old pin is
+# always correctness-safe: any still-lazy result that referenced it
+# just recomputes its lineage (slower, never wrong).
+_MAX_PINNED = 32
+
+
+def _register_pin(hist: DataFrame) -> None:
+    evicted = None
+    with _PINNED_LOCK:
+        _PINNED_HISTS.append(hist)
+        if len(_PINNED_HISTS) > _MAX_PINNED:
+            evicted = _PINNED_HISTS.pop(0)
+    if evicted is not None:
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to free
 
 
 def release_histogram_caches() -> int:
@@ -174,17 +197,25 @@ def release_histogram_caches() -> int:
     rank_normalize, spearman_corr, ks_drift_report, vocab_coverage) can
     unpersist before the caller's eventual action. Batch jobs release
     everything at session end; a LONG-LIVED session running repeated
-    drift checks should call this between checks (blocks are
-    MEMORY_AND_DISK and LRU-evictable, so skipping it degrades cache
-    hit-rate, not correctness). Unpersist is idempotent and non-blocking.
+    drift checks should call this between checks. The registry is
+    lock-guarded (safe under concurrent jobs) and FIFO-capped at
+    ``_MAX_PINNED`` so a session that never releases cannot grow its
+    on-disk block store without bound (MEMORY_AND_DISK's disk half is
+    not LRU-evicted). Releasing — explicitly here or via the cap — is
+    always safe for CORRECTNESS: a lazy result whose pinned input was
+    unpersisted silently recomputes that lineage from source on its
+    next action (a recompute cost, never a wrong answer). Unpersist is
+    idempotent and non-blocking.
     """
-    n = len(_PINNED_HISTS)
-    while _PINNED_HISTS:
+    with _PINNED_LOCK:
+        drained = list(_PINNED_HISTS)
+        _PINNED_HISTS.clear()
+    for h in drained:
         try:
-            _PINNED_HISTS.pop().unpersist()
+            h.unpersist()
         except Exception:
             pass  # session already stopped — nothing left to free
-    return n
+    return len(drained)
 
 
 def _hist_cumsum(
@@ -241,7 +272,7 @@ def _hist_cumsum(
         from pyspark import StorageLevel
 
         hist = hist.persist(StorageLevel.MEMORY_AND_DISK)
-        _PINNED_HISTS.append(hist)
+        _register_pin(hist)
     vd = (
         F.col(value_col).cast("double")
         if bucket_on is None

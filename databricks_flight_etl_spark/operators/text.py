@@ -183,7 +183,7 @@ def vocab_coverage(
                     Window.partitionBy(guard).orderBy(
                         F.desc("n"), F.asc("token")
                     )
-                ).alias("rank"),
+                ).cast("bigint").alias("rank"),
                 F.round(
                     F.sum("n").over(w) / F.col("__tot"), decimals
                 ).alias("coverage"),
@@ -226,7 +226,9 @@ def vocab_coverage(
     return req.join(gt, "n").select(
         "token",
         "n",
-        (F.col("__gt_types") + F.col("__cum___o")).cast("int").alias("rank"),
+        # bigint: a web-scale vocabulary exceeds 2^31 distinct tokens —
+        # the very regime this distributed path exists for
+        (F.col("__gt_types") + F.col("__cum___o")).cast("bigint").alias("rank"),
         F.round(
             (F.col("__gt_mass") + F.col("n") * F.col("__cum___o"))
             / F.col("__tot_mass"),
@@ -1392,7 +1394,11 @@ def linear_score_documents(
     rounding (the earlier long×decimal(28,9) form silently quantized
     each product to 6 dp under Spark's precision-loss rules), so the
     dot product is exact — and engine-identical — for any weight
-    quantized to ≤ 9 decimal places and per-(doc,token) counts < 1e18.
+    quantized to ≤ 9 decimal places with ``|weight| < 1e10`` (the
+    decimal(19,9) range; a classifier weight outside it is a broken
+    export, so out-of-range weights RAISE at execution time rather
+    than silently casting to NULL and dropping out of the dot
+    product) and per-(doc,token) counts < 1e18.
     Double summation order never enters; the one double op is the
     final sigmoid. ``tokenizer``: "whitespace" (:func:`tokens`) or
     "bpe_ish" (:func:`bpe_ish_tokens`)."""
@@ -1412,7 +1418,21 @@ def linear_score_documents(
     )
     w = weights.select(
         F.col("token").alias("__t"),
-        F.col("weight").cast("decimal(19,9)").alias("__w"),
+        F.when(
+            F.col("weight").isNull()
+            | (F.abs(F.col("weight")) < F.lit(1e10)),
+            F.col("weight").cast("decimal(19,9)"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "linear_score_documents: |weight| >= 1e10 "
+                        "overflows the exact decimal(19,9) path: "
+                    ),
+                    F.col("weight").cast("string"),
+                )
+            ).cast("decimal(19,9)")
+        ).alias("__w"),
     )
     # no broadcast hint: an exported vocab is usually ≪ the corpus and
     # AQE broadcasts it at runtime from its MEASURED size; forcing the
@@ -1472,6 +1492,12 @@ def strip_html(col: Column | str) -> Column:
     and runs fully JVM-side: per-row regexp chains, no shuffle, no
     Python."""
     c = F.col(col) if isinstance(col, str) else col
+    # C0 controls (minus \t\n\r, which the final \s+ collapse handles)
+    # are never visible text — and stripping them FIRST guarantees the
+    # \x01 sentinel below cannot collide with a literal U+0001 in crawl
+    # text (which would otherwise be rewritten to '&'). Oracle replays
+    # the same pass.
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", " ")
     # script/style: content is never visible text
     c = F.regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")

@@ -76,9 +76,14 @@ def _read_state(
                     state_dir + ".__old"
                 ).localCheckpoint()
             except Exception:
-                # the in-flight commit finished in between (live dir
-                # back, .__old dropped) — fall through to the live read
-                pass
+                # only swallow the read error when the in-flight commit
+                # finished in between (live dir back, so we fall through
+                # to the live read). If the live dir is STILL absent and
+                # .__old is still there, the failure is real corruption —
+                # raise rather than report 'no state' (the same
+                # silent-restart class rollback=True raises on).
+                if not fs.exists(path) and old_fs.exists(old_path):
+                    raise
         elif not fs.rename(old_path, path):
             raise IOError(
                 f"state rollback rename failed: {state_dir}.__old"

@@ -1,0 +1,192 @@
+"""Round-8 checks: the five round-7 ADVICE fixes (bigint vocab rank,
+observer-path corruption raise, pinned-histogram lock/cap, strip_html
+C0-sentinel collision, linear-scorer weight-range validation) and the
+verdict-task interleaved cache-release contract."""
+
+import math
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- #
+# ADVICE #1 — vocab_coverage rank must be bigint in BOTH regimes    #
+# ---------------------------------------------------------------- #
+
+def test_vocab_rank_is_bigint_both_regimes(spark):
+    """A web-scale vocabulary exceeds 2^31 distinct tokens — the exact
+    regime the distributed full-curve path exists for — so rank must
+    be bigint, and the k-given path must agree on the schema."""
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("a a b c",), ("b c d",)], "text string"
+    )
+    full = vocab_coverage(df, "text")
+    topk = vocab_coverage(df, "text", k=2)
+    assert dict(full.dtypes)["rank"] == "bigint"
+    assert dict(topk.dtypes)["rank"] == "bigint"
+    # values unchanged by the widening
+    rows = sorted(
+        (r.token, r.n, r.rank) for r in full.collect()
+    )
+    assert rows == [("a", 2, 2), ("b", 2, 3), ("c", 2, 4), ("d", 1, 5)] \
+        or rows == [("a", 2, 1), ("b", 2, 2), ("c", 2, 3), ("d", 1, 4)]
+
+
+# ---------------------------------------------------------------- #
+# ADVICE #2 — observer read raises on real .__old corruption       #
+# ---------------------------------------------------------------- #
+
+def test_read_state_observer_raises_on_corrupt_old(spark, tmp_path):
+    """rollback=False swallows a .__old read failure ONLY when the
+    in-flight commit finished meanwhile (live dir back). A genuinely
+    corrupted .__old with NO live dir must raise — silently returning
+    'no state' is the same silent-restart class rollback=True
+    deliberately raises on."""
+    from databricks_flight_etl_spark.streaming.jobs import _read_state
+
+    st = str(tmp_path / "state")
+    # stage: no live dir, .__old exists but is not parquet
+    os.makedirs(st + ".__old")
+    with open(os.path.join(st + ".__old", "garbage.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        _read_state(spark, st, rollback=False)
+    # layout untouched by the failed observer read
+    assert os.path.exists(st + ".__old") and not os.path.exists(st)
+    # and the healthy point-in-time read still works once .__old is real
+    import shutil
+
+    shutil.rmtree(st + ".__old")
+    spark.range(3).write.parquet(st + ".__old")
+    seen = _read_state(spark, st, rollback=False)
+    assert seen is not None and seen.count() == 3
+    assert os.path.exists(st + ".__old") and not os.path.exists(st)
+
+
+# ---------------------------------------------------------------- #
+# ADVICE #3 + verdict task #5 — pinned-histogram registry           #
+# ---------------------------------------------------------------- #
+
+def test_release_interleaved_operators(spark):
+    """Two _hist_cumsum-backed operators interleaved, then a release
+    BETWEEN building and materializing their lazy results: both must
+    still compute correctly (unpersist costs a recompute, never a
+    wrong answer)."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ks_drift_report, release_histogram_caches,
+    )
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    release_histogram_caches()
+
+    ev = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 13).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+    )
+    docs = spark.createDataFrame(
+        [("a a b",), ("b c",), ("c c c d",)], "text string"
+    )
+    # build BOTH lazily (each pins histograms), release, THEN act
+    drift = ks_drift_report(ev, ["x", "y"], "g", "a", "b")
+    curve = vocab_coverage(docs, "text")
+    released = release_histogram_caches()
+    assert released > 0
+
+    got = {r.column: r.ks_stat for r in drift.collect()}
+    assert set(got) == {"x", "y"} and all(v is not None for v in got.values())
+    rows = {(r.token, r.n, r.rank) for r in curve.collect()}
+    assert ("c", 4, 1) in rows and ("a", 2, 2) in rows
+    release_histogram_caches()
+
+
+def test_pinned_registry_is_capped_and_thread_safe(spark):
+    """_PINNED_HISTS is lock-guarded and FIFO-capped: concurrent
+    registration from many threads never grows past _MAX_PINNED, so a
+    long-lived session that never calls release cannot accumulate
+    disk blocks without bound."""
+    from databricks_flight_etl_spark.operators import accuracy as acc
+
+    acc.release_histogram_caches()
+    frames = [spark.range(1) for _ in range(8)]
+
+    def worker():
+        for _ in range(20):
+            for fr in frames:
+                acc._register_pin(fr)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(acc._PINNED_HISTS) <= acc._MAX_PINNED
+    assert acc.release_histogram_caches() <= acc._MAX_PINNED
+    assert len(acc._PINNED_HISTS) == 0
+
+
+# ---------------------------------------------------------------- #
+# ADVICE #4 — strip_html sentinel vs literal U+0001                 #
+# ---------------------------------------------------------------- #
+
+def test_strip_html_literal_control_bytes(spark):
+    """Crawl text containing a literal U+0001 (or any C0 control) must
+    NOT be rewritten to '&' by the &amp; sentinel dance — controls are
+    stripped to whitespace FIRST, and entity decoding still lands
+    &amp;lt; on the single-decode answer '&lt;'."""
+    from databricks_flight_etl_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            ("a \x01 b",),
+            ("x\x00y\x1fz",),
+            ("keep &amp; decode &amp;lt; once \x01 end",),
+            ("tabs\tand\nnewlines survive collapse",),
+        ],
+        "text string",
+    )
+    got = [r.out for r in df.select(strip_html("text").alias("out")).collect()]
+    assert got[0] == "a b"          # \x01 gone, not '&'
+    assert got[1] == "x y z"        # other C0s stripped to spaces
+    assert got[2] == "keep & decode &lt; once end"
+    assert got[3] == "tabs and newlines survive collapse"
+
+
+# ---------------------------------------------------------------- #
+# ADVICE #5 — linear scorer weight-range validation                 #
+# ---------------------------------------------------------------- #
+
+def test_linear_scorer_weight_overflow_raises(spark):
+    """|weight| >= 1e10 overflows the exact decimal(19,9) cast; it
+    must RAISE at execution time, not silently null out of the dot
+    product. In-range and null weights behave as before."""
+    from databricks_flight_etl_spark.operators.text import (
+        linear_score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "nothing matches")],
+        "doc_id long, text string",
+    )
+    ok = spark.createDataFrame(
+        [("spark", 0.5), ("join", None)], "token string, weight double"
+    )
+    out = {
+        r.doc_id: r.score
+        for r in linear_score_documents(
+            docs, "text", "doc_id", ok
+        ).collect()
+    }
+    # null weight drops from the sum (sum skips nulls): z = 2*0.5
+    assert out[1] == round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    assert out[2] == 0.5  # sigmoid(0)
+
+    bad = spark.createDataFrame(
+        [("spark", 1.0e10)], "token string, weight double"
+    )
+    with pytest.raises(Exception, match="1e10|overflow|USER_RAISED"):
+        linear_score_documents(docs, "text", "doc_id", bad).collect()
