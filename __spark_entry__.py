@@ -980,6 +980,29 @@ def q_minhash_certified(spark, sf_dir):
     )
 
 
+def q_minhash_stopshingle(spark, sf_dir):
+    """X1 stop-shingle MinHash (max_df — the low-entropy-corpus escape
+    hatch, round-8 scale-probe finding): boilerplate prepended to
+    EVERY doc makes the corpus share a fat common shingle mass;
+    max_df=30 drops those stop-shingles from BOTH the signatures and
+    the exact-Jaccard verify, so near-duplication is judged on the
+    informative content only and the planted clones are still found.
+    md5 family: the DuckDB oracle replays every stage INCLUDING the
+    document-frequency filter bit-for-bit."""
+    docs = _docs_near_dup_base(spark, sf_dir)
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return minhash_dedup_pairs(
+        b, "text", "doc_id", threshold=0.8, shingle_k=7,
+        hash_family="md5", max_df=30,
+    )
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup probe vs a persisted LSH index: the
     accepted corpus is banded ONCE (minhash_bands — the persistable
@@ -1578,10 +1601,12 @@ def q_join_probe(spark, sf_dir):
 
 
 def q_vocab_coverage(spark, sf_dir):
-    """Vocabulary-cutoff curve: tokens by desc frequency with running
-    coverage — top 40 types. Single ordered window over the VOCAB
-    (≪ corpus), exact integer cumsum, division rounded to 6 dp.
-    Oracle replays the same total order and running sum."""
+    """Vocabulary-cutoff curve, K-GIVEN regime (k=40): PRUNE-FIRST —
+    orderBy+limit is TakeOrderedAndProject (per-partition k-row heaps),
+    so the rank/cumsum window runs over ≤ k rows, never the vocabulary;
+    coverage still divides by the full-corpus total. The no-k regime is
+    pinned separately by q_vocab_curve_full. Oracle replays the same
+    total order and running sum."""
     from databricks_flight_etl_spark.operators.text import vocab_coverage
 
     docs = _t(spark, sf_dir, "documents")
@@ -1589,14 +1614,14 @@ def q_vocab_coverage(spark, sf_dir):
 
 
 def q_vocab_curve_full(spark, sf_dir):
-    """Round-7 rewrite certification: the FULL vocabulary-cutoff curve
-    (no k) through the distributed split — per-count cumulative
-    types/mass via _hist_cumsum on the count, within-count token rank
-    via _hist_cumsum partitioned by count and range-bucketed on the
-    token's first-6-byte integer (monotone w.r.t. the bytewise string
-    order both engines share). No window anywhere touches the whole
-    vocabulary. Oracle replays the one-window textbook form — same
-    rows, bit-identical coverage."""
+    """Vocabulary-cutoff curve, FULL-CURVE regime (no k) through the
+    distributed split — per-count cumulative types/mass via
+    _hist_cumsum on the count, within-count token rank via _hist_cumsum
+    partitioned by count and range-bucketed on the token's first-6-byte
+    integer (monotone w.r.t. the bytewise string order both engines
+    share). No window anywhere touches the whole vocabulary (the k-given
+    prune-first regime is pinned by q_vocab_coverage). Oracle replays
+    the one-window textbook form — same rows, bit-identical coverage."""
     from databricks_flight_etl_spark.operators.text import vocab_coverage
 
     docs = _t(spark, sf_dir, "documents")
@@ -5301,12 +5326,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- round-6 additions rotated INTO the window for driver
-        # -- certification (r6 verdict task #2); the r6-driver-certified
-        # -- q_line_dedup / q_repetition_signals / q_hamming_near_dup /
-        # -- q_leakage_safe_split / q_mad_grouped / q_ohlc_bars rotate
-        # -- out (still certified locally, below — families X1/X4/X6
-        # -- and the robust-stats/KS rows keep other window members) ----
+        # -- ROUND-8 WINDOW (r7 verdict tasks #2/#6): the 30 non-parity
+        # -- slots rotate to never-driver-windowed certified queries —
+        # -- every extension family keeps a representative. The r7
+        # -- window members (q_ks_drift*, q_linear_scorer,
+        # -- q_streaming_drift, q_domain_caps, q_strip_html, the X1–X7
+        # -- family heads) are driver-certified and move below the
+        # -- marker, still certified locally every round. ---------------
+        # -- r7 additions, first driver certification (task #2) ---------
+        "q_vocab_curve_full": q_vocab_curve_full,
+        "q_corpus_release_domains": q_corpus_release_domains,
+        # -- X5 relational / CDC (incl. verdict-named families) ---------
+        "q_scd2_history": q_scd2_history,
+        "q_fuzzy_join": q_fuzzy_join,
+        "q_cube_counts": q_cube_counts,
+        "q_event_funnel": q_event_funnel,
+        # -- X1 dedup ---------------------------------------------------
+        "q_minhash_incremental": q_minhash_incremental,
+        "q_dedup_survivors_by": q_dedup_survivors_by,
+        "q_incremental_dedup": q_incremental_dedup,
+        # -- X2 similarity / embeddings ---------------------------------
+        "q_semantic_dedup_exact": q_semantic_dedup_exact,
+        "q_embed_dup_int8": q_embed_dup_int8,
+        # -- X3 multimodal ----------------------------------------------
+        "q_decode_features_arrow": q_decode_features_arrow,
+        "q_binary_file_source": q_binary_file_source,
+        # -- X4 text analysis -------------------------------------------
+        "q_boilerplate": q_boilerplate,
+        "q_lm_score": q_lm_score,
+        "q_token_budget_sample": q_token_budget_sample,
+        # -- X6 sampling / privacy --------------------------------------
+        "q_stratified_sample_n": q_stratified_sample_n,
+        "q_k_anonymity": q_k_anonymity,
+        # -- X5 CDC / latest-per-key / TPC-H shape ----------------------
+        "q_merge_upsert": q_merge_upsert,
+        "q_latest_per_key": q_latest_per_key,
+        "q_tpch_q3": q_tpch_q3,
+        # -- streaming --------------------------------------------------
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_streaming_sessionize": q_streaming_sessionize,
+        "q_streaming_enrich": q_streaming_enrich,
+        # -- mergeable sketches -----------------------------------------
+        "q_cms_merge": q_cms_merge,
+        "q_hll_merge": q_hll_merge,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        # -- drift / temporal -------------------------------------------
+        "q_psi_drift": q_psi_drift,
+        "q_cohort_retention": q_cohort_retention,
+        "q_sequence_gaps": q_sequence_gaps,
+        # ===== position 50 ends here — everything below is certified ==
+        # ===== locally but outside the driver's guaranteed window =====
+        # ROUND-9 ROTATION CANDIDATES (round-8 additions, locally
+        # certified): q_minhash_stopshingle; plus the next ~30 of the
+        # ~115 never-windowed certified queries (see CORRECTNESS_r0*
+        # union) — the r8 window already covers every family, so any
+        # subset keeps representation.
+        # -- rotated out after driver certification (r7 window) ---------
         "q_ks_drift": q_ks_drift,
         "q_ks_drift_grouped": q_ks_drift_grouped,
         "q_ks_drift_report": q_ks_drift_report,
@@ -5315,44 +5390,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_caps": q_domain_caps,
         "q_strip_html": q_strip_html,
         "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
-        # -- relational core (X5) ---------------------------------------
         "q_join_inner": q_join_inner,
         "q_join_outer": q_join_outer,
-        # -- X4 text analysis (fingerprinting's window row is the
-        # -- stronger q_winnow_certified below; q_fingerprint stays
-        # -- certified locally past position 50) ------------------------
         "q_token_counts": q_token_counts,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_chunk_documents": q_chunk_documents,
-        # -- X1 dedup ---------------------------------------------------
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
-        # -- X2 similarity ----------------------------------------------
         "q_cosine_topk": q_cosine_topk,
-        # -- X3 multimodal ----------------------------------------------
         "q_multimodal_meta": q_multimodal_meta,
         "q_decode_features": q_decode_features,
-        # -- X6 sampling · X4 safety · fingerprint cert -----------------
         "q_deterministic_sample": q_deterministic_sample,
         "q_pii_redact": q_pii_redact,
         "q_contamination": q_contamination,
         "q_winnow_certified": q_winnow_certified,
         "q_pack_shards": q_pack_shards,
-        # -- X7 pipeline (exact + full-funnel + release) · streaming ----
         "q_textprep_exact": q_textprep_exact,
         "q_textprep_full_certified": q_textprep_full_certified,
         "q_corpus_release": q_corpus_release,
         "q_streaming_day_counts": q_streaming_day_counts,
-        # ===== position 50 ends here — everything below is certified ==
-        # ===== locally but outside the driver's guaranteed window =====
-        "q_minhash_incremental": q_minhash_incremental,
-        "q_dedup_survivors_by": q_dedup_survivors_by,
-        # ROUND-8 ROTATION CANDIDATES (round-7 additions, locally
-        # certified): q_vocab_curve_full, q_corpus_release_domains.
-        # Rotated out this round after r6 driver certification:
         "q_line_dedup": q_line_dedup,
         "q_repetition_signals": q_repetition_signals,
         "q_hamming_near_dup": q_hamming_near_dup,
@@ -5389,56 +5448,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_tpch_q1": q_tpch_q1,
         "q_fingerprint": q_fingerprint,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_streaming_sessionize": q_streaming_sessionize,
         "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_span_dedup": q_span_dedup,
-        "q_boilerplate": q_boilerplate,
         "q_cms_sketch": q_cms_sketch,
-        "q_cms_merge": q_cms_merge,
         "q_hll_registers": q_hll_registers,
-        "q_hll_merge": q_hll_merge,
         "q_bloom_bitmap": q_bloom_bitmap,
-        "q_bloom_semi_join": q_bloom_semi_join,
         "q_quantiles_exact": q_quantiles_exact,
         "q_outliers_iqr": q_outliers_iqr,
         "q_split_assign": q_split_assign,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_quantize_int8": q_quantize_int8,
-        "q_merge_upsert": q_merge_upsert,
-        "q_scd2_history": q_scd2_history,
-        "q_decode_features_arrow": q_decode_features_arrow,
         "q_containment_join": q_containment_join,
         "q_grouped_outliers": q_grouped_outliers,
         "q_trailing_range_agg": q_trailing_range_agg,
         "q_set_similarity_join": q_set_similarity_join,
         "q_null_drift": q_null_drift,
         "q_dataset_card": q_dataset_card,
-        "q_lm_score": q_lm_score,
         "q_ab_welch": q_ab_welch,
         "q_chi_square": q_chi_square,
         "q_spearman": q_spearman,
-        "q_stratified_sample_n": q_stratified_sample_n,
         "q_resample_mix": q_resample_mix,
-        "q_psi_drift": q_psi_drift,
         "q_fill_forward": q_fill_forward,
-        "q_cohort_retention": q_cohort_retention,
         "q_fd_violations": q_fd_violations,
         "q_trimmed_mean": q_trimmed_mean,
         "q_linear_trend": q_linear_trend,
         "q_concentration": q_concentration,
         "q_winsorized_mean": q_winsorized_mean,
-        "q_sequence_gaps": q_sequence_gaps,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
         "q_bucketed_join": q_bucketed_join,
         "q_partitioned_scan": q_partitioned_scan,
         "q_schema_evolution": q_schema_evolution,
         "q_sql_ddl": q_sql_ddl,
-        "q_streaming_enrich": q_streaming_enrich,
         "q_streaming_minhash": q_streaming_minhash,
-        "q_embed_dup_int8": q_embed_dup_int8,
         "q_cms_join_size": q_cms_join_size,
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_zorder": q_zorder,
@@ -5451,15 +5494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_diff_tables": q_diff_tables,
         "q_skew_report": q_skew_report,
         "q_hist_equidepth": q_hist_equidepth,
-        "q_incremental_dedup": q_incremental_dedup,
         "q_table_checksum": q_table_checksum,
-        "q_fuzzy_join": q_fuzzy_join,
         "q_vector_mean": q_vector_mean,
         "q_centroid_outliers": q_centroid_outliers,
         "q_jl_project": q_jl_project,
         "q_sample_n": q_sample_n,
-        "q_event_funnel": q_event_funnel,
-        "q_cube_counts": q_cube_counts,
         "q_winsorize": q_winsorize,
         "q_streaming_hll": q_streaming_hll,
         "q_heavy_hitters": q_heavy_hitters,
@@ -5470,13 +5509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
         "q_benford": q_benford,
         "q_xml_roundtrip": q_xml_roundtrip,
-        "q_token_budget_sample": q_token_budget_sample,
         "q_weighted_sample": q_weighted_sample,
-        "q_binary_file_source": q_binary_file_source,
-        "q_k_anonymity": q_k_anonymity,
         "q_l_diversity": q_l_diversity,
         "q_orc_roundtrip": q_orc_roundtrip,
-        "q_semantic_dedup_exact": q_semantic_dedup_exact,
         "q_semantic_dedup": q_semantic_dedup,
         "q_asof_join_cogroup": q_asof_join_cogroup,
         "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
@@ -5492,7 +5527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regexp_funcs": q_regexp_funcs,
         "q_cosine_topk_batch": q_cosine_topk_batch,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
-        "q_tpch_q3": q_tpch_q3,
         "q_tpch_q4": q_tpch_q4,
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q14": q_tpch_q14,
@@ -5514,7 +5548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_funcs": q_window_funcs,
         "q_agg_filter": q_agg_filter,
         "q_scalar_subquery_select": q_scalar_subquery_select,
-        "q_latest_per_key": q_latest_per_key,
         "q_string_agg": q_string_agg,
         "q_stat_aggs": q_stat_aggs,
         "q_event_gaps": q_event_gaps,
@@ -5537,8 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitwise": q_bitwise,
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
-        "q_vocab_curve_full": q_vocab_curve_full,
-        "q_corpus_release_domains": q_corpus_release_domains,
+        "q_minhash_stopshingle": q_minhash_stopshingle,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10491,5 +10523,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, n, CAST(rank AS BIGINT) AS rank,
                round(cum * 1.0 / tot, 6) AS coverage
         FROM r, t ORDER BY rank
+    """
+    # Full MinHash replay (same structure as q_minhash_certified) with
+    # the boilerplate-prepended corpus and the max_df=30 stop-shingle
+    # filter applied before BOTH the signatures and the verify.
+    d["q_minhash_stopshingle"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   'breaking news subscribe to our newsletter today '
+                   || text AS text
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            )
+        ),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM base
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(list_distinct(CASE WHEN length(t) >= 7
+                       THEN list_transform(range(1, length(t) - 5),
+                            i -> substring(t, CAST(i AS INT), 7))
+                       ELSE [t] END)) AS s
+            FROM norm
+        ),
+        dfreq AS (SELECT s, count(*) AS c FROM sh0 GROUP BY 1),
+        sh AS (
+            SELECT doc_id, s FROM sh0
+            WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 30)
+        ),
+        bh AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+            FROM sh
+        ),
+        perms(j, a, b) AS (VALUES """ + _minhash_perm_values() + """),
+        sig AS (
+            SELECT doc_id, j,
+                   min((a * (((h % 2147483647) + 2147483647)
+                             % 2147483647) + b)
+                       % 2147483647) AS mh
+            FROM bh, perms
+            GROUP BY 1, 2
+        ),
+        band AS (
+            SELECT doc_id, j // 8 AS band,
+                   CAST('0x' || substring(md5(
+                       string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)
+                       || '|' || CAST(j // 8 AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS bhsh
+            FROM sig GROUP BY doc_id, j // 8
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM band x JOIN band y
+              ON x.band = y.band AND x.bhsh = y.bhsh
+            WHERE x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS shared
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(shared * 1.0 / (sa.sz + sb.sz - shared), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
     """
     return d

@@ -201,10 +201,46 @@ def _base_hash(col: Column, hash_family: str) -> Column:
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
+def shingle_stop_list(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_k: int = 5, max_df: int = 100,
+) -> DataFrame:
+    """STOP-SHINGLES: the shingles whose document frequency exceeds
+    ``max_df`` — boilerplate (navigation chrome, license headers,
+    templated spam) that carries no discriminative signal. Output
+    (shingle, df), the exclusion list the ``max_df`` option of
+    :func:`minhash_dedup_pairs` applies.
+
+    Why this exists at scale: banded LSH is sub-quadratic only while
+    background Jaccard is low. On a LOW-ENTROPY corpus (every doc
+    sharing a large boilerplate fraction) nearly every pair is a
+    threshold-adjacent neighbor, band buckets grow to thousands of
+    docs, and the candidate self-join degrades to |bucket|² — measured
+    2×10⁸ candidates / 50+ GB of verify shuffle on a 157k-doc 24-word
+    synthetic corpus (tools/scale_probe.py, round 8). Dropping
+    shingles with df > max_df removes exactly the shared mass that
+    creates those buckets, the same document-frequency cap
+    :func:`ngram_jaccard_pairs` already exposes (and the published
+    stop-ngram practice of C4/CCNet-style dedup).
+
+    One hash aggregate over the (doc, distinct-shingle) table; the
+    output is tiny by construction (Σ df over survivors ≤ corpus
+    shingle occurrences / max_df), so downstream anti-joins broadcast.
+    """
+    st = _shingle_table(df, text_col, id_col, shingle_k)
+    return (
+        st.groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select(F.col("__sh").alias("shingle"), "df")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, shingle_k: int = 5,
     hash_family: str = "xxhash64",
+    stops: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_perm`` columns ``mh_j``.
 
@@ -230,9 +266,17 @@ def minhash_signatures(
     """
     base = _base_hash(F.col("__sh"), hash_family)
     p = F.lit(_MINHASH_PRIME)
-    sh = _shingle_table(df, text_col, id_col, shingle_k).select(
-        "__id", F.pmod(base, p).alias("__h")
-    )
+    st = _shingle_table(df, text_col, id_col, shingle_k)
+    if stops is not None:
+        # stop-shingle exclusion (see shingle_stop_list): the stop set
+        # is small by construction — unhinted, AQE broadcasts it. A doc
+        # whose shingles are ALL stopped drops out here (no signature,
+        # no bands, no candidates) — consistent with the verify side.
+        st = st.join(
+            stops.select(F.col("shingle").alias("__sh")), "__sh",
+            "left_anti",
+        )
+    sh = st.select("__id", F.pmod(base, p).alias("__h"))
     aggs = []
     for j in range(num_perm):
         a, b = _perm_coeffs(j)
@@ -247,6 +291,7 @@ def minhash_bands(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
     hash_family: str = "xxhash64",
+    stops: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH INDEX of a corpus: (id, band, band_hash) —
     ``bands`` rows per document, 12 bytes of key each. Write this to
@@ -258,7 +303,8 @@ def minhash_bands(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(
-        df, text_col, id_col, num_perm, shingle_k, hash_family
+        df, text_col, id_col, num_perm, shingle_k, hash_family,
+        stops=stops,
     )
     band_cols = []
     for b in range(bands):
@@ -436,6 +482,7 @@ def minhash_candidate_pairs(
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
     persist: bool = True,
     hash_family: str = "xxhash64",
+    stops: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
@@ -453,7 +500,8 @@ def minhash_candidate_pairs(
     """
     long = _pin(
         minhash_bands(
-            df, text_col, id_col, num_perm, bands, shingle_k, hash_family
+            df, text_col, id_col, num_perm, bands, shingle_k, hash_family,
+            stops=stops,
         ).select(F.col(id_col).alias("__id"), "band", "band_hash"),
         persist,
     )
@@ -475,6 +523,7 @@ def _jaccard_verified(
     df: DataFrame, text_col: str, id_col: str, pairs: DataFrame,
     threshold: float, shingle_k: int, persist: bool = True,
     strategy: str = "intersect",
+    stops: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs. Two physical
     strategies, identical results (both compute |A∩B| over DISTINCT
@@ -509,7 +558,25 @@ def _jaccard_verified(
         .distinct()
     )
     docs = df.join(ids, id_col, "left_semi")  # AQE broadcasts when small
-    arrs = _pin(_shingle_arrays(docs, text_col, id_col, shingle_k), persist)
+    arrs = _shingle_arrays(docs, text_col, id_col, shingle_k)
+    if stops is not None:
+        # Jaccard over the FILTERED sets — the same exclusion the
+        # signature side applied, so verify and banding agree. Explode →
+        # broadcast anti-join → regroup; candidate docs only, so the
+        # extra shuffle scales with the candidate set, not the corpus.
+        # collect_list keeps per-doc distinctness (_shingles_of already
+        # array_distincts); docs whose shingles are ALL stopped drop
+        # out here (no row), matching the signature side.
+        arrs = (
+            arrs.select("__id", F.explode("__shs").alias("__sh"))
+            .join(
+                stops.select(F.col("shingle").alias("__sh")), "__sh",
+                "left_anti",
+            )
+            .groupBy("__id")
+            .agg(F.collect_list("__sh").alias("__shs"))
+        )
+    arrs = _pin(arrs, persist)
     if strategy == "intersect":
         a = arrs.select(
             F.col("__id").alias("id_a"), F.col("__shs").alias("__sa")
@@ -567,6 +634,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 5, persist: bool = True,
     hash_family: str = "xxhash64",
     verify: str = "intersect",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
     threshold. Output (id_a, id_b, jaccard), id_a < id_b.
@@ -588,19 +656,37 @@ def minhash_dedup_pairs(
 
     ``hash_family='md5'`` makes every stage engine-portable (see
     ``_base_hash``) at ~md5-vs-xxhash64 cost — the certification
-    configuration; keep the default for production throughput."""
+    configuration; keep the default for production throughput.
+
+    ``max_df`` (optional) excludes STOP-SHINGLES — shingles present in
+    more than ``max_df`` documents — from BOTH the signatures and the
+    exact-Jaccard verify (so the similarity is Jaccard over the
+    filtered sets, consistently). This is the low-entropy-corpus
+    escape hatch: boilerplate shared across most documents inflates
+    background Jaccard until LSH bucket sizes — and the candidate
+    self-join — go quadratic (see :func:`shingle_stop_list` for the
+    measured blowup). Semantics change deliberately: near-duplication
+    is then judged on the INFORMATIVE content only, which is the
+    published stop-ngram practice. Costs one extra hash aggregate over
+    the shingle table + broadcast anti-joins."""
     if bands is None:
         bands = auto_bands(num_perm, threshold)
+    stops = None
+    if max_df is not None:
+        stops = _pin(
+            shingle_stop_list(df, text_col, id_col, shingle_k, max_df),
+            persist,
+        )
     cands = _pin(
         minhash_candidate_pairs(
             df, text_col, id_col, num_perm, bands, shingle_k, persist,
-            hash_family,
+            hash_family, stops=stops,
         ),
         persist,
     )
     return _jaccard_verified(
         df, text_col, id_col, cands, threshold, shingle_k, persist,
-        strategy=verify,
+        strategy=verify, stops=stops,
     )
 
 

@@ -190,3 +190,166 @@ def test_linear_scorer_weight_overflow_raises(spark):
     )
     with pytest.raises(Exception, match="1e10|overflow|USER_RAISED"):
         linear_score_documents(docs, "text", "doc_id", bad).collect()
+
+
+# ---------------------------------------------------------------- #
+# r7 verdict stretch #8 — shared-prefix bucket-proxy boundary       #
+# ---------------------------------------------------------------- #
+
+def _py_vocab_curve(texts, decimals=6):
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+    tot = sum(counts.values())
+    out, run = [], 0
+    for tok, n in sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0].encode("utf-8"))
+    ):
+        run += n
+        out.append((tok, n, len(out) + 1, round(run / tot, decimals)))
+    return out
+
+
+def test_vocab_prefix_proxy_worst_case_shared_prefix(spark):
+    """ADVERSARIAL bucket-proxy boundary: every token shares the same
+    first 6 bytes, so the first-6-byte integer proxy collapses the
+    whole within-count rank into ONE bucket — by design the degraded
+    shape is the old single-partition window (perf only), and the
+    curve must stay exactly correct."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    suffix = st.text(alphabet="abz09é", min_size=0, max_size=6)
+
+    @given(
+        sufs=st.lists(suffix, min_size=1, max_size=25),
+        n_buckets=st.sampled_from([1, 4, 64]),
+    )
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(sufs, n_buckets):
+        # 'prefix' is exactly 6 ASCII bytes — every token's proxy value
+        # is identical, all rows land in one bucket per count group
+        texts = [" ".join("prefix" + s for s in sufs)]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r.token, r.n, r.rank, r.coverage)
+            for r in vocab_coverage(df, "text", n_buckets=n_buckets)
+            .orderBy("rank").collect()
+        ]
+        assert got == _py_vocab_curve(texts)
+
+    run()
+
+
+def test_vocab_prefix_proxy_multibyte_boundary(spark):
+    """Tokens whose 6-byte prefix SPLITS a multibyte UTF-8 codepoint
+    (é = 2 bytes at offset 5) must still bucket monotonically — the
+    rpad-to-6-bytes proxy works on raw bytes, matching the bytewise
+    collation both engines sort strings by."""
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    # 5 ASCII bytes + é: the 6-byte prefix cuts é in half (0xC3)
+    toks = ["abcdeé", "abcdeéz", "abcdez", "abcde", "abcd饱"]
+    texts = [" ".join(toks)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.token, r.n, r.rank, r.coverage)
+        for r in vocab_coverage(df, "text", n_buckets=4)
+        .orderBy("rank").collect()
+    ]
+    assert got == _py_vocab_curve(texts)
+
+
+# ---------------------------------------------------------------- #
+# round-8 finding — stop-shingle (max_df) LSH mitigation            #
+# ---------------------------------------------------------------- #
+
+def _boiler_corpus(spark, n=60):
+    """Every doc = the same fat boilerplate + unique content; one
+    planted near-dup pair (docs n and n+1 share content)."""
+    docs = []
+    boiler = ("subscribe to our newsletter for daily updates and "
+              "breaking alerts delivered straight to your inbox ")
+    for i in range(n):
+        uniq = " ".join(f"tok{i}x{j}qz" for j in range(12))
+        docs.append((i, boiler + uniq))
+    # planted near-dup: same unique content, tiny tail difference
+    docs.append((n, boiler + " ".join(f"dupZ{j}mm" for j in range(12))))
+    docs.append(
+        (n + 1, boiler + " ".join(f"dupZ{j}mm" for j in range(12)) + " t")
+    )
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_minhash_max_df_collapses_boilerplate_buckets(spark):
+    """On a boilerplate-heavy corpus the LSH buckets contain (nearly)
+    every doc — the quadratic-candidate regime the round-8 scale probe
+    hit. max_df drops the boilerplate shingles, so candidates collapse
+    to the planted pair and verify judges informative content only."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_candidate_pairs, minhash_dedup_pairs, shingle_stop_list,
+    )
+
+    df = _boiler_corpus(spark)
+    n_docs = df.count()
+
+    stops = shingle_stop_list(df, "text", "doc_id", shingle_k=7,
+                              max_df=n_docs // 2)
+    assert stops.count() > 50  # the boilerplate's shingles
+
+    cand_raw = minhash_candidate_pairs(
+        df, "text", "doc_id", shingle_k=7, persist=False
+    ).count()
+    cand_filtered = minhash_candidate_pairs(
+        df, "text", "doc_id", shingle_k=7, persist=False,
+        stops=stops,
+    ).count()
+    assert cand_filtered < cand_raw  # the collapse
+    assert cand_filtered >= 1        # the planted pair survives
+
+    pairs = minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.8, shingle_k=7,
+        max_df=n_docs // 2,
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(60, 61)]
+    assert pairs[0].jaccard > 0.8
+    # WITHOUT the filter, the shared boilerplate inflates every pair's
+    # Jaccard toward the background level; the planted pair is still
+    # found (J≈0.99 either way)
+    raw_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.8, shingle_k=7
+        ).collect()
+    }
+    assert (60, 61) in raw_pairs
+
+
+def test_minhash_max_df_noop_when_no_stop_shingles(spark):
+    """max_df larger than any document frequency must be a NO-OP:
+    bit-identical pairs to the unfiltered run."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    df = _boiler_corpus(spark, n=30)
+    base = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.8, shingle_k=7
+        ).collect()
+    )
+    filt = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.8, shingle_k=7,
+            max_df=10_000,
+        ).collect()
+    )
+    assert base == filt

@@ -335,6 +335,119 @@ def _centroid(vecs):
     return similarity.centroid_outlier_scores(g, "label").count()
 
 
+def _vocab_curve(docs):
+    """FULL vocabulary-cutoff curve (no k) on a HIGH-CARDINALITY token
+    column: every doc's text is augmented with per-doc unique tokens so
+    the vocabulary grows linearly with the corpus (a huge n=1 Zipf
+    tail — the exact regime the round-7 distributed rewrite targets;
+    the old form ran ONE window over the whole vocabulary)."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators import accuracy
+    from databricks_flight_etl_spark.operators.text import vocab_coverage
+
+    hi = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda i: F.concat(
+                        F.lit("u"),
+                        F.conv(
+                            F.hex(F.xxhash64(F.col("doc_id"), i)), 16, 36
+                        ),
+                    ),
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+    n = vocab_coverage(hi, "text").count()
+    accuracy.release_histogram_caches()
+    return n
+
+
+def _enrich_text(docs, n_unique=80):
+    """REPLACE each doc's text with ``n_unique`` per-doc unique hash
+    tokens (clone pairs preserved).
+
+    The 24-word lorem corpus has only a few hundred DISTINCT 7-char
+    shingles, so EVERY doc holds most of the pool and background
+    Jaccard sits ~0.1–0.2 — at that level LSH candidate generation is
+    quadratic BY PROBLEM DEFINITION (nearly every pair genuinely is a
+    threshold-adjacent neighbor; measured 2e8 candidates / 50+ GB of
+    verify shuffle at 30x). Real crawl text has high character-shingle
+    entropy; this synthesizes it outright so the funnel probe measures
+    the plan, not an adversarial-entropy corpus (that regime is
+    documented in SCALE_PROBE.md instead).
+
+    The token seed is the text HEAD — identical for a planted clone
+    and its base (they differ only by the appended ' cloned tail',
+    which is re-appended after generation) — so J(base, clone) stays
+    ≈0.99 and the near-dup stage keeps real work, while random pairs
+    share essentially no shingles (background J ≈ 0)."""
+    from pyspark.sql import functions as F
+
+    seed = F.xxhash64(F.substring(F.col("text"), 1, 600))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_unique)),
+                    lambda i: F.concat(
+                        F.lit("u"),
+                        F.conv(F.hex(F.xxhash64(seed, i)), 16, 36),
+                    ),
+                ),
+                " ",
+            ),
+            F.when(
+                F.col("text").endswith(" cloned tail"),
+                F.lit(" cloned tail"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _textprep_full(docs):
+    """The COMPOSED release funnel (quality → lang → exact dedup →
+    MinHash-LSH near-dup → CC closure → survivors → per-domain cap →
+    chunking) — the product, not the parts: pins the composed shuffle
+    count scaling (r7 verdict stretch task). Runs on the entropy-
+    enriched corpus (see _enrich_text): clones still pair with their
+    bases (shared doc body + shared unique tail), random pairs do not."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    # ~200 synthetic hosts; ~2% of docs non-URL (the uncapped bypass)
+    with_url = _enrich_text(docs).select(
+        "doc_id", "text",
+        F.when(
+            F.col("doc_id") % 47 != 0,
+            F.concat(
+                F.lit("https://host"),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("not a url")).alias("url"),
+    )
+    rep = run_textprep_pipeline(
+        with_url, min_tokens=5, max_stopword_ratio=1.0,
+        langs=("en", "es", "de", "fr"),  # lorem is no language — keep all
+        near_dup_threshold=0.8, chunk_tokens=64, overlap=16,
+        url_col="url", max_per_domain=40,
+    )
+    # pipeline pins live in the session cache; main() clearCache()s
+    # between scales
+    return rep.chunks.count()
+
+
 def _relined(docs, wpl=8):
     """Re-line the single-line synthetic docs at ``wpl`` words/line so
     the line-level operators see realistic multi-line input."""
@@ -407,6 +520,8 @@ def main() -> None:
         "boilerplate": lambda d, v: _boiler(d),
         "resample_mix": lambda d, v: _resample(d),
         "centroid_outlier": lambda d, v: _centroid(v),
+        "vocab_curve": lambda d, v: _vocab_curve(d),
+        "textprep_full": lambda d, v: _textprep_full(d),
     }
 
     if only:
