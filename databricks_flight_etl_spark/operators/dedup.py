@@ -408,6 +408,7 @@ def minhash_probe(
     persist: bool = True,
     hash_family: str = "xxhash64",
     verify: str = "intersect",
+    stops: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup: which new documents near-duplicate the
     ACCEPTED corpus? Bands only the increment (tiny vs the corpus),
@@ -424,11 +425,17 @@ def minhash_probe(
     a full minhash_dedup_pairs run over corpus ∪ increment with the
     same parameters (unit-certified). Output: (new_id, corpus_id,
     jaccard).
+
+    ``stops`` (optional) is the stop-shingle exclusion applied to the
+    increment's bands and the verify — it MUST be the same list the
+    persisted ``index_bands`` was built with (persist the
+    :func:`shingle_stop_list` output next to the index; recomputing it
+    from a different corpus snapshot silently changes the geometry).
     """
     new_bands = _pin(
         minhash_bands(
             new_df, text_col, id_col, num_perm, bands, shingle_k,
-            hash_family,
+            hash_family, stops=stops,
         ).select(F.col(id_col).alias("id_a"), "band", "band_hash"),
         persist,
     )
@@ -447,7 +454,7 @@ def minhash_probe(
     )
     out = _jaccard_verified(
         both, text_col, id_col, cands, threshold, shingle_k, persist,
-        strategy=verify,
+        strategy=verify, stops=stops,
     )
     return out.select(
         F.col("id_a").alias("new_id"),

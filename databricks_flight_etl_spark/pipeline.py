@@ -141,6 +141,7 @@ def run_textprep_pipeline(
     bands: int | None = None,
     url_col: str | None = None,
     max_per_domain: int | None = None,
+    near_dup_max_df: int | None = None,
 ) -> TextPrepReport:
     """LLM training-data preprocessing over a documents table: quality
     filter → language filter → exact dedup → near-dup dedup (MinHash
@@ -166,7 +167,13 @@ def run_textprep_pipeline(
     carry no domain to attribute, and silently dropping them would turn
     a curation knob into data loss. One window shuffled by host is the
     whole cost; the capped frame lands in ``report.domain_capped`` and
-    ``report.kept`` routes downstream stages to it."""
+    ``report.kept`` routes downstream stages to it.
+
+    ``near_dup_max_df`` (optional) excludes stop-shingles (document
+    frequency > max_df) from the near-dup stage's signatures AND
+    verify — the boilerplate-heavy-corpus knob that keeps LSH
+    candidates sub-quadratic; see
+    :func:`operators.dedup.shingle_stop_list`."""
     from pyspark.sql import functions as F
 
     from .operators import dedup, graph, text
@@ -195,12 +202,17 @@ def run_textprep_pipeline(
         # the pipeline takes an arbitrary threshold, and a fixed
         # bands=4 under-recalls below its j~=0.84 midpoint; certified
         # callers pin bands explicitly to match their SQL oracle
+        # near_dup_max_df: stop-shingle exclusion for boilerplate-heavy
+        # corpora (see dedup.shingle_stop_list) — the knob that keeps
+        # LSH candidates sub-quadratic when documents share a fat
+        # common shingle mass
         pairs = dedup.minhash_dedup_pairs(
             exact_unique, text_col, id_col,
             threshold=near_dup_threshold, shingle_k=shingle_k, persist=persist,
             hash_family=hash_family,
             bands=bands if bands is not None
             else dedup.auto_bands(32, near_dup_threshold),
+            max_df=near_dup_max_df,
         )
         survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
     else:

@@ -353,3 +353,64 @@ def test_minhash_max_df_noop_when_no_stop_shingles(spark):
         ).collect()
     )
     assert base == filt
+
+
+def test_minhash_probe_with_stops_matches_full_run_subset(spark):
+    """Incremental probe with a stop list == the cross-pairs subset of
+    a full max_df run over corpus ∪ increment (the same bit-identity
+    contract the unfiltered probe is certified under), provided index
+    and probe share the SAME stop list."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_bands, minhash_dedup_pairs, minhash_probe,
+        shingle_stop_list,
+    )
+
+    corpus = _boiler_corpus(spark, n=30)
+    inc = corpus.where(F.col("doc_id").isin(5, 17)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny delta")).alias("text"),
+    )
+    both = corpus.unionByName(inc)
+    stops = shingle_stop_list(both, "text", "doc_id", shingle_k=7,
+                              max_df=20).persist()
+
+    idx = minhash_bands(corpus, "text", "doc_id", shingle_k=7,
+                        stops=stops)
+    got = sorted(
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in minhash_probe(
+            inc, corpus, idx, "text", "doc_id",
+            threshold=0.8, shingle_k=7, stops=stops,
+        ).collect()
+    )
+    full = minhash_dedup_pairs(
+        both, "text", "doc_id", threshold=0.8, shingle_k=7, max_df=20
+    )
+    want = sorted(
+        (r.id_b, r.id_a, r.jaccard)
+        for r in full.collect()
+        if r.id_b >= 1000 and r.id_a < 1000
+    )
+    # bit-identity of the cross subset is the contract; the NUMBER of
+    # pairs is LSH-recall-probabilistic at J≈0.85 under 4×8 banding
+    # (each planted pair collides with p≈0.73), so assert ≥1, not ==2
+    assert got == want and len(got) >= 1
+
+
+def test_pipeline_near_dup_max_df(spark):
+    """run_textprep_pipeline(near_dup_max_df=...) threads the stop-
+    shingle knob through the funnel: the boilerplate-heavy corpus
+    still drops its planted near-dup and keeps everything else."""
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    df = _boiler_corpus(spark, n=25)
+    rep = run_textprep_pipeline(
+        df, min_tokens=2, max_stopword_ratio=1.0,
+        langs=("en", "es", "de", "fr"),
+        near_dup_threshold=0.8, shingle_k=7, chunk_tokens=64,
+        overlap=16, near_dup_max_df=12,
+    )
+    kept = {r.doc_id for r in rep.survivors.select("doc_id").collect()}
+    # 27 docs in, the planted pair (25, 26) collapses to its min id
+    assert 25 in kept and 26 not in kept
+    assert len(kept) == 26
