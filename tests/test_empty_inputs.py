@@ -329,3 +329,28 @@ def test_empty_inputs_round6_ops(spark):
     payloads = spark.createDataFrame([], "doc_id long, payload binary")
     assert media_fingerprint(
         payloads, "payload", "doc_id", kernel="phash").count() == 0
+
+
+def test_empty_inputs_round8_ops(spark):
+    """Round-8 additions: stop-shingle list and max_df-filtered minhash
+    on an empty corpus; a corpus whose every shingle is a stop-shingle
+    (all docs identical body) must yield no pairs, not a crash."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.shingle_stop_list(
+        empty, "text", "doc_id", max_df=1
+    ).count() == 0
+    assert dedup.minhash_dedup_pairs(
+        empty, "text", "doc_id", max_df=5
+    ).count() == 0
+
+    # every doc identical → every shingle df = 4 > 1 → ALL stopped →
+    # every doc's filtered set is empty → no signatures, no pairs
+    same = spark.createDataFrame(
+        [(i, "identical boilerplate body repeated") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert dedup.minhash_dedup_pairs(
+        same, "text", "doc_id", max_df=1
+    ).count() == 0
