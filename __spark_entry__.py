@@ -1053,6 +1053,31 @@ def q_simhash_certified(spark, sf_dir):
     )
 
 
+def q_simhash_stopshingle(spark, sf_dir):
+    """X1 SimHash with the stop-shingle filter (max_df — the simhash
+    face of the round-8 LSH finding): boilerplate prepended to EVERY
+    doc would drag all signatures toward one bit pattern; max_df=30
+    drops those shingles from the per-bit majorities, restoring
+    signature diversity. md5 family: the oracle replays the
+    document-frequency filter + per-bit majorities + pigeonhole
+    blocking + Hamming verify bit-for-bit."""
+    docs = _docs_near_dup_base(spark, sf_dir)
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = simhash_near_dup_pairs(
+        b, "text", "doc_id", max_hamming=6, shingle_k=7,
+        hash_family="md5", max_df=30,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """X1 SimHash near-dup pairs (pigeonhole chunk blocking, Hamming≤3)."""
     return simhash_near_dup_pairs(
@@ -5377,7 +5402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
         # ROUND-9 ROTATION CANDIDATES (round-8 additions, locally
-        # certified): q_minhash_stopshingle; plus the next ~30 of the
+        # certified): q_minhash_stopshingle, q_simhash_stopshingle;
+        # plus the next ~30 of the
         # ~115 never-windowed certified queries (see CORRECTNESS_r0*
         # union) — the r8 window already covers every family, so any
         # subset keeps representation.
@@ -5571,6 +5597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_group": q_median_group,
         "q_time_bucket_rollup": q_time_bucket_rollup,
         "q_minhash_stopshingle": q_minhash_stopshingle,
+        "q_simhash_stopshingle": q_simhash_stopshingle,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10601,5 +10628,77 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
+    """
+    # SimHash replay (same structure as q_simhash_certified) with the
+    # boilerplate-prepended corpus and the max_df=30 stop-shingle
+    # filter applied before the per-bit majorities.
+    d["q_simhash_stopshingle"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   'breaking news subscribe to our newsletter today '
+                   || text AS text
+            FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                       text || ' near duplicate tail' AS text
+                FROM documents WHERE doc_id % 100 = 0
+            )
+        ),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM base
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(list_distinct(CASE WHEN length(t) >= 7
+                       THEN list_transform(range(1, length(t) - 5),
+                            i -> substring(t, CAST(i AS INT), 7))
+                       ELSE [t] END)) AS s
+            FROM norm
+        ),
+        dfreq AS (SELECT s, count(*) AS c FROM sh0 GROUP BY 1),
+        sh AS (
+            SELECT doc_id, s FROM sh0
+            WHERE s NOT IN (SELECT s FROM dfreq WHERE c > 30)
+        ),
+        bh AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+            FROM sh
+        ),
+        counts AS (SELECT doc_id, count(*) AS n FROM bh GROUP BY 1),
+        bits AS (
+            SELECT doc_id, r.bit,
+                   CAST(sum((h >> CAST(r.bit AS INT)) & 1) AS BIGINT)
+                       AS ones
+            FROM bh, (SELECT unnest(range(0, 60)) AS bit) r
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT b.doc_id,
+                   CAST(sum(CASE WHEN 2 * b.ones >= c.n
+                            THEN (CAST(1 AS BIGINT) << CAST(b.bit AS INT))
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits b JOIN counts c ON b.doc_id = c.doc_id
+            GROUP BY 1
+        ),
+        chunked AS (
+            SELECT doc_id, simhash, i.ci,
+                   (simhash >> CAST(i.ci * 9 AS INT)) & 511 AS cv
+            FROM sig, (SELECT unnest(range(0, 7)) AS ci) i
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   x.simhash AS sa, y.simhash AS sb
+            FROM chunked x JOIN chunked y
+              ON x.ci = y.ci AND x.cv = y.cv
+            WHERE x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= 6
     """
     return d

@@ -701,7 +701,8 @@ def minhash_dedup_pairs(
 # SimHash
 
 def simhash64(df: DataFrame, text_col: str, id_col: str,
-              shingle_k: int = 5, hash_family: str = "xxhash64") -> DataFrame:
+              shingle_k: int = 5, hash_family: str = "xxhash64",
+              stops: DataFrame | None = None) -> DataFrame:
     """64-bit SimHash per doc: bit i is the sign of Σ±1 over shingle
     hashes' bit i. One explode + one groupBy; the signature packs back
     into one long.
@@ -717,8 +718,21 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
     job; steady-state throughput is unchanged — verified bit-identical
     signatures vs the unpacked form). Lanes can't overflow below 65536
     shingles per doc (5-gram shingles ⇒ docs < ~64 KB; chunk first
-    above that)."""
-    sh = _shingle_table(df, text_col, id_col, shingle_k)
+    above that).
+
+    ``stops`` (optional, see :func:`shingle_stop_list`): exclude
+    stop-shingles from the signature sums. Boilerplate shared by most
+    documents drags every signature toward the same bit pattern —
+    the same low-entropy pathology that makes banded MinHash
+    quadratic makes pigeonhole Hamming blocking quadratic (all docs
+    agree on most chunks); filtering restores signature diversity."""
+    st = _shingle_table(df, text_col, id_col, shingle_k)
+    if stops is not None:
+        st = st.join(
+            stops.select(F.col("shingle").alias("__sh")), "__sh",
+            "left_anti",
+        )
+    sh = st
     h = _base_hash(F.col("__sh"), hash_family)
     sums = []
     for j in range(16):
@@ -756,14 +770,28 @@ def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str,
     max_hamming: int = 3, shingle_k: int = 5, persist: bool = True,
     hash_family: str = "xxhash64",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole blocking: split the 64-bit signature into
     ``max_hamming+1`` chunks — any pair within the radius agrees on at
     least one chunk, so an equi-join on (chunk_idx, chunk_value) finds
-    all of them; verify with bit_count(xor)."""
-    sig = simhash64(df, text_col, id_col, shingle_k, hash_family)
+    all of them; verify with bit_count(xor).
+
+    ``max_df`` (optional): exclude stop-shingles (document frequency >
+    max_df) from the signatures — the boilerplate-heavy-corpus knob;
+    without it, shared boilerplate drags every signature toward the
+    same bit pattern and the chunk equi-join degrades to |bucket|²
+    (the simhash face of the round-8 LSH finding)."""
+    stops = None
+    if max_df is not None:
+        stops = _pin(
+            shingle_stop_list(df, text_col, id_col, shingle_k, max_df),
+            persist,
+        )
+    sig = simhash64(df, text_col, id_col, shingle_k, hash_family,
+                    stops=stops)
     return hamming_near_dup_pairs(
         sig, "simhash", id_col, max_hamming=max_hamming, persist=persist
     )

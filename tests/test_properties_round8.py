@@ -414,3 +414,42 @@ def test_pipeline_near_dup_max_df(spark):
     # 27 docs in, the planted pair (25, 26) collapses to its min id
     assert 25 in kept and 26 not in kept
     assert len(kept) == 26
+
+
+def test_simhash_max_df_restores_signature_diversity(spark):
+    """Shared boilerplate drags every simhash toward one bit pattern
+    (the pigeonhole chunk join then degenerates); max_df restores
+    signature diversity while the planted near-dup pair still lands
+    within the Hamming radius."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    # boilerplate must DOMINATE the shingle mass for the sign sums to
+    # collapse: ~10x boilerplate vs 3 unique tokens per doc
+    boiler = " ".join(
+        f"standard legal disclaimer clause number {i} applies here"
+        for i in range(10)
+    )
+    rows = [
+        (i, boiler + " " + " ".join(f"tok{i}x{j}qz" for j in range(3)))
+        for i in range(40)
+    ]
+    dup_content = " ".join(f"dupQ{j}mmx" for j in range(20))
+    rows.append((40, boiler + " " + dup_content))
+    rows.append((41, boiler + " " + dup_content + " z"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = simhash_near_dup_pairs(
+        df, "text", "doc_id", max_hamming=3, shingle_k=7
+    )
+    filt = simhash_near_dup_pairs(
+        df, "text", "doc_id", max_hamming=3, shingle_k=7, max_df=20
+    )
+    raw_pairs = {(r.id_a, r.id_b) for r in raw.collect()}
+    filt_pairs = {(r.id_a, r.id_b) for r in filt.collect()}
+    # unfiltered: boilerplate dominates every signature → false
+    # near-dups among unrelated docs
+    assert len(raw_pairs) > 1
+    assert (40, 41) in filt_pairs
+    assert all(a == 40 and b == 41 for a, b in filt_pairs)
