@@ -1078,6 +1078,22 @@ def q_simhash_stopshingle(spark, sf_dir):
     )
 
 
+def q_shingle_profile(spark, sf_dir):
+    """X1 pre-flight entropy diagnostic (round-8 finding): one row of
+    shingle document-frequency statistics + the closed-form background
+    Jaccard estimate that predicts whether banded LSH will go
+    quadratic on this corpus (J_bg = E[shared]/(2·E[size]−E[shared])
+    from exact integer df sums). Oracle replays the df table, the
+    type-1 quantiles by rank arithmetic, and the same three
+    divisions."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        shingle_df_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return shingle_df_profile(docs, "text", "doc_id", shingle_k=7)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """X1 SimHash near-dup pairs (pigeonhole chunk blocking, Hamming≤3)."""
     return simhash_near_dup_pairs(
@@ -5402,7 +5418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== position 50 ends here — everything below is certified ==
         # ===== locally but outside the driver's guaranteed window =====
         # ROUND-9 ROTATION CANDIDATES (round-8 additions, locally
-        # certified): q_minhash_stopshingle, q_simhash_stopshingle;
+        # certified): q_minhash_stopshingle, q_simhash_stopshingle,
+        # q_shingle_profile;
         # plus the next ~30 of the
         # ~115 never-windowed certified queries (see CORRECTNESS_r0*
         # union) — the r8 window already covers every family, so any
@@ -5598,6 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_bucket_rollup": q_time_bucket_rollup,
         "q_minhash_stopshingle": q_minhash_stopshingle,
         "q_simhash_stopshingle": q_simhash_stopshingle,
+        "q_shingle_profile": q_shingle_profile,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10700,5 +10718,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM cand
         WHERE bit_count(xor(sa, sb)) <= 6
+    """
+    # df table + rank-arithmetic type-1 quantiles + the same three
+    # double divisions (exact integer/hugeint sums divided once).
+    d["q_shingle_profile"] = """
+        WITH norm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(CASE WHEN length(t) >= 7
+                       THEN list_transform(range(1, length(t) - 5),
+                            i -> substring(t, CAST(i AS INT), 7))
+                       ELSE [t] END)) AS s
+            FROM norm
+        ),
+        dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents
+               WHERE text IS NOT NULL),
+        sums AS (
+            SELECT count(*) AS n_distinct_shingles,
+                   CAST(sum(df) AS BIGINT) AS total_occurrences,
+                   max(df) AS df_max,
+                   CAST(sum(df * (df - 1)) AS DOUBLE) AS pair_mass
+            FROM dfreq
+        ),
+        ranked AS (
+            SELECT df, row_number() OVER (ORDER BY df) - 1 AS rn
+            FROM dfreq
+        ),
+        m AS (SELECT count(*) AS m FROM dfreq),
+        quant AS (
+            SELECT
+                max(CASE WHEN rn = CAST(floor(0.5 * (m - 1)) AS BIGINT)
+                    THEN df END) AS df_p50,
+                max(CASE WHEN rn = CAST(floor(0.9 * (m - 1)) AS BIGINT)
+                    THEN df END) AS df_p90,
+                max(CASE WHEN rn = CAST(floor(0.99 * (m - 1)) AS BIGINT)
+                    THEN df END) AS df_p99
+            FROM ranked, m
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_distinct_shingles AS BIGINT) AS n_distinct_shingles,
+               total_occurrences,
+               CAST(df_max AS BIGINT) AS df_max,
+               CAST(df_p50 AS BIGINT) AS df_p50,
+               CAST(df_p90 AS BIGINT) AS df_p90,
+               CAST(df_p99 AS BIGINT) AS df_p99,
+               round(CAST(df_max AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                   AS top_share,
+               round(
+                   (pair_mass / (CAST(n_docs AS DOUBLE)
+                                 * (CAST(n_docs AS DOUBLE) - 1)))
+                   / (2.0 * (CAST(total_occurrences AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE))
+                      - (pair_mass / (CAST(n_docs AS DOUBLE)
+                                      * (CAST(n_docs AS DOUBLE) - 1)))),
+                   6) AS bg_jaccard_est
+        FROM sums, nd, quant
     """
     return d

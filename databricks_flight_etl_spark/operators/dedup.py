@@ -236,6 +236,76 @@ def shingle_stop_list(
     )
 
 
+def shingle_df_profile(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_k: int = 5, decimals: int = 6,
+) -> DataFrame:
+    """PRE-FLIGHT entropy diagnostic for similarity/dedup jobs: one row
+    describing the corpus' shingle document-frequency distribution —
+    run this BEFORE pointing LSH at an unfamiliar 100 TB corpus.
+
+    Output columns: n_docs, n_distinct_shingles, total_occurrences
+    (Σ df), df_max, df_p50/df_p90/df_p99 (exact type-1 quantiles of
+    the df distribution), top_share (df_max / n_docs — 'some shingle
+    appears in X of the docs'), and bg_jaccard_est — the expected
+    Jaccard between two random documents under independent sampling:
+    E[|A∩B|] = Σ_s df_s(df_s−1) / (n(n−1)) and E[|A|] = Σ df / n, so
+    J_bg ≈ E∩ / (2·E[|A|] − E∩). The round-8 scale probe measured the
+    consequence of ignoring this number: at J_bg ≈ 0.1–0.2 banded LSH
+    candidates go quadratic (2×10⁸ pairs / 50+ GB verify shuffle on a
+    157k-doc corpus). Rule of thumb: J_bg ≲ 0.01 → run as-is;
+    higher → pass ``max_df`` (see :func:`shingle_stop_list`) or widen
+    the bands.
+
+    Scale shape: one explode → one hash-agg to the df table → exact
+    integer/decimal sums + the shared distributed prefix-sum for the
+    quantiles. No sorts over raw rows, no driver collect. Products are
+    decimal(38,0)-exact (df < 1e19); the three final divisions are the
+    only doubles, so the row is engine-reproducible."""
+    from .accuracy import quantiles_exact
+
+    dfreq = _pin(
+        shingle_stop_list(df, text_col, id_col, shingle_k, max_df=0),
+        persist=True,
+    )  # max_df=0 → every shingle with its df
+    n_docs = df.where(F.col(text_col).isNotNull()).select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    d19 = F.col("df").cast("decimal(19,0)")
+    sums = dfreq.agg(
+        F.count(F.lit(1)).alias("n_distinct_shingles"),
+        F.sum("df").alias("total_occurrences"),
+        F.max("df").alias("df_max"),
+        F.sum(d19 * (d19 - F.lit(1))).alias("__pair_mass"),
+    )
+    qs = quantiles_exact(dfreq, "df", [0.5, 0.9, 0.99])
+    qrow = qs.groupBy().agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("df_p50"),
+        F.max(F.when(F.col("q") == 0.9, F.col("value"))).alias("df_p90"),
+        F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("df_p99"),
+    )
+    n = F.col("n_docs").cast("double")
+    e_shared = F.col("__pair_mass").cast("double") / (n * (n - 1))
+    e_size = F.col("total_occurrences").cast("double") / n
+    return (
+        sums.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "n_docs",
+            "n_distinct_shingles",
+            "total_occurrences",
+            "df_max",
+            F.col("df_p50").cast("bigint").alias("df_p50"),
+            F.col("df_p90").cast("bigint").alias("df_p90"),
+            F.col("df_p99").cast("bigint").alias("df_p99"),
+            F.round(F.col("df_max") / n, decimals).alias("top_share"),
+            F.round(
+                e_shared / (F.lit(2.0) * e_size - e_shared), decimals
+            ).alias("bg_jaccard_est"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 32, shingle_k: int = 5,

@@ -453,3 +453,29 @@ def test_simhash_max_df_restores_signature_diversity(spark):
     assert len(raw_pairs) > 1
     assert (40, 41) in filt_pairs
     assert all(a == 40 and b == 41 for a, b in filt_pairs)
+
+
+def test_shingle_profile_flags_boilerplate(spark):
+    """The pre-flight diagnostic must clearly separate a low-entropy
+    (boilerplate) corpus from a high-entropy one: top_share ≈ 1 and a
+    large bg_jaccard_est on the former, both ≈ 0 on the latter."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        shingle_df_profile,
+    )
+
+    low = _boiler_corpus(spark, n=30)
+    hi = spark.createDataFrame(
+        [(i, " ".join(format((i * 1000 + j) * 2654435761 % 2**32, "08x")
+                      for j in range(20)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    p_low = shingle_df_profile(low, "text", "doc_id", shingle_k=7).first()
+    p_hi = shingle_df_profile(hi, "text", "doc_id", shingle_k=7).first()
+    assert p_low.top_share > 0.9 and p_low.bg_jaccard_est > 0.1
+    assert p_hi.bg_jaccard_est < 0.01
+    assert p_hi.df_p99 <= 5  # nothing shared beyond hash-accidentals
+    # and the empty corpus yields one all-null-stats row, not a crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = shingle_df_profile(empty, "text", "doc_id").first()
+    assert r.n_docs == 0 and r.bg_jaccard_est is None
