@@ -988,8 +988,12 @@ def q_minhash_stopshingle(spark, sf_dir):
     the exact-Jaccard verify, so near-duplication is judged on the
     informative content only and the planted clones are still found.
     md5 family: the DuckDB oracle replays every stage INCLUDING the
-    document-frequency filter bit-for-bit."""
-    docs = _docs_near_dup_base(spark, sf_dir)
+    document-frequency filter bit-for-bit. Bounded to doc_id < 1500
+    (a no-op at the certification SFs, which have 500 docs) so the
+    md5-family df pass stays proportionate in the sf0.1 bench."""
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
     b = docs.select(
         "doc_id",
         F.concat(
@@ -1060,8 +1064,11 @@ def q_simhash_stopshingle(spark, sf_dir):
     drops those shingles from the per-bit majorities, restoring
     signature diversity. md5 family: the oracle replays the
     document-frequency filter + per-bit majorities + pigeonhole
-    blocking + Hamming verify bit-for-bit."""
-    docs = _docs_near_dup_base(spark, sf_dir)
+    blocking + Hamming verify bit-for-bit. Bounded to doc_id < 1500
+    (no-op at the certification SFs) — see q_minhash_stopshingle."""
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
     b = docs.select(
         "doc_id",
         F.concat(
@@ -10584,6 +10591,7 @@ def oracle_sql() -> dict[str, str]:
                        text || ' near duplicate tail' AS text
                 FROM documents WHERE doc_id % 100 = 0
             )
+            WHERE (doc_id % 200000) < 1500
         ),
         norm AS (
             SELECT doc_id,
@@ -10662,6 +10670,7 @@ def oracle_sql() -> dict[str, str]:
                        text || ' near duplicate tail' AS text
                 FROM documents WHERE doc_id % 100 = 0
             )
+            WHERE (doc_id % 200000) < 1500
         ),
         norm AS (
             SELECT doc_id,

@@ -43,6 +43,8 @@ __all__ = [
     "minhash_probe",
     "minhash_candidate_pairs",
     "minhash_dedup_pairs",
+    "shingle_stop_list",
+    "shingle_df_profile",
     "simhash64",
     "simhash_near_dup_pairs",
     "hamming_near_dup_pairs",
@@ -644,8 +646,19 @@ def _jaccard_verified(
         # collect_list keeps per-doc distinctness (_shingles_of already
         # array_distincts); docs whose shingles are ALL stopped drop
         # out here (no row), matching the signature side.
+        #
+        # The pin BEFORE the explode is load-bearing, not just a reuse
+        # cache: Catalyst's InferFiltersFromGenerate pushes a
+        # size(__shs) > 0 / isnotnull(__shs) filter below the Generate,
+        # and on the raw plan each filter evaluation re-runs the WHOLE
+        # normalize+transform shingle expression per row (the same
+        # pushed-filter pathology _shingle_arrays documents — measured
+        # 20s vs 2s on a 1.5k-doc verify). The InMemoryRelation
+        # boundary makes those inferred filters cheap array ops on the
+        # cached rows instead.
         arrs = (
-            arrs.select("__id", F.explode("__shs").alias("__sh"))
+            _pin(arrs, persist)
+            .select("__id", F.explode("__shs").alias("__sh"))
             .join(
                 stops.select(F.col("shingle").alias("__sh")), "__sh",
                 "left_anti",
@@ -1065,10 +1078,19 @@ def set_similarity_join(
     that — cap the input or raise the threshold there."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(F.col(set_col)).alias("__s"),
-    ).where(F.size("__s") > 0)
+    # pinned: (a) two consumers (the global df-count and the per-doc
+    # ordering) would otherwise each re-evaluate set_col's lineage —
+    # for a tokenizer expression that is the whole split+distinct per
+    # row, twice; (b) the size(__s) > 0 filter otherwise pushes BELOW
+    # the projection and re-runs the same expression a third time (the
+    # lambda_filters tripwire — see plans.lambda_filters)
+    toks = _pin(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col(set_col)).alias("__s"),
+        ).where(F.size("__s") > 0),
+        persist,
+    )
     tok_df = (
         toks.select(F.explode("__s").alias("__t"))
         .groupBy("__t")
@@ -1157,10 +1179,19 @@ def containment_join(
     for a ≠ b, both directions reported independently."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(F.col(set_col)).alias("__s"),
-    ).where(F.size("__s") > 0)
+    # pinned: (a) two consumers (the global df-count and the per-doc
+    # ordering) would otherwise each re-evaluate set_col's lineage —
+    # for a tokenizer expression that is the whole split+distinct per
+    # row, twice; (b) the size(__s) > 0 filter otherwise pushes BELOW
+    # the projection and re-runs the same expression a third time (the
+    # lambda_filters tripwire — see plans.lambda_filters)
+    toks = _pin(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col(set_col)).alias("__s"),
+        ).where(F.size("__s") > 0),
+        persist,
+    )
     tok_df = (
         toks.select(F.explode("__s").alias("__t"))
         .groupBy("__t")

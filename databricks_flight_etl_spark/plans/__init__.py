@@ -21,6 +21,7 @@ __all__ = [
     "read_schemas",
     "has_operator",
     "count_operator",
+    "lambda_filters",
     "plan_audit",
     "observe_quality",
 ]
@@ -117,9 +118,48 @@ def has_operator(df: DataFrame, op: str) -> bool:
     return count_operator(df, op) > 0
 
 
+def lambda_filters(df: DataFrame) -> int:
+    """Filter nodes whose condition evaluates a HIGHER-ORDER-FUNCTION
+    lambda (transform/aggregate/filter over an array) — almost always
+    Catalyst's InferFiltersFromGenerate / constraint propagation
+    duplicating an expensive computed-array expression into a pushed
+    filter, where it re-runs per row ON TOP of the projection that
+    computes it anyway. Round-8 case: the stop-shingle verify regroup's
+    inferred ``size(shingles) > 0`` filter re-ran the whole
+    normalize+transform shingle expression ~3x per candidate doc —
+    20s vs 2s on a 1.5k-doc verify — until an InMemoryRelation
+    boundary (pin before the explode) made the inferred filter a cheap
+    array op on cached rows. A non-zero count here is a tripwire, not
+    proof: inspect the filter and either pin below the Generate or
+    restructure so the constraint lands on a plain column.
+
+    Lines under an ``InMemoryRelation`` are EXCLUDED: a pinned
+    subtree's internal filter runs once at materialization (and is
+    auditable on the pinned frame itself), while the printed tree
+    repeats it per reference — counting those made every pin look like
+    a regression. Only the live plan above cache boundaries counts."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = 0
+    skip_deeper_than = None  # indent of the InMemoryRelation we're under
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*"))
+        if skip_deeper_than is not None:
+            if indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        s = line.lstrip(" :+-*")
+        if s.startswith("InMemoryRelation"):
+            skip_deeper_than = indent
+            continue
+        if s.startswith("Filter ") and "lambdafunction(" in s:
+            n += 1
+    return n
+
+
 def plan_audit(df: DataFrame) -> dict:
     """One-call summary for eyeballing a plan in a REPL or asserting in
-    tests: pushed filters, read schemas, shuffle count, join strategies."""
+    tests: pushed filters, read schemas, shuffle count, join strategies,
+    and the expensive-inferred-filter tripwire (``lambda_filters``)."""
     return {
         "pushed_filters": pushed_filters(df),
         "read_schemas": read_schemas(df),
@@ -128,6 +168,7 @@ def plan_audit(df: DataFrame) -> dict:
         "n_broadcast_joins": count_operator(df, "BroadcastHashJoin"),
         "n_sortmerge_joins": count_operator(df, "SortMergeJoin"),
         "has_take_ordered": has_operator(df, "TakeOrderedAndProject"),
+        "n_lambda_filters": lambda_filters(df),
     }
 
 

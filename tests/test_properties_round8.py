@@ -479,3 +479,30 @@ def test_shingle_profile_flags_boilerplate(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     r = shingle_df_profile(empty, "text", "doc_id").first()
     assert r.n_docs == 0 and r.bg_jaccard_est is None
+
+
+def test_lambda_filter_tripwire(spark):
+    """plans.lambda_filters flags Catalyst re-running a computed-array
+    expression inside an inferred filter. Positive control: the
+    stop-shingle verify WITHOUT the cache boundary (persist=False)
+    carries the pathological plan; with the pin (persist=True) the
+    inferred filters land on the InMemoryRelation and the count is 0."""
+    from databricks_flight_etl_spark import plans
+    from databricks_flight_etl_spark.operators.dedup import (
+        _jaccard_verified, shingle_stop_list,
+    )
+
+    df = _boiler_corpus(spark, n=20)
+    stops = shingle_stop_list(df, "text", "doc_id", shingle_k=7,
+                              max_df=10)
+    pairs = spark.createDataFrame([(20, 21)], "id_a long, id_b long")
+    slow = _jaccard_verified(df, "text", "doc_id", pairs, 0.8, 7,
+                             persist=False, stops=stops)
+    assert plans.lambda_filters(slow) > 0  # the pathology, visible
+    fast = _jaccard_verified(df, "text", "doc_id", pairs, 0.8, 7,
+                             persist=True, stops=stops)
+    assert plans.lambda_filters(fast) == 0  # pinned boundary absorbs it
+    # both shapes produce identical answers
+    a = sorted(map(tuple, slow.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b and len(a) == 1
