@@ -69,18 +69,30 @@ def _sync_generated_docs() -> None:
         try:
             with open(plans_path) as f:
                 for line in f:
-                    if line.startswith("| q"):
-                        in_plans.add(line.split("|")[1].strip())
+                    # same row pattern as tests/test_docs_sync.py's
+                    # _table_queries — a looser startswith('| q') also
+                    # matched the '| query |' header row
+                    m = re.match(r"\|\s*(q_\w+)\s*\|", line)
+                    if m:
+                        in_plans.add(m.group(1))
         except OSError:
             pass
-        if registry - in_plans:
+        # symmetric: a REMOVED/renamed-away query leaves an orphaned
+        # row, which test_plans_covers_registry flags just as hard as
+        # a missing one
+        if registry != in_plans:
             print(
-                f"# PLANS.md stale ({len(registry - in_plans)} missing) "
-                "— regenerating",
+                f"# PLANS.md stale ({len(registry - in_plans)} missing, "
+                f"{len(in_plans - registry)} orphaned) — regenerating",
                 file=sys.stderr,
             )
-            with open(plans_path, "w") as f:
+            # write-then-rename: generate() takes minutes over the full
+            # registry, and truncate-in-place would leave a half-written
+            # inventory behind a mid-run kill
+            tmp = plans_path + ".tmp"
+            with open(tmp, "w") as f:
                 audit_plans.generate("/root/testdata/sf0.001", out=f)
+            os.replace(tmp, plans_path)
     except Exception as exc:  # noqa: BLE001 - doc sync must not fail bench
         print(f"# doc sync failed: {exc!r}", file=sys.stderr)
 

@@ -147,9 +147,20 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
     """(id, shingle) long table — the unit of inverted-index candidate
     generation. The shingle expression is inlined in the explode (NOT
     projected first): a Generate over an aliased array column runs
-    markedly slower than the inline generator."""
+    markedly slower than the inline generator.
+
+    Null texts are dropped on the RAW column (pushes to the scan),
+    matching ``_shingle_arrays``. Without it, a null text reaches the
+    otherwise-branch as ``array(NULL)`` and explode emits a NULL
+    shingle row — which corrupted shingle_stop_list/shingle_df_profile
+    (a NULL 'shingle' with df = #null docs, top_share > 1 possible)
+    and gave every null-text doc an all-NULL signature sharing one
+    band bucket (a candidate clique the verify then discards — wasted
+    work, never wrong answers)."""
     raw = _spread(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__raw"))
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")
+        )
     )
     norm = raw.select("__id", normalize_text("__raw").alias("__t"))
     return norm.select(
@@ -206,6 +217,7 @@ def _base_hash(col: Column, hash_family: str) -> Column:
 def shingle_stop_list(
     df: DataFrame, text_col: str, id_col: str,
     shingle_k: int = 5, max_df: int = 100,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """STOP-SHINGLES: the shingles whose document frequency exceeds
     ``max_df`` — boilerplate (navigation chrome, license headers,
@@ -228,8 +240,14 @@ def shingle_stop_list(
     One hash aggregate over the (doc, distinct-shingle) table; the
     output is tiny by construction (Σ df over survivors ≤ corpus
     shingle occurrences / max_df), so downstream anti-joins broadcast.
+    ``table`` (optional) supplies a prebuilt ``_shingle_table`` frame —
+    minhash_dedup_pairs/simhash_near_dup_pairs pass their PINNED
+    shingle table so the corpus is normalized+shingled once, not once
+    per pass.
     """
-    st = _shingle_table(df, text_col, id_col, shingle_k)
+    st = table if table is not None else _shingle_table(
+        df, text_col, id_col, shingle_k
+    )
     return (
         st.groupBy("__sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -313,6 +331,7 @@ def minhash_signatures(
     num_perm: int = 32, shingle_k: int = 5,
     hash_family: str = "xxhash64",
     stops: DataFrame | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_perm`` columns ``mh_j``.
 
@@ -338,7 +357,9 @@ def minhash_signatures(
     """
     base = _base_hash(F.col("__sh"), hash_family)
     p = F.lit(_MINHASH_PRIME)
-    st = _shingle_table(df, text_col, id_col, shingle_k)
+    st = table if table is not None else _shingle_table(
+        df, text_col, id_col, shingle_k
+    )
     if stops is not None:
         # stop-shingle exclusion (see shingle_stop_list): the stop set
         # is small by construction — unhinted, AQE broadcasts it. A doc
@@ -364,6 +385,7 @@ def minhash_bands(
     num_perm: int = 32, bands: int = 4, shingle_k: int = 5,
     hash_family: str = "xxhash64",
     stops: DataFrame | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable LSH INDEX of a corpus: (id, band, band_hash) —
     ``bands`` rows per document, 12 bytes of key each. Write this to
@@ -376,7 +398,7 @@ def minhash_bands(
     rows = num_perm // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, hash_family,
-        stops=stops,
+        stops=stops, table=table,
     )
     band_cols = []
     for b in range(bands):
@@ -562,6 +584,7 @@ def minhash_candidate_pairs(
     persist: bool = True,
     hash_family: str = "xxhash64",
     stops: DataFrame | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair. Output (id_a, id_b), id_a < id_b, distinct.
@@ -580,7 +603,7 @@ def minhash_candidate_pairs(
     long = _pin(
         minhash_bands(
             df, text_col, id_col, num_perm, bands, shingle_k, hash_family,
-            stops=stops,
+            stops=stops, table=table,
         ).select(F.col(id_col).alias("__id"), "band", "band_hash"),
         persist,
     )
@@ -757,20 +780,26 @@ def minhash_dedup_pairs(
     self-join — go quadratic (see :func:`shingle_stop_list` for the
     measured blowup). Semantics change deliberately: near-duplication
     is then judged on the INFORMATIVE content only, which is the
-    published stop-ngram practice. Costs one extra hash aggregate over
-    the shingle table + broadcast anti-joins."""
+    published stop-ngram practice. Cost: the shingle table is built
+    once (pinned, shared by the df pass and the signatures) plus one
+    hash aggregate for the df counts and broadcast anti-joins."""
     if bands is None:
         bands = auto_bands(num_perm, threshold)
-    stops = None
+    stops = st = None
     if max_df is not None:
+        # ONE pinned shingle table serves both the document-frequency
+        # pass and the signature pass — the corpus is normalized and
+        # shingled once, not once per pass (review finding, round 8)
+        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
         stops = _pin(
-            shingle_stop_list(df, text_col, id_col, shingle_k, max_df),
+            shingle_stop_list(df, text_col, id_col, shingle_k, max_df,
+                              table=st),
             persist,
         )
     cands = _pin(
         minhash_candidate_pairs(
             df, text_col, id_col, num_perm, bands, shingle_k, persist,
-            hash_family, stops=stops,
+            hash_family, stops=stops, table=st,
         ),
         persist,
     )
@@ -785,7 +814,8 @@ def minhash_dedup_pairs(
 
 def simhash64(df: DataFrame, text_col: str, id_col: str,
               shingle_k: int = 5, hash_family: str = "xxhash64",
-              stops: DataFrame | None = None) -> DataFrame:
+              stops: DataFrame | None = None,
+              table: DataFrame | None = None) -> DataFrame:
     """64-bit SimHash per doc: bit i is the sign of Σ±1 over shingle
     hashes' bit i. One explode + one groupBy; the signature packs back
     into one long.
@@ -809,7 +839,9 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
     the same low-entropy pathology that makes banded MinHash
     quadratic makes pigeonhole Hamming blocking quadratic (all docs
     agree on most chunks); filtering restores signature diversity."""
-    st = _shingle_table(df, text_col, id_col, shingle_k)
+    st = table if table is not None else _shingle_table(
+        df, text_col, id_col, shingle_k
+    )
     if stops is not None:
         st = st.join(
             stops.select(F.col("shingle").alias("__sh")), "__sh",
@@ -867,14 +899,18 @@ def simhash_near_dup_pairs(
     without it, shared boilerplate drags every signature toward the
     same bit pattern and the chunk equi-join degrades to |bucket|²
     (the simhash face of the round-8 LSH finding)."""
-    stops = None
+    stops = st = None
     if max_df is not None:
+        # one pinned shingle table for both the df pass and the
+        # signature sums (see minhash_dedup_pairs)
+        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
         stops = _pin(
-            shingle_stop_list(df, text_col, id_col, shingle_k, max_df),
+            shingle_stop_list(df, text_col, id_col, shingle_k, max_df,
+                              table=st),
             persist,
         )
     sig = simhash64(df, text_col, id_col, shingle_k, hash_family,
-                    stops=stops)
+                    stops=stops, table=st)
     return hamming_near_dup_pairs(
         sig, "simhash", id_col, max_hamming=max_hamming, persist=persist
     )

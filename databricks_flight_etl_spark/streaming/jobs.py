@@ -8,6 +8,8 @@ of Structured Streaming's unified API.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -71,19 +73,33 @@ def _read_state(
     old_fs, old_path = _hadoop_fs(spark, state_dir + ".__old")
     if not fs.exists(path) and old_fs.exists(old_path):
         if not rollback:
-            try:
-                return spark.read.parquet(
-                    state_dir + ".__old"
-                ).localCheckpoint()
-            except Exception:
-                # only swallow the read error when the in-flight commit
-                # finished in between (live dir back, so we fall through
-                # to the live read). If the live dir is STILL absent and
-                # .__old is still there, the failure is real corruption —
-                # raise rather than report 'no state' (the same
-                # silent-restart class rollback=True raises on).
-                if not fs.exists(path) and old_fs.exists(old_path):
-                    raise
+            # Only swallow a read error when the in-flight commit
+            # finished meanwhile (live dir back → fall through to the
+            # live read). A single post-failure snapshot can MISREAD a
+            # healthy system as corrupt: commit N deletes .__old
+            # mid-scan (read fails), then commit N+1's rename(path →
+            # .__old) opens before the re-check — live absent AND
+            # .__old present again, yet nothing is wrong. So retry the
+            # point-in-time read a few times; only if the crash shape
+            # persists across every attempt AND the read keeps failing
+            # is it real corruption — raise rather than report 'no
+            # state' (the silent-restart class rollback=True raises on).
+            last_exc: Exception | None = None
+            for _ in range(3):
+                if fs.exists(path) or not old_fs.exists(old_path):
+                    break  # a commit moved on — live/None paths below
+                try:
+                    return spark.read.parquet(
+                        state_dir + ".__old"
+                    ).localCheckpoint()
+                except Exception as exc:  # noqa: BLE001 - see retry note
+                    last_exc = exc
+                    time.sleep(0.25)
+            else:
+                raise IOError(
+                    f"state snapshot unreadable and crash layout "
+                    f"persistent: {state_dir}.__old"
+                ) from last_exc
         elif not fs.rename(old_path, path):
             raise IOError(
                 f"state rollback rename failed: {state_dir}.__old"

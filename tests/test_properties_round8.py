@@ -506,3 +506,72 @@ def test_lambda_filter_tripwire(spark):
     a = sorted(map(tuple, slow.collect()))
     b = sorted(map(tuple, fast.collect()))
     assert a == b and len(a) == 1
+
+
+# ---------------------------------------------------------------- #
+# round-8 self-review fixes                                         #
+# ---------------------------------------------------------------- #
+
+def test_null_texts_do_not_corrupt_shingle_stats(spark):
+    """Review finding: a null text used to reach the shingle explode as
+    array(NULL), emitting a NULL 'shingle' whose df = #null docs —
+    inflating every profile statistic (top_share > 1 was possible) and
+    polluting stop lists. Null texts must be invisible to shingle
+    tables."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_dedup_pairs, shingle_df_profile, shingle_stop_list,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the only real document here")]
+        + [(i, None) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    p = shingle_df_profile(df, "text", "doc_id", shingle_k=7).first()
+    assert p.n_docs == 1 and p.df_max == 1 and p.top_share == 1.0
+    assert shingle_stop_list(df, "text", "doc_id", 7, max_df=1).count() == 0
+    # and the max_df pipeline tolerates null-text rows end to end
+    assert minhash_dedup_pairs(
+        df, "text", "doc_id", shingle_k=7, max_df=100
+    ).count() == 0
+
+
+def test_max_df_results_unchanged_by_shared_table(spark):
+    """Review finding: the stop-list and signature passes now share one
+    pinned shingle table. Results must be identical to the per-pass
+    construction (pin is an optimization, never a semantic change),
+    for minhash and simhash alike."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        _shingle_table, minhash_candidate_pairs, minhash_dedup_pairs,
+        shingle_stop_list, simhash_near_dup_pairs,
+    )
+
+    df = _boiler_corpus(spark, n=25)
+    stops_own = shingle_stop_list(df, "text", "doc_id", 7, 12)
+    st = _shingle_table(df, "text", "doc_id", 7)
+    stops_shared = shingle_stop_list(df, "text", "doc_id", 7, 12, table=st)
+    assert sorted(map(tuple, stops_own.collect())) == sorted(
+        map(tuple, stops_shared.collect())
+    )
+    mh = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.8, shingle_k=7, max_df=12
+        ).collect()
+    )
+    assert (25, 26) in {(a, b) for a, b, _ in mh}
+    cands_shared = minhash_candidate_pairs(
+        df, "text", "doc_id", shingle_k=7, persist=False,
+        stops=stops_own, table=st,
+    )
+    cands_own = minhash_candidate_pairs(
+        df, "text", "doc_id", shingle_k=7, persist=False,
+        stops=stops_own,
+    )
+    assert sorted(map(tuple, cands_shared.collect())) == sorted(
+        map(tuple, cands_own.collect())
+    )
+    sh = simhash_near_dup_pairs(
+        df, "text", "doc_id", max_hamming=3, shingle_k=7, max_df=12
+    )
+    assert (25, 26) in {(r.id_a, r.id_b) for r in sh.collect()}
