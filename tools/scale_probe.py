@@ -522,6 +522,16 @@ def main() -> None:
         "centroid_outlier": lambda d, v: _centroid(v),
         "vocab_curve": lambda d, v: _vocab_curve(d),
         "textprep_full": lambda d, v: _textprep_full(d),
+        # minhash on the RAW low-entropy lorem corpus WITH the stop-
+        # shingle mitigation — the exact configuration that ENOSPC'd
+        # unmitigated (2e8 candidates / 50+ GB verify shuffle at 30x).
+        # On an all-boilerplate corpus nearly every shingle is a stop
+        # shingle, so the filtered answer is (correctly) near-empty —
+        # the point is that the run COMPLETES with bounded shuffle.
+        "minhash_stop": lambda d, v: dedup.minhash_dedup_pairs(
+            d, "text", "doc_id", threshold=0.8, shingle_k=7,
+            max_df=max(50, d.count() // 100),
+        ).count(),
     }
 
     if only:
