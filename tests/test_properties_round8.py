@@ -575,3 +575,29 @@ def test_max_df_results_unchanged_by_shared_table(spark):
         df, "text", "doc_id", max_hamming=3, shingle_k=7, max_df=12
     )
     assert (25, 26) in {(r.id_a, r.id_b) for r in sh.collect()}
+
+
+def test_max_df_verify_strategies_agree(spark):
+    """The two exact-Jaccard verify strategies must stay bit-identical
+    under the stop-shingle filter too — both consume the same FILTERED
+    shingle sets."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    df = _boiler_corpus(spark, n=25)
+    a = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.8, shingle_k=7,
+            max_df=12, verify="intersect",
+        ).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.8, shingle_k=7,
+            max_df=12, verify="index",
+        ).collect()
+    )
+    assert a == b and (25, 26) in {(x, y) for x, y, _ in a}
