@@ -12,6 +12,8 @@ hash-agg joins) — no Python in the hot path.
 
 from __future__ import annotations
 
+import math
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -45,6 +47,8 @@ __all__ = [
     "minhash_dedup_pairs",
     "shingle_stop_list",
     "shingle_df_profile",
+    "resolve_max_df",
+    "BG_JACCARD_GUARD",
     "simhash64",
     "simhash_near_dup_pairs",
     "hamming_near_dup_pairs",
@@ -214,10 +218,116 @@ def _base_hash(col: Column, hash_family: str) -> Column:
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
+# Background-Jaccard rule of thumb (see shingle_df_profile): below this
+# the banded-LSH candidate self-join stays sub-quadratic; above it,
+# bucket sizes — and |bucket|² candidates — grow with the corpus (the
+# round-8 ENOSPC finding: J_bg ≈ 0.1–0.2 produced 2×10⁸ candidates /
+# 50+ GB of verify shuffle at 157k docs). The default pre-flight guard
+# in minhash_dedup_pairs / simhash_near_dup_pairs compares against it.
+BG_JACCARD_GUARD = 0.01
+
+
+def resolve_max_df(
+    df: DataFrame, text_col: str,
+    max_df: int | None = None, max_df_frac: float | None = None,
+) -> int | None:
+    """Resolve the stop-shingle document-frequency cap to an absolute
+    count. ``max_df`` is absolute; ``max_df_frac`` is CORPUS-RELATIVE —
+    ``ceil(frac · n_docs)`` with n_docs the non-null-text document
+    count. Mutually exclusive.
+
+    Why the fraction form exists: an absolute cap tuned at one scale is
+    meaningless at another — max_df=30 on a 500-doc certification
+    corpus is 6% document frequency, but on a 10⁹-doc crawl it would
+    stop-list essentially every shingle. "Drop shingles present in
+    more than X% of documents" (the C4/CCNet-style phrasing of the
+    stop-ngram rule) survives a 1000× corpus growth unchanged; the
+    round-8 scale probe's working setting was n_docs/100, i.e.
+    ``max_df_frac=0.01``. Cost: one pruned scan count (driver-side
+    single long) when the fraction form is used; zero otherwise."""
+    if max_df_frac is None:
+        return max_df
+    if max_df is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(
+            f"max_df_frac must be in (0, 1], got {max_df_frac!r}"
+        )
+    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    return max(1, math.ceil(max_df_frac * n_docs))
+
+
+def _bg_jaccard_guard(
+    df: DataFrame, text_col: str, st: DataFrame,
+    guard: str, threshold: float = BG_JACCARD_GUARD,
+    caller: str = "LSH",
+) -> None:
+    """Default-on pre-flight entropy guard for the LSH entry points:
+    computes the sums-only core of :func:`shingle_df_profile` (one
+    hash-agg over the already-built shingle table — the quantile
+    columns are skipped, so the marginal cost over the job itself is
+    one aggregate) and warns or raises when the closed-form background
+    Jaccard estimate predicts a quadratic candidate self-join and no
+    stop-shingle mitigation was requested.
+
+    Why it exists: the round-8 scale probe showed that running banded
+    LSH on a low-entropy corpus WITHOUT ``max_df`` produces |bucket|²
+    candidates by problem definition (measured 2×10⁸ candidates / 50+
+    GB of verify shuffle / ENOSPC at 157k docs). The diagnostic
+    existed (:func:`shingle_df_profile`) but nothing invoked it — a
+    user who skipped the manual pre-flight hit the blowup anyway.
+
+    NOTE this makes the entry points EAGER (two small Spark jobs — a
+    pruned scan count and one aggregate — run at call time rather than
+    at the first action). Pass ``guard='off'`` to keep them fully
+    lazy, or supply ``max_df``/``max_df_frac``/``stops`` — a
+    mitigated call never runs the guard."""
+    if guard == "off":
+        return
+    if guard not in ("warn", "raise"):
+        raise ValueError(
+            f"guard must be 'warn', 'raise' or 'off', got {guard!r}"
+        )
+    d19 = F.col("df").cast("decimal(19,0)")
+    row = (
+        st.groupBy("__sh").agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").alias("occ"),
+            F.sum(d19 * (d19 - F.lit(1))).alias("pair_mass"),
+        )
+        .collect()[0]
+    )
+    n = df.where(F.col(text_col).isNotNull()).count()
+    if n < 2 or row["occ"] is None:
+        return  # degenerate corpus: nothing to predict
+    e_shared = float(row["pair_mass"]) / (n * (n - 1))
+    e_size = float(row["occ"]) / n
+    denom = 2.0 * e_size - e_shared
+    if denom <= 0:
+        return
+    j_bg = e_shared / denom
+    if j_bg <= threshold:
+        return
+    msg = (
+        f"{caller} pre-flight guard: measured bg_jaccard_est="
+        f"{j_bg:.4f} exceeds {threshold} on this corpus (n_docs={n}) — "
+        f"banded candidate generation is likely to go quadratic "
+        f"(|bucket|^2 self-join; round-8 probe measured 2e8 candidates "
+        f"/ 50+ GB verify shuffle at J_bg~0.1). Pass max_df or "
+        f"max_df_frac to exclude stop-shingles (see shingle_stop_list "
+        f"/ shingle_df_profile), supply a precomputed stops= list, or "
+        f"set guard='off' to proceed unmitigated."
+    )
+    if guard == "raise":
+        raise ValueError(msg)
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def shingle_stop_list(
     df: DataFrame, text_col: str, id_col: str,
     shingle_k: int = 5, max_df: int = 100,
     table: DataFrame | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """STOP-SHINGLES: the shingles whose document frequency exceeds
     ``max_df`` — boilerplate (navigation chrome, license headers,
@@ -243,8 +353,19 @@ def shingle_stop_list(
     ``table`` (optional) supplies a prebuilt ``_shingle_table`` frame —
     minhash_dedup_pairs/simhash_near_dup_pairs pass their PINNED
     shingle table so the corpus is normalized+shingled once, not once
-    per pass.
+    per pass. ``max_df_frac`` (optional) replaces ``max_df`` with the
+    corpus-relative form ``ceil(frac · n_docs)`` — see
+    :func:`resolve_max_df` for why absolute caps don't survive scale
+    changes.
+
+    At the 100 TB regime, run THIS function once over a checkpointed
+    shingle table, persist its (tiny) output, and pass it to the LSH
+    entry points via their ``stops=`` parameter — that path never
+    caches the corpus-scale shingle table (see the footprint note on
+    :func:`minhash_dedup_pairs`).
     """
+    if max_df_frac is not None:
+        max_df = resolve_max_df(df, text_col, None, max_df_frac)
     st = table if table is not None else _shingle_table(
         df, text_col, id_col, shingle_k
     )
@@ -259,6 +380,7 @@ def shingle_stop_list(
 def shingle_df_profile(
     df: DataFrame, text_col: str, id_col: str,
     shingle_k: int = 5, decimals: int = 6,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """PRE-FLIGHT entropy diagnostic for similarity/dedup jobs: one row
     describing the corpus' shingle document-frequency distribution —
@@ -281,11 +403,19 @@ def shingle_df_profile(
     integer/decimal sums + the shared distributed prefix-sum for the
     quantiles. No sorts over raw rows, no driver collect. Products are
     decimal(38,0)-exact (df < 1e19); the three final divisions are the
-    only doubles, so the row is engine-reproducible."""
+    only doubles, so the row is engine-reproducible. On a 0- or 1-doc
+    corpus the ratio columns are explicitly NULL (each division is
+    gated on its denominator, so the row is identical whether the
+    session runs with spark.sql.ansi.enabled or not — an unguarded
+    division would return NULL under default semantics but raise
+    DIVIDE_BY_ZERO under ANSI). ``table`` (optional) supplies a
+    prebuilt ``_shingle_table`` frame, same contract as
+    :func:`shingle_stop_list`."""
     from .accuracy import quantiles_exact
 
     dfreq = _pin(
-        shingle_stop_list(df, text_col, id_col, shingle_k, max_df=0),
+        shingle_stop_list(df, text_col, id_col, shingle_k, max_df=0,
+                          table=table),
         persist=True,
     )  # max_df=0 → every shingle with its df
     n_docs = df.where(F.col(text_col).isNotNull()).select(
@@ -305,8 +435,17 @@ def shingle_df_profile(
         F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("df_p99"),
     )
     n = F.col("n_docs").cast("double")
-    e_shared = F.col("__pair_mass").cast("double") / (n * (n - 1))
-    e_size = F.col("total_occurrences").cast("double") / n
+    null_d = F.lit(None).cast("double")
+    # CASE WHEN short-circuits per branch, so the gated divisions are
+    # never evaluated when their denominator is zero — identical NULL
+    # output with or without spark.sql.ansi.enabled
+    e_shared = F.when(
+        n > 1, F.col("__pair_mass").cast("double") / (n * (n - 1))
+    ).otherwise(null_d)
+    e_size = F.when(
+        n > 0, F.col("total_occurrences").cast("double") / n
+    ).otherwise(null_d)
+    bg_denom = F.lit(2.0) * e_size - e_shared
     return (
         sums.crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(qrow))
@@ -318,10 +457,10 @@ def shingle_df_profile(
             F.col("df_p50").cast("bigint").alias("df_p50"),
             F.col("df_p90").cast("bigint").alias("df_p90"),
             F.col("df_p99").cast("bigint").alias("df_p99"),
-            F.round(F.col("df_max") / n, decimals).alias("top_share"),
-            F.round(
-                e_shared / (F.lit(2.0) * e_size - e_shared), decimals
-            ).alias("bg_jaccard_est"),
+            F.when(n > 0, F.round(F.col("df_max") / n, decimals))
+            .otherwise(null_d).alias("top_share"),
+            F.when(bg_denom != 0, F.round(e_shared / bg_denom, decimals))
+            .otherwise(null_d).alias("bg_jaccard_est"),
         )
     )
 
@@ -748,6 +887,11 @@ def minhash_dedup_pairs(
     hash_family: str = "xxhash64",
     verify: str = "intersect",
     max_df: int | None = None,
+    max_df_frac: float | None = None,
+    stops: DataFrame | None = None,
+    guard: str = "warn",
+    guard_threshold: float = BG_JACCARD_GUARD,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates → exact Jaccard ≥
     threshold. Output (id_a, id_b, jaccard), id_a < id_b.
@@ -780,13 +924,55 @@ def minhash_dedup_pairs(
     self-join — go quadratic (see :func:`shingle_stop_list` for the
     measured blowup). Semantics change deliberately: near-duplication
     is then judged on the INFORMATIVE content only, which is the
-    published stop-ngram practice. Cost: the shingle table is built
-    once (pinned, shared by the df pass and the signatures) plus one
-    hash aggregate for the df counts and broadcast anti-joins."""
+    published stop-ngram practice. ``max_df_frac`` is the
+    corpus-relative form — ``ceil(frac · n_docs)``, the setting that
+    survives scale changes (see :func:`resolve_max_df`); pass one or
+    the other, not both.
+
+    FOOTPRINT of the in-line df pass: with ``max_df``/``max_df_frac``
+    the full exploded shingle table (≈ shingle_k × corpus text bytes)
+    is pinned MEMORY_AND_DISK so the df pass and the signature pass
+    share one shingling — at the 100 TB regime that spill can itself
+    exhaust local disk. For corpora anywhere near that size, compute
+    the (tiny) stop list ONCE with :func:`shingle_stop_list` over a
+    checkpointed shingle table, persist it, and pass it here via
+    ``stops=`` — that path never caches the corpus-scale table and
+    the list is reusable across minhash/simhash/funnel runs.
+
+    ``guard`` ('warn' default | 'raise' | 'off'): when NO stop-shingle
+    mitigation is requested, a cheap pre-flight aggregate estimates
+    the corpus' background Jaccard and warns (or raises) above
+    ``guard_threshold`` — see :func:`_bg_jaccard_guard` for why this
+    is default-on and the note on eagerness. Mitigated calls skip it.
+
+    ``output`` ('pairs' default | 'clusters'): 'clusters' feeds the
+    verified pairs straight into connected-components contraction and
+    returns (node, component) — one row per DUPLICATED doc, component
+    id = min doc id. On pathological corpora the true pair count is
+    Θ(n²) (the round-8 raw-lorem probe verified 294k pairs and
+    growing), but the cluster labeling downstream consumers actually
+    want is O(n); this option keeps the materialized result bounded
+    even when the edge set is not. The edges stream through the CC
+    contraction (bounded driver union-find below 1M edges, the
+    distributed min-label loop above — see
+    :func:`..graph.connected_components`) without ever being
+    collected as a full pair list."""
     if bands is None:
         bands = auto_bands(num_perm, threshold)
-    stops = st = None
-    if max_df is not None:
+    if output not in ("pairs", "clusters"):
+        raise ValueError(
+            f"output must be 'pairs' or 'clusters', got {output!r}"
+        )
+    max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
+    st = None
+    if stops is not None:
+        if max_df is not None:
+            raise ValueError(
+                "pass a precomputed stops= list OR max_df/max_df_frac, "
+                "not both"
+            )
+        stops = stops.select("shingle")  # caller-supplied, never cached
+    elif max_df is not None:
         # ONE pinned shingle table serves both the document-frequency
         # pass and the signature pass — the corpus is normalized and
         # shingled once, not once per pass (review finding, round 8)
@@ -796,6 +982,14 @@ def minhash_dedup_pairs(
                               table=st),
             persist,
         )
+    elif guard != "off":
+        # unmitigated run: pre-flight entropy check over the same
+        # pinned shingle table the signature pass will consume (the
+        # shingling itself is therefore NOT recomputed for the guard
+        # when persist=True — the marginal cost is one aggregate)
+        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
+        _bg_jaccard_guard(df, text_col, st, guard, guard_threshold,
+                          caller="minhash_dedup_pairs")
     cands = _pin(
         minhash_candidate_pairs(
             df, text_col, id_col, num_perm, bands, shingle_k, persist,
@@ -803,10 +997,15 @@ def minhash_dedup_pairs(
         ),
         persist,
     )
-    return _jaccard_verified(
+    out = _jaccard_verified(
         df, text_col, id_col, cands, threshold, shingle_k, persist,
         strategy=verify, stops=stops,
     )
+    if output == "clusters":
+        from .graph import connected_components
+
+        return connected_components(out.select("id_a", "id_b"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -886,6 +1085,10 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3, shingle_k: int = 5, persist: bool = True,
     hash_family: str = "xxhash64",
     max_df: int | None = None,
+    max_df_frac: float | None = None,
+    stops: DataFrame | None = None,
+    guard: str = "warn",
+    guard_threshold: float = BG_JACCARD_GUARD,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -898,9 +1101,23 @@ def simhash_near_dup_pairs(
     max_df) from the signatures — the boilerplate-heavy-corpus knob;
     without it, shared boilerplate drags every signature toward the
     same bit pattern and the chunk equi-join degrades to |bucket|²
-    (the simhash face of the round-8 LSH finding)."""
-    stops = st = None
-    if max_df is not None:
+    (the simhash face of the round-8 LSH finding). ``max_df_frac`` is
+    the corpus-relative form (see :func:`resolve_max_df`); ``stops=``
+    accepts a precomputed :func:`shingle_stop_list` output so the
+    corpus-scale shingle table is never cached, and ``guard``
+    ('warn'|'raise'|'off') is the default-on pre-flight entropy check
+    — footprint/eagerness notes on :func:`minhash_dedup_pairs` apply
+    verbatim."""
+    max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
+    st = None
+    if stops is not None:
+        if max_df is not None:
+            raise ValueError(
+                "pass a precomputed stops= list OR max_df/max_df_frac, "
+                "not both"
+            )
+        stops = stops.select("shingle")  # caller-supplied, never cached
+    elif max_df is not None:
         # one pinned shingle table for both the df pass and the
         # signature sums (see minhash_dedup_pairs)
         st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
@@ -909,6 +1126,10 @@ def simhash_near_dup_pairs(
                               table=st),
             persist,
         )
+    elif guard != "off":
+        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
+        _bg_jaccard_guard(df, text_col, st, guard, guard_threshold,
+                          caller="simhash_near_dup_pairs")
     sig = simhash64(df, text_col, id_col, shingle_k, hash_family,
                     stops=stops, table=st)
     return hamming_near_dup_pairs(

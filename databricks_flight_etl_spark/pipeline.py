@@ -142,6 +142,9 @@ def run_textprep_pipeline(
     url_col: str | None = None,
     max_per_domain: int | None = None,
     near_dup_max_df: int | None = None,
+    near_dup_max_df_frac: float | None = None,
+    near_dup_stops: DataFrame | None = None,
+    near_dup_guard: str = "warn",
 ) -> TextPrepReport:
     """LLM training-data preprocessing over a documents table: quality
     filter → language filter → exact dedup → near-dup dedup (MinHash
@@ -173,7 +176,12 @@ def run_textprep_pipeline(
     frequency > max_df) from the near-dup stage's signatures AND
     verify — the boilerplate-heavy-corpus knob that keeps LSH
     candidates sub-quadratic; see
-    :func:`operators.dedup.shingle_stop_list`."""
+    :func:`operators.dedup.shingle_stop_list`. ``near_dup_max_df_frac``
+    is its corpus-relative form, ``near_dup_stops`` a precomputed stop
+    list (skips the in-funnel df pass and its shingle-table cache),
+    and ``near_dup_guard`` the pre-flight entropy guard mode — all
+    forwarded verbatim to :func:`operators.dedup.minhash_dedup_pairs`,
+    whose footprint/eagerness notes apply."""
     from pyspark.sql import functions as F
 
     from .operators import dedup, graph, text
@@ -213,6 +221,9 @@ def run_textprep_pipeline(
             bands=bands if bands is not None
             else dedup.auto_bands(32, near_dup_threshold),
             max_df=near_dup_max_df,
+            max_df_frac=near_dup_max_df_frac,
+            stops=near_dup_stops,
+            guard=near_dup_guard,
         )
         survivors = graph.dedup_survivors(exact_unique, pairs, id_col)
     else:

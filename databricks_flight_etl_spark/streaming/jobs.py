@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# indirection so tests can inject commit-completion between retry
+# attempts without patching the global time module (Spark internals
+# also call time.sleep, so a global patch would fire recursively)
+_retry_sleep = time.sleep
+
 __all__ = [
     "streaming_day_counts",
     "streaming_dedup",
@@ -94,12 +99,19 @@ def _read_state(
                     ).localCheckpoint()
                 except Exception as exc:  # noqa: BLE001 - see retry note
                     last_exc = exc
-                    time.sleep(0.25)
+                    _retry_sleep(0.25)
             else:
-                raise IOError(
-                    f"state snapshot unreadable and crash layout "
-                    f"persistent: {state_dir}.__old"
-                ) from last_exc
+                # One FINAL layout re-check before declaring corruption:
+                # a commit that completes DURING the last read attempt
+                # (deleting .__old after that iteration's pre-check)
+                # leaves a healthy layout whose snapshot read failed
+                # for a benign reason — fall through to the live/None
+                # paths instead of raising on a healthy system.
+                if not fs.exists(path) and old_fs.exists(old_path):
+                    raise IOError(
+                        f"state snapshot unreadable and crash layout "
+                        f"persistent: {state_dir}.__old"
+                    ) from last_exc
         elif not fs.rename(old_path, path):
             raise IOError(
                 f"state rollback rename failed: {state_dir}.__old"
