@@ -1007,6 +1007,32 @@ def q_minhash_stopshingle(spark, sf_dir):
     )
 
 
+def q_minhash_stopshingle_frac(spark, sf_dir):
+    """X1 corpus-relative stop-shingle cap (max_df_frac, round-9): the
+    absolute max_df=30 of q_minhash_stopshingle is 6% of the 505-doc
+    certification corpus, but an absolute document-frequency cap is
+    meaningless after a scale change (dedup.resolve_max_df); here
+    max_df_frac=0.06 resolves to ceil(0.06·n_docs) — 31 at sf0.01 —
+    and the DuckDB oracle REPLAYS the fraction→count resolution
+    itself (scalar subquery: ceil(0.06·count(non-null text))), so the
+    resolution rule is certified, not just one resolved value. md5
+    family; bounded to doc_id < 1500 like its sibling."""
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return minhash_dedup_pairs(
+        b, "text", "doc_id", threshold=0.8, shingle_k=7,
+        hash_family="md5", max_df_frac=0.06,
+    )
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup probe vs a persisted LSH index: the
     accepted corpus is banded ONCE (minhash_bands — the persistable
@@ -5343,12 +5369,19 @@ def q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# The driver's correctness gate evaluates only the first DRIVER_WINDOW
+# insertion-order queries() keys. Single source of truth — tools
+# (check_oracle.py) and the registry comments below derive from it.
+DRIVER_WINDOW = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate may evaluate only the
-    # first 50 entries, so the window is curated (round-1 lesson):
-    # positions 1–50 are all oracle-certified and cover every SURVEY §2
-    # reference-parity row plus at least one query per extension family
-    # X1–X7 (+ streaming). Rows-only (no_oracle) queries come last.
+    # first DRIVER_WINDOW entries, so the window is curated (round-1
+    # lesson): positions 1-DRIVER_WINDOW are all oracle-certified and
+    # cover every SURVEY §2 reference-parity row plus at least one query
+    # per extension family X1-X7 (+ streaming). Rows-only (no_oracle)
+    # queries come last.
     return {
         # -- reference parity: scans/projections/filters (S·P·O) -------
         "q_scan_project": q_scan_project,
@@ -5374,14 +5407,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- ROUND-8 WINDOW (r7 verdict tasks #2/#6): the 30 non-parity
-        # -- slots rotate to never-driver-windowed certified queries —
-        # -- every extension family keeps a representative. The r7
-        # -- window members (q_ks_drift*, q_linear_scorer,
-        # -- q_streaming_drift, q_domain_caps, q_strip_html, the X1–X7
-        # -- family heads) are driver-certified and move below the
-        # -- marker, still certified locally every round. ---------------
-        # -- r7 additions, first driver certification (task #2) ---------
+        # -- ROUND-9 WINDOW (r8 verdict task #1): positions 21-50 rotate
+        # -- to never-driver-windowed certified queries. All four
+        # -- stop-shingle queries (the round-8/9 LSH-entropy finding,
+        # -- incl. the new corpus-relative max_df_frac replay) lead;
+        # -- the rest drains the never-windowed tail: TPC-H shapes,
+        # -- join strategies, exact quantiles/stats, scalar function
+        # -- batteries, rollups. The r8 window members are
+        # -- driver-certified and move below the marker. --------------
+        # -- X1 stop-shingle suite (round-8 scale finding) -------------
+        "q_minhash_stopshingle": q_minhash_stopshingle,
+        "q_simhash_stopshingle": q_simhash_stopshingle,
+        "q_shingle_profile": q_shingle_profile,
+        "q_minhash_stopshingle_frac": q_minhash_stopshingle_frac,
+        # -- X5 TPC-H shapes -------------------------------------------
+        "q_tpch_q5": q_tpch_q5,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q18": q_tpch_q18,
+        # -- join strategies / temporal joins --------------------------
+        "q_asof_join": q_asof_join,
+        "q_range_join_time": q_range_join_time,
+        "q_salted_join": q_salted_join,
+        "q_null_safe_join": q_null_safe_join,
+        "q_bucketed_join": q_bucketed_join,
+        # -- exact quantiles / robust stats ----------------------------
+        "q_quantiles": q_quantiles,
+        "q_quantiles_exact": q_quantiles_exact,
+        "q_median_group": q_median_group,
+        "q_stat_aggs": q_stat_aggs,
+        "q_corr_matrix": q_corr_matrix,
+        "q_skew_report": q_skew_report,
+        "q_rank_normalize": q_rank_normalize,
+        # -- scalar function batteries ---------------------------------
+        "q_window_funcs": q_window_funcs,
+        "q_string_funcs": q_string_funcs,
+        "q_date_funcs": q_date_funcs,
+        "q_map_funcs": q_map_funcs,
+        "q_struct_funcs": q_struct_funcs,
+        "q_regexp_funcs": q_regexp_funcs,
+        "q_unpivot": q_unpivot,
+        # -- temporal rollups / sketch-per-day -------------------------
+        "q_time_bucket_rollup": q_time_bucket_rollup,
+        "q_hll_per_day": q_hll_per_day,
+        # == position DRIVER_WINDOW (50) ends here — everything below ==
+        # == is certified locally but outside the driver's window ======
+        # ROUND-10 ROTATION CANDIDATES: the next ~30 of the remaining
+        # never-windowed certified queries (union of CORRECTNESS_r0*
+        # keys vs this registry) — every family already has a windowed
+        # representative, so any subset keeps representation.
+        # -- rotated out after driver certification (r8 window) --------
+        # -- r8 additions, driver-certified r8 -------------------------
         "q_vocab_curve_full": q_vocab_curve_full,
         "q_corpus_release_domains": q_corpus_release_domains,
         # -- X5 relational / CDC (incl. verdict-named families) ---------
@@ -5504,7 +5581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_sketch": q_cms_sketch,
         "q_hll_registers": q_hll_registers,
         "q_bloom_bitmap": q_bloom_bitmap,
-        "q_quantiles_exact": q_quantiles_exact,
         "q_outliers_iqr": q_outliers_iqr,
         "q_split_assign": q_split_assign,
         "q_epoch_shuffle": q_epoch_shuffle,
@@ -5527,7 +5603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorized_mean": q_winsorized_mean,
         "q_vocab_coverage": q_vocab_coverage,
         "q_join_probe": q_join_probe,
-        "q_bucketed_join": q_bucketed_join,
         "q_partitioned_scan": q_partitioned_scan,
         "q_schema_evolution": q_schema_evolution,
         "q_sql_ddl": q_sql_ddl,
@@ -5536,13 +5611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_zorder": q_zorder,
         "q_pagerank": q_pagerank,
-        "q_rank_normalize": q_rank_normalize,
-        "q_corr_matrix": q_corr_matrix,
         "q_window_battery": q_window_battery,
-        "q_hll_per_day": q_hll_per_day,
         "q_hll_rollup": q_hll_rollup,
         "q_diff_tables": q_diff_tables,
-        "q_skew_report": q_skew_report,
         "q_hist_equidepth": q_hist_equidepth,
         "q_table_checksum": q_table_checksum,
         "q_vector_mean": q_vector_mean,
@@ -5573,56 +5644,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_stratified_sample": q_stratified_sample,
         "q_range_frame": q_range_frame,
-        "q_null_safe_join": q_null_safe_join,
-        "q_regexp_funcs": q_regexp_funcs,
         "q_cosine_topk_batch": q_cosine_topk_batch,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
         "q_tpch_q4": q_tpch_q4,
-        "q_tpch_q6": q_tpch_q6,
-        "q_tpch_q14": q_tpch_q14,
         "q_tpch_q17": q_tpch_q17,
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q21_shape": q_tpch_q21_shape,
-        "q_tpch_q5": q_tpch_q5,
         "q_tpch_q7": q_tpch_q7,
-        "q_tpch_q10": q_tpch_q10,
         "q_tpch_q12_shape": q_tpch_q12_shape,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q15": q_tpch_q15,
-        "q_tpch_q18": q_tpch_q18,
         "q_tpch_q22_shape": q_tpch_q22_shape,
         "q_tpch_q2_shape": q_tpch_q2_shape,
         "q_tpch_q11_shape": q_tpch_q11_shape,
         "q_tpch_q16_shape": q_tpch_q16_shape,
         "q_tpch_q20_shape": q_tpch_q20_shape,
-        "q_window_funcs": q_window_funcs,
         "q_agg_filter": q_agg_filter,
         "q_scalar_subquery_select": q_scalar_subquery_select,
         "q_string_agg": q_string_agg,
-        "q_stat_aggs": q_stat_aggs,
         "q_event_gaps": q_event_gaps,
-        "q_date_funcs": q_date_funcs,
-        "q_unpivot": q_unpivot,
-        "q_string_funcs": q_string_funcs,
-        "q_quantiles": q_quantiles,
-        "q_asof_join": q_asof_join,
-        "q_range_join_time": q_range_join_time,
         "q_udtf_sentences": q_udtf_sentences,
         "q_array_funcs": q_array_funcs,
         "q_tpch_q8": q_tpch_q8,
         "q_tpch_q9_shape": q_tpch_q9_shape,
-        "q_map_funcs": q_map_funcs,
         "q_posexplode_sequence": q_posexplode_sequence,
         "q_conditional_funcs": q_conditional_funcs,
-        "q_salted_join": q_salted_join,
-        "q_struct_funcs": q_struct_funcs,
         "q_try_arith": q_try_arith,
         "q_bitwise": q_bitwise,
-        "q_median_group": q_median_group,
-        "q_time_bucket_rollup": q_time_bucket_rollup,
-        "q_minhash_stopshingle": q_minhash_stopshingle,
-        "q_simhash_stopshingle": q_simhash_stopshingle,
-        "q_shingle_profile": q_shingle_profile,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10655,6 +10703,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= 0.8
     """
+    # Corpus-relative cap: IDENTICAL pipeline to q_minhash_stopshingle
+    # except the absolute df filter (c > 30) becomes the replayed
+    # fraction→count resolution — ceil(0.06 · count of non-null texts)
+    # as a scalar subquery (505 docs at sf0.01 → cap 31). Deriving the
+    # SQL from the sibling keeps every other stage bit-identical by
+    # construction, so a divergence can only come from the resolution
+    # rule under test.
+    d["q_minhash_stopshingle_frac"] = d["q_minhash_stopshingle"].replace(
+        "WHERE c > 30",
+        "WHERE c > (SELECT CAST(ceil(0.06 * count(text)) AS BIGINT) "
+        "FROM base)",
+    )
     # SimHash replay (same structure as q_simhash_certified) with the
     # boilerplate-prepended corpus and the max_df=30 stop-shingle
     # filter applied before the per-bit majorities.

@@ -53,14 +53,25 @@ def _sync_generated_docs() -> None:
     that lapse structurally impossible. PLANS regeneration rebuilds
     every query's plan at sf0.001 (~1-2 min), so it only runs when the
     registry and the committed table disagree.
+
+    Runs AFTER the final JSON line with all generator chatter routed
+    to stderr — bench stdout must stay exactly one JSON line for
+    whole-stdout consumers (round-8 ADVICE). Set
+    SPARK_GRAFT_BENCH_DOC_SYNC=0 to skip the file mutation entirely
+    (e.g. benching a dirty tree you don't want touched).
     """
+    if os.environ.get("SPARK_GRAFT_BENCH_DOC_SYNC", "1") == "0":
+        return
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/tools")
     try:
+        import contextlib
+
         import __spark_entry__ as entrymod
         import audit_plans
         import gen_opmap
 
-        gen_opmap.main()
+        with contextlib.redirect_stdout(sys.stderr):
+            gen_opmap.main()
         registry = set(entrymod.queries())
         plans_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "PLANS.md"
@@ -251,6 +262,47 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # ---- parity core re-timed medians (r8 verdict task #5) -----------
+    # The round-over-round headline moves on host contention, not
+    # plans (r8: adjudicated total +27s with zero plan regressions).
+    # The judge-facing BASELINE.md comparison is the 14-query parity
+    # core, so that set is ALWAYS re-timed as a 3-rep median — stable
+    # enough that a real 10% regression is visible above the noise.
+    parity_core: dict[str, dict] = {}
+    parity_reps = max(
+        3, int(os.environ.get("SPARK_GRAFT_BENCH_PARITY_REPS", "3"))
+    )
+    for name in HEADLINE:
+        if name not in timings or name in errors:
+            continue
+        fn = entrymod.queries()[name]
+        runs = []
+        for _ in range(parity_reps):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception:
+                break
+            runs.append(time.time() - t0)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        if runs:
+            parity_core[name] = {
+                "recorded": timings[name],
+                "median": round(sorted(runs)[len(runs) // 2], 3),
+                "reps": [round(r, 3) for r in runs],
+            }
+    parity_core_median_sec = round(
+        sum(v["median"] for v in parity_core.values()), 3
+    )
+    print(
+        f"# parity core ({len(parity_core)} queries): re-timed median "
+        f"total {parity_core_median_sec}s",
+        file=sys.stderr,
+    )
+
     # ---- adjudicated headline (r6 verdict task #4) --------------------
     # Two rounds running, the recorded total led the stdout line while
     # the bench's own re-timings showed the inflation was host
@@ -276,6 +328,7 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
         "noise_adjudication": adjudication,
+        "parity_core": parity_core,
         "streaming_fixed_overhead": {
             "method": (
                 "same pipeline timed once at sf0.001; at ~100x less "
@@ -302,15 +355,20 @@ def main() -> None:
         "streaming_overhead_sec": round(
             sum(stream_overhead.values()), 3
         ),
+        "parity_core_median_sec": parity_core_median_sec,
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
     }
-    _sync_generated_docs()
 
     line = json.dumps(out)
     if len(line.encode()) > MAX_LINE_BYTES:  # never overflow the tail
         out.pop("queries", None)
         line = json.dumps(out)
     print(line)
+    sys.stdout.flush()
+    # doc sync LAST: stdout already carries its single JSON line, so a
+    # consumer parsing whole-stdout sees nothing else even if a
+    # generator misbehaves (round-8 ADVICE #1)
+    _sync_generated_docs()
 
 
 if __name__ == "__main__":

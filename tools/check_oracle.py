@@ -35,8 +35,10 @@ TABLES = (
     "documents embeddings".split()
 )
 
-# The driver certifies the first 50 insertion-order queries() keys.
-DRIVER_WINDOW = 50
+# The driver certifies the first DRIVER_WINDOW insertion-order
+# queries() keys — single definition exported by __spark_entry__
+# (duplicating the literal here was a round-8 drift-risk note).
+from __spark_entry__ import DRIVER_WINDOW  # noqa: E402
 
 
 def canon(value) -> str:

@@ -532,6 +532,17 @@ def main() -> None:
             d, "text", "doc_id", threshold=0.8, shingle_k=7,
             max_df=max(50, d.count() // 100),
         ).count(),
+        # simhash on the same RAW low-entropy lorem corpus with the
+        # stop-shingle mitigation: the pigeonhole chunk buckets have
+        # the same |bucket|² verify shape as banded MinHash when all
+        # signatures collapse toward one bit pattern, so the max_df
+        # knob must be probed at the scale that killed MinHash too
+        # (round-8 verdict task #4 — the knob shipped with sf-level
+        # certification only).
+        "simhash_stop": lambda d, v: dedup.simhash_near_dup_pairs(
+            d, "text", "doc_id", max_hamming=3,
+            max_df=max(50, d.count() // 100),
+        ).count(),
     }
 
     if only:
