@@ -1033,6 +1033,31 @@ def q_minhash_stopshingle_frac(spark, sf_dir):
     )
 
 
+def q_minhash_clusters(spark, sf_dir):
+    """X1 bounded cluster output (output='clusters', round-9): the
+    full MinHash pipeline emits (node, component) straight from the
+    CC contraction instead of materializing the pair list — the O(n)
+    result shape for corpora whose true pair count is quadratic
+    (round-8 probe regime). md5 family + the stop-shingle filter of
+    q_minhash_stopshingle, so the DuckDB oracle replays the identical
+    pair pipeline and closes it with a recursive CTE — certifying
+    pairs → closure → min-id labels end-to-end."""
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return minhash_dedup_pairs(
+        b, "text", "doc_id", threshold=0.8, shingle_k=7,
+        hash_family="md5", max_df=30, output="clusters",
+    )
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup probe vs a persisted LSH index: the
     accepted corpus is banded ONCE (minhash_bands — the persistable
@@ -5525,6 +5550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_clusters": q_dedup_clusters,
+        # round-9 addition, locally certified — ROUND-10 ROTATION
+        # CANDIDATE alongside the next never-windowed tranche
+        "q_minhash_clusters": q_minhash_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
         "q_cosine_topk": q_cosine_topk,
@@ -10715,6 +10743,27 @@ def oracle_sql() -> dict[str, str]:
         "WHERE c > (SELECT CAST(ceil(0.06 * count(text)) AS BIGINT) "
         "FROM base)",
     )
+    # output='clusters' replay: the IDENTICAL stop-shingle pair
+    # pipeline (nested WITH), closed by the same recursive-CTE
+    # min-label closure q_dedup_clusters certifies — so the derived
+    # SQL can only diverge where the option under test does.
+    d["q_minhash_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({d["q_minhash_stopshingle"]}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r
+            FROM edges e JOIN reach ON e.b = reach.node
+        )
+        SELECT node, min(r) AS component
+        FROM reach
+        GROUP BY node
+    """
     # SimHash replay (same structure as q_simhash_certified) with the
     # boilerplate-prepended corpus and the max_df=30 stop-shingle
     # filter applied before the per-bit majorities.

@@ -1089,6 +1089,7 @@ def simhash_near_dup_pairs(
     stops: DataFrame | None = None,
     guard: str = "warn",
     guard_threshold: float = BG_JACCARD_GUARD,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -1107,7 +1108,13 @@ def simhash_near_dup_pairs(
     corpus-scale shingle table is never cached, and ``guard``
     ('warn'|'raise'|'off') is the default-on pre-flight entropy check
     — footprint/eagerness notes on :func:`minhash_dedup_pairs` apply
-    verbatim."""
+    verbatim, as does ``output='clusters'`` (O(n) CC labeling instead
+    of the pair list — the shape to use when the Hamming-ball pair
+    population is itself quadratic, as on the 30× probe corpus)."""
+    if output not in ("pairs", "clusters"):
+        raise ValueError(
+            f"output must be 'pairs' or 'clusters', got {output!r}"
+        )
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
     st = None
     if stops is not None:
@@ -1132,9 +1139,14 @@ def simhash_near_dup_pairs(
                           caller="simhash_near_dup_pairs")
     sig = simhash64(df, text_col, id_col, shingle_k, hash_family,
                     stops=stops, table=st)
-    return hamming_near_dup_pairs(
+    out = hamming_near_dup_pairs(
         sig, "simhash", id_col, max_hamming=max_hamming, persist=persist
     )
+    if output == "clusters":
+        from .graph import connected_components
+
+        return connected_components(out.select("id_a", "id_b"))
+    return out
 
 
 def hamming_near_dup_pairs(

@@ -241,6 +241,26 @@ def test_output_clusters_equals_cc_of_full_pairs(spark):
         dedup.minhash_dedup_pairs(
             docs, "text", "doc_id", output="edges"
         )
+    # simhash face of the same option
+    spark.catalog.clearCache()
+    sh_pairs = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=6, guard="off"
+    )
+    sh_expected = sorted(
+        map(tuple, connected_components(
+            sh_pairs.select("id_a", "id_b")
+        ).collect())
+    )
+    spark.catalog.clearCache()
+    sh_got = sorted(map(tuple, dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=6, guard="off",
+        output="clusters",
+    ).collect()))
+    assert sh_got == sh_expected
+    with pytest.raises(ValueError, match="output"):
+        dedup.simhash_near_dup_pairs(
+            docs, "text", "doc_id", output="edges"
+        )
 
 
 # ---------------------------------------------------------------- #
