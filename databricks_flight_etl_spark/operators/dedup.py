@@ -963,6 +963,12 @@ def minhash_dedup_pairs(
         raise ValueError(
             f"output must be 'pairs' or 'clusters', got {output!r}"
         )
+    if guard not in ("warn", "raise", "off"):
+        # validate up front even when a mitigation skips the guard —
+        # a typo'd guard= on a mitigated call should not pass silently
+        raise ValueError(
+            f"guard must be 'warn', 'raise' or 'off', got {guard!r}"
+        )
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
     st = None
     if stops is not None:
@@ -1114,6 +1120,11 @@ def simhash_near_dup_pairs(
     if output not in ("pairs", "clusters"):
         raise ValueError(
             f"output must be 'pairs' or 'clusters', got {output!r}"
+        )
+    if guard not in ("warn", "raise", "off"):
+        # up-front validation — see minhash_dedup_pairs
+        raise ValueError(
+            f"guard must be 'warn', 'raise' or 'off', got {guard!r}"
         )
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
     st = None
