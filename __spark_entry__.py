@@ -10738,8 +10738,17 @@ def oracle_sql() -> dict[str, str]:
     # SQL from the sibling keeps every other stage bit-identical by
     # construction, so a divergence can only come from the resolution
     # rule under test.
+    _frac_marker = "WHERE c > 30"
+    if _frac_marker not in d["q_minhash_stopshingle"]:
+        # fail LOUDLY: a silent no-op replace would degrade the frac
+        # certification to a vacuous copy of the absolute-cap oracle
+        raise RuntimeError(
+            "q_minhash_stopshingle_frac derivation marker "
+            f"{_frac_marker!r} missing from the sibling SQL — update "
+            "the marker alongside any reformat"
+        )
     d["q_minhash_stopshingle_frac"] = d["q_minhash_stopshingle"].replace(
-        "WHERE c > 30",
+        _frac_marker,
         "WHERE c > (SELECT CAST(ceil(0.06 * count(text)) AS BIGINT) "
         "FROM base)",
     )

@@ -63,49 +63,54 @@ def _sync_generated_docs() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_DOC_SYNC", "1") == "0":
         return
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/tools")
-    try:
-        import contextlib
+    import contextlib
 
-        import __spark_entry__ as entrymod
-        import audit_plans
-        import gen_opmap
-
-        with contextlib.redirect_stdout(sys.stderr):
-            gen_opmap.main()
-        registry = set(entrymod.queries())
-        plans_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "PLANS.md"
-        )
-        in_plans: set[str] = set()
+    # the redirect covers the WHOLE sync body, not just gen_opmap: the
+    # JSON line has already been printed, and the consumer keeps only
+    # the last 2000 chars of stdout — ANY stray generator/import print
+    # after it would push the headline out of that tail
+    with contextlib.redirect_stdout(sys.stderr):
         try:
-            with open(plans_path) as f:
-                for line in f:
-                    # same row pattern as tests/test_docs_sync.py's
-                    # _table_queries — a looser startswith('| q') also
-                    # matched the '| query |' header row
-                    m = re.match(r"\|\s*(q_\w+)\s*\|", line)
-                    if m:
-                        in_plans.add(m.group(1))
-        except OSError:
-            pass
-        # symmetric: a REMOVED/renamed-away query leaves an orphaned
-        # row, which test_plans_covers_registry flags just as hard as
-        # a missing one
-        if registry != in_plans:
-            print(
-                f"# PLANS.md stale ({len(registry - in_plans)} missing, "
-                f"{len(in_plans - registry)} orphaned) — regenerating",
-                file=sys.stderr,
+            import __spark_entry__ as entrymod
+            import audit_plans
+            import gen_opmap
+
+            gen_opmap.main()
+            registry = set(entrymod.queries())
+            plans_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "PLANS.md"
             )
-            # write-then-rename: generate() takes minutes over the full
-            # registry, and truncate-in-place would leave a half-written
-            # inventory behind a mid-run kill
-            tmp = plans_path + ".tmp"
-            with open(tmp, "w") as f:
-                audit_plans.generate("/root/testdata/sf0.001", out=f)
-            os.replace(tmp, plans_path)
-    except Exception as exc:  # noqa: BLE001 - doc sync must not fail bench
-        print(f"# doc sync failed: {exc!r}", file=sys.stderr)
+            in_plans: set[str] = set()
+            try:
+                with open(plans_path) as f:
+                    for line in f:
+                        # same row pattern as tests/test_docs_sync.py's
+                        # _table_queries — a looser startswith('| q')
+                        # also matched the '| query |' header row
+                        m = re.match(r"\|\s*(q_\w+)\s*\|", line)
+                        if m:
+                            in_plans.add(m.group(1))
+            except OSError:
+                pass
+            # symmetric: a REMOVED/renamed-away query leaves an
+            # orphaned row, which test_plans_covers_registry flags
+            # just as hard as a missing one
+            if registry != in_plans:
+                print(
+                    f"# PLANS.md stale ({len(registry - in_plans)} "
+                    f"missing, {len(in_plans - registry)} orphaned) — "
+                    f"regenerating",
+                    file=sys.stderr,
+                )
+                # write-then-rename: generate() takes minutes over the
+                # full registry, and truncate-in-place would leave a
+                # half-written inventory behind a mid-run kill
+                tmp = plans_path + ".tmp"
+                with open(tmp, "w") as f:
+                    audit_plans.generate("/root/testdata/sf0.001", out=f)
+                os.replace(tmp, plans_path)
+        except Exception as exc:  # noqa: BLE001 - must not fail bench
+            print(f"# doc sync failed: {exc!r}", file=sys.stderr)
 
 
 def main() -> None:

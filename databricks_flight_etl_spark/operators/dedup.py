@@ -263,12 +263,15 @@ def _bg_jaccard_guard(
     caller: str = "LSH",
 ) -> None:
     """Default-on pre-flight entropy guard for the LSH entry points:
-    computes the sums-only core of :func:`shingle_df_profile` (one
-    hash-agg over the already-built shingle table — the quantile
-    columns are skipped, so the marginal cost over the job itself is
-    one aggregate) and warns or raises when the closed-form background
-    Jaccard estimate predicts a quadratic candidate self-join and no
-    stop-shingle mitigation was requested.
+    computes the sums-only core of :func:`shingle_df_profile` (the
+    quantile columns are skipped) over ``st`` and warns or raises when
+    the closed-form background Jaccard estimate predicts a quadratic
+    candidate self-join and no stop-shingle mitigation was requested.
+    Callers pass an UN-pinned shingle table on purpose: the guard is
+    one streaming shingling+aggregate pass with ZERO cache footprint —
+    pinning the corpus-scale table to MEMORY_AND_DISK just for the
+    guard would create the very disk-pressure failure mode it exists
+    to prevent (the cost is that the signature pass re-shingles).
 
     Why it exists: the round-8 scale probe showed that running banded
     LSH on a low-entropy corpus WITHOUT ``max_df`` produces |bucket|²
@@ -325,7 +328,7 @@ def _bg_jaccard_guard(
 
 def shingle_stop_list(
     df: DataFrame, text_col: str, id_col: str,
-    shingle_k: int = 5, max_df: int = 100,
+    shingle_k: int = 5, max_df: int | None = None,
     table: DataFrame | None = None,
     max_df_frac: float | None = None,
 ) -> DataFrame:
@@ -356,7 +359,10 @@ def shingle_stop_list(
     per pass. ``max_df_frac`` (optional) replaces ``max_df`` with the
     corpus-relative form ``ceil(frac · n_docs)`` — see
     :func:`resolve_max_df` for why absolute caps don't survive scale
-    changes.
+    changes. Passing BOTH raises (same contract as the LSH entry
+    points — silently preferring one would hand back a different stop
+    list than the caller asked for); passing neither uses the
+    historical default cap of 100.
 
     At the 100 TB regime, run THIS function once over a checkpointed
     shingle table, persist its (tiny) output, and pass it to the LSH
@@ -364,8 +370,9 @@ def shingle_stop_list(
     caches the corpus-scale shingle table (see the footprint note on
     :func:`minhash_dedup_pairs`).
     """
-    if max_df_frac is not None:
-        max_df = resolve_max_df(df, text_col, None, max_df_frac)
+    max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
+    if max_df is None:
+        max_df = 100  # historical default cap
     st = table if table is not None else _shingle_table(
         df, text_col, id_col, shingle_k
     )
@@ -969,14 +976,17 @@ def minhash_dedup_pairs(
         raise ValueError(
             f"guard must be 'warn', 'raise' or 'off', got {guard!r}"
         )
+    if stops is not None and (max_df is not None or max_df_frac is not None):
+        # exclusivity BEFORE resolve_max_df: the frac form runs an
+        # eager corpus count, and an invalid call must not pay a full
+        # 100 TB scan just to raise
+        raise ValueError(
+            "pass a precomputed stops= list OR max_df/max_df_frac, "
+            "not both"
+        )
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
     st = None
     if stops is not None:
-        if max_df is not None:
-            raise ValueError(
-                "pass a precomputed stops= list OR max_df/max_df_frac, "
-                "not both"
-            )
         stops = stops.select("shingle")  # caller-supplied, never cached
     elif max_df is not None:
         # ONE pinned shingle table serves both the document-frequency
@@ -989,13 +999,18 @@ def minhash_dedup_pairs(
             persist,
         )
     elif guard != "off":
-        # unmitigated run: pre-flight entropy check over the same
-        # pinned shingle table the signature pass will consume (the
-        # shingling itself is therefore NOT recomputed for the guard
-        # when persist=True — the marginal cost is one aggregate)
-        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
-        _bg_jaccard_guard(df, text_col, st, guard, guard_threshold,
-                          caller="minhash_dedup_pairs")
+        # unmitigated run: pre-flight entropy check as ONE STREAMING
+        # PASS over an UN-pinned shingle table — deliberately not
+        # cached and not shared with the signature pass. Pinning here
+        # would materialize the corpus-scale table (≈ shingle_k ×
+        # text bytes) to MEMORY_AND_DISK on every previously-lazy
+        # call, i.e. the anti-ENOSPC guard would itself create the
+        # disk-pressure failure mode it exists to prevent. The cost
+        # is one extra shingling+aggregate pass; nothing is cached.
+        _bg_jaccard_guard(
+            df, text_col, _shingle_table(df, text_col, id_col, shingle_k),
+            guard, guard_threshold, caller="minhash_dedup_pairs",
+        )
     cands = _pin(
         minhash_candidate_pairs(
             df, text_col, id_col, num_perm, bands, shingle_k, persist,
@@ -1010,7 +1025,14 @@ def minhash_dedup_pairs(
     if output == "clusters":
         from .graph import connected_components
 
-        return connected_components(out.select("id_a", "id_b"))
+        # pin the verified edges: connected_components executes its
+        # input more than once (bounded-size probe, then collect or
+        # the multi-round min-label loop) and the exact-verify join
+        # above is the dominant cost in exactly the quadratic regime
+        # this option exists for — unpinned it would re-run per action
+        return connected_components(
+            _pin(out.select("id_a", "id_b"), persist)
+        )
     return out
 
 
@@ -1126,14 +1148,15 @@ def simhash_near_dup_pairs(
         raise ValueError(
             f"guard must be 'warn', 'raise' or 'off', got {guard!r}"
         )
+    if stops is not None and (max_df is not None or max_df_frac is not None):
+        # exclusivity BEFORE the eager frac count — see minhash
+        raise ValueError(
+            "pass a precomputed stops= list OR max_df/max_df_frac, "
+            "not both"
+        )
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
     st = None
     if stops is not None:
-        if max_df is not None:
-            raise ValueError(
-                "pass a precomputed stops= list OR max_df/max_df_frac, "
-                "not both"
-            )
         stops = stops.select("shingle")  # caller-supplied, never cached
     elif max_df is not None:
         # one pinned shingle table for both the df pass and the
@@ -1145,9 +1168,11 @@ def simhash_near_dup_pairs(
             persist,
         )
     elif guard != "off":
-        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
-        _bg_jaccard_guard(df, text_col, st, guard, guard_threshold,
-                          caller="simhash_near_dup_pairs")
+        # un-pinned streaming pass — footprint rationale on minhash
+        _bg_jaccard_guard(
+            df, text_col, _shingle_table(df, text_col, id_col, shingle_k),
+            guard, guard_threshold, caller="simhash_near_dup_pairs",
+        )
     sig = simhash64(df, text_col, id_col, shingle_k, hash_family,
                     stops=stops, table=st)
     out = hamming_near_dup_pairs(
@@ -1156,7 +1181,10 @@ def simhash_near_dup_pairs(
     if output == "clusters":
         from .graph import connected_components
 
-        return connected_components(out.select("id_a", "id_b"))
+        # pinned for the same multi-action reason as minhash's branch
+        return connected_components(
+            _pin(out.select("id_a", "id_b"), persist)
+        )
     return out
 
 

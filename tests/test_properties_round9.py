@@ -146,6 +146,21 @@ def test_max_df_frac_resolution_and_equivalence(spark):
         with_null, "text", "doc_id", shingle_k=7, max_df_frac=0.27
     ).collect()))
     assert sl_abs == sl_frac and len(sl_abs) > 0
+    # both knobs raise here too (same contract as the entry points —
+    # silently preferring one would return a different stop list than
+    # the caller asked for), and no-knobs keeps the historical cap 100
+    with pytest.raises(ValueError, match="not both"):
+        dedup.shingle_stop_list(
+            docs, "text", "doc_id", shingle_k=7, max_df=50,
+            max_df_frac=0.1,
+        )
+    default_cap = dedup.shingle_stop_list(docs, "text", "doc_id",
+                                          shingle_k=7)
+    explicit_100 = dedup.shingle_stop_list(docs, "text", "doc_id",
+                                           shingle_k=7, max_df=100)
+    assert sorted(map(tuple, default_cap.collect())) == sorted(
+        map(tuple, explicit_100.collect())
+    )
 
 
 # ---------------------------------------------------------------- #
