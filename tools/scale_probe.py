@@ -543,6 +543,15 @@ def main() -> None:
             d, "text", "doc_id", max_hamming=3,
             max_df=max(50, d.count() // 100),
         ).count(),
+        # same configuration as minhash_stop but with the bounded
+        # cluster output: on this corpus the true pair population is
+        # near-quadratic (294k rows at 30x), while the (node,
+        # component) labeling is O(n) — the row count printed next to
+        # the timing IS the claim being probed.
+        "minhash_stop_clusters": lambda d, v: dedup.minhash_dedup_pairs(
+            d, "text", "doc_id", threshold=0.8, shingle_k=7,
+            max_df=max(50, d.count() // 100), output="clusters",
+        ).count(),
     }
 
     if only:
