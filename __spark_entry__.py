@@ -4375,7 +4375,10 @@ def q_array_funcs(spark, sf_dir):
     slice, min/max, left-fold sum (aggregate ≙ list_reduce), transform,
     filter, zip_with self-reversed dot product, argmax position — all
     JVM-side expressions, zero shuffle, and fold order fixed
-    left-to-right so doubles match the oracle bit-for-bit."""
+    left-to-right so doubles match the oracle bit-for-bit. Every
+    output column is SCALAR (the slice is folded to head4_sum) so the
+    query is driver-window-eligible — the driver's pandas
+    canonicalizer cannot hash array cells."""
     emb = _t(spark, sf_dir, "embeddings")
     a = F.col("embedding").cast("array<double>")
     fold_sum = lambda arr: F.aggregate(  # noqa: E731
@@ -4384,7 +4387,7 @@ def q_array_funcs(spark, sf_dir):
     return emb.select(
         "vec_id",
         F.size(a).alias("n"),
-        F.slice(a, 1, 4).alias("head4"),
+        fold_sum(F.slice(a, 1, 4)).alias("head4_sum"),
         F.array_max(a).alias("mx"),
         F.array_min(a).alias("mn"),
         fold_sum(a).alias("folded"),
@@ -5478,9 +5481,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_per_day": q_hll_per_day,
         # == position DRIVER_WINDOW (50) ends here — everything below ==
         # == is certified locally but outside the driver's window ======
-        # ROUND-10 ROTATION CANDIDATES: the next ~30 of the remaining
-        # never-windowed certified queries (union of CORRECTNESS_r0*
-        # keys vs this registry) — every family already has a windowed
+        # ROUND-10 ROTATION CANDIDATES (90 certified queries have
+        # never been driver-windowed after r9 — union of
+        # CORRECTNESS_r0* keys vs this registry). Suggested next 30:
+        # q_minhash_clusters (r9 addition), the remaining TPC-H rows
+        # (q4 q7 q8 q13 q15 q17 q19 + the _shape variants), the
+        # function/window batteries (q_window_battery q_agg_filter
+        # q_string_agg q_scalar_subquery_select q_conditional_funcs
+        # q_posexplode_sequence q_try_arith q_bitwise q_range_frame
+        # q_event_gaps), and a sketch/similarity slice (q_hll_rollup
+        # q_cms_sketch q_vector_mean q_cosine_topk_batch
+        # q_heavy_hitters q_grouped_quantiles q_array_funcs — its
+        # array column was folded to a scalar in r9, so it is now
+        # window-eligible). Every family already has a windowed
         # representative, so any subset keeps representation.
         # -- rotated out after driver certification (r8 window) --------
         # -- r8 additions, driver-certified r8 -------------------------
@@ -9228,7 +9241,8 @@ def oracle_sql() -> dict[str, str]:
         "q_array_funcs": """
             SELECT vec_id,
                    len(e) AS n,
-                   list_slice(e, 1, 4) AS head4,
+                   list_reduce(list_slice(e, 1, 4),
+                               (a, b) -> a + b) AS head4_sum,
                    list_max(e) AS mx,
                    list_min(e) AS mn,
                    list_reduce(e, (a, b) -> a + b) AS folded,
