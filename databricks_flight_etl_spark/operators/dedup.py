@@ -1245,10 +1245,18 @@ def hamming_near_dup_pairs(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (inverted-index join, no LSH approximation)
 
+# sentinel: ngram_jaccard_pairs' max_df=None means "no cap, exact" (a
+# meaningful setting), so "not passed" needs its own marker for the
+# max_df_frac exclusivity check
+_NGRAM_MAX_DF_UNSET = object()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    threshold: float = 0.5, shingle_k: int = 5, max_df: int | None = 1000,
+    threshold: float = 0.5, shingle_k: int = 5,
+    max_df: int | None = _NGRAM_MAX_DF_UNSET,  # type: ignore[assignment]
     persist: bool = True,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via the inverted
     index: join docs sharing a shingle, count shared, divide by union.
@@ -1257,6 +1265,11 @@ def ngram_jaccard_pairs(
     before the self-join — without it one ubiquitous shingle creates a
     quadratic candidate blowup at scale. Dropping them can only lower
     measured similarity for pathological texts; set None for exactness.
+    Defaults to 1000 when neither knob is passed. ``max_df_frac`` is
+    the corpus-relative form ``ceil(frac · n_docs)`` (see
+    :func:`resolve_max_df`) — mutually exclusive with an explicit
+    ``max_df`` (including an explicit None), same contract as the LSH
+    entry points.
 
     The self-join keys on xxhash64(shingle), not the shingle string:
     the shuffled key is a fixed 8 bytes instead of a variable-width
@@ -1264,6 +1277,12 @@ def ngram_jaccard_pairs(
     ~n²·2⁻⁶⁴ chance per doc-pair of one colliding shingle inflating
     the intersection count by 1.
     """
+    if max_df_frac is not None:
+        if max_df is not _NGRAM_MAX_DF_UNSET:
+            raise ValueError("pass max_df or max_df_frac, not both")
+        max_df = resolve_max_df(df, text_col, None, max_df_frac)
+    elif max_df is _NGRAM_MAX_DF_UNSET:
+        max_df = 1000  # historical default cap
     sh = _shingle_table(df, text_col, id_col, shingle_k).select(
         "__id", F.xxhash64("__sh").alias("__sh")
     )

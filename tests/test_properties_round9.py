@@ -161,6 +161,21 @@ def test_max_df_frac_resolution_and_equivalence(spark):
     assert sorted(map(tuple, default_cap.collect())) == sorted(
         map(tuple, explicit_100.collect())
     )
+    # ngram face: frac form equals the resolved absolute cap, both
+    # knobs raise (incl. an explicit max_df=None, which means 'exact'
+    # there and so still conflicts with a fraction)
+    ng_abs = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1, shingle_k=7, max_df=12
+    ).collect()))
+    ng_frac = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1, shingle_k=7,
+        max_df_frac=0.3,  # ceil(0.3 * 40) = 12
+    ).collect()))
+    assert ng_abs == ng_frac
+    with pytest.raises(ValueError, match="not both"):
+        dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", max_df=None, max_df_frac=0.3
+        )
 
 
 # ---------------------------------------------------------------- #
