@@ -354,3 +354,33 @@ def test_empty_inputs_round8_ops(spark):
     assert dedup.minhash_dedup_pairs(
         same, "text", "doc_id", max_df=1
     ).count() == 0
+
+
+def test_empty_inputs_round9_ops(spark):
+    """Round-9 additions on an empty corpus: the clusters output, the
+    corpus-relative fraction cap (resolves to 1 on 0 docs — max(1,
+    ceil(0))), the degenerate-corpus guard skip, and the profile's
+    explicit-NULL ratio columns must all return empty/NULL, never
+    raise."""
+    import warnings
+
+    from databricks_flight_etl_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with warnings.catch_warnings():
+        # guard runs on the unmitigated calls below; it must SKIP (not
+        # warn, not raise) on a corpus with nothing to predict
+        warnings.simplefilter("error", RuntimeWarning)
+        assert dedup.minhash_dedup_pairs(
+            empty, "text", "doc_id", output="clusters"
+        ).count() == 0
+        assert dedup.simhash_near_dup_pairs(
+            empty, "text", "doc_id", output="clusters"
+        ).count() == 0
+        assert dedup.minhash_dedup_pairs(
+            empty, "text", "doc_id", max_df_frac=0.1
+        ).count() == 0
+    assert dedup.resolve_max_df(empty, "text", max_df_frac=0.5) == 1
+    row = dedup.shingle_df_profile(empty, "text", "doc_id").collect()[0]
+    assert row["n_docs"] == 0
+    assert row["bg_jaccard_est"] is None and row["top_share"] is None
