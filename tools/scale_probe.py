@@ -448,6 +448,40 @@ def _textprep_full(docs):
     return rep.chunks.count()
 
 
+def _textprep_raw_stop(docs):
+    """The composed release funnel on the RAW low-entropy lorem corpus
+    — the adversarial regime where the unmitigated near-dup stage went
+    quadratic — with the round-9 corpus-relative knob
+    (near_dup_max_df_frac=0.01, the same cap the minhash_stop probe
+    resolves absolutely). Probes the pipeline's threading of the stop
+    list at the scale that originally ENOSPC'd, not just the bare
+    operator."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+
+    with_url = docs.select(
+        "doc_id", "text",
+        F.when(
+            F.col("doc_id") % 47 != 0,
+            F.concat(
+                F.lit("https://host"),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("not a url")).alias("url"),
+    )
+    rep = run_textprep_pipeline(
+        with_url, min_tokens=5, max_stopword_ratio=1.0,
+        langs=("en", "es", "de", "fr"),  # lorem is no language — keep all
+        near_dup_threshold=0.8, chunk_tokens=64, overlap=16,
+        url_col="url", max_per_domain=40,
+        near_dup_max_df_frac=0.01,
+    )
+    return rep.chunks.count()
+
+
 def _relined(docs, wpl=8):
     """Re-line the single-line synthetic docs at ``wpl`` words/line so
     the line-level operators see realistic multi-line input."""
@@ -522,6 +556,7 @@ def main() -> None:
         "centroid_outlier": lambda d, v: _centroid(v),
         "vocab_curve": lambda d, v: _vocab_curve(d),
         "textprep_full": lambda d, v: _textprep_full(d),
+        "textprep_raw_stop": lambda d, v: _textprep_raw_stop(d),
         # minhash on the RAW low-entropy lorem corpus WITH the stop-
         # shingle mitigation — the exact configuration that ENOSPC'd
         # unmitigated (2e8 candidates / 50+ GB verify shuffle at 30x).
