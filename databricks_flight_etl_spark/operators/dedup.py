@@ -1025,14 +1025,11 @@ def minhash_dedup_pairs(
     if output == "clusters":
         from .graph import connected_components
 
-        # pin the verified edges: connected_components executes its
-        # input more than once (bounded-size probe, then collect or
-        # the multi-round min-label loop) and the exact-verify join
-        # above is the dominant cost in exactly the quadratic regime
-        # this option exists for — unpinned it would re-run per action
-        return connected_components(
-            _pin(out.select("id_a", "id_b"), persist)
-        )
+        # connected_components materializes the projected edge list
+        # once on entry (localCheckpoint), so the expensive verify
+        # join above runs exactly once no matter how many actions the
+        # contraction issues — no extra pin needed here
+        return connected_components(out.select("id_a", "id_b"))
     return out
 
 
@@ -1181,10 +1178,9 @@ def simhash_near_dup_pairs(
     if output == "clusters":
         from .graph import connected_components
 
-        # pinned for the same multi-action reason as minhash's branch
-        return connected_components(
-            _pin(out.select("id_a", "id_b"), persist)
-        )
+        # edge materialization happens inside connected_components —
+        # see minhash_dedup_pairs' clusters branch
+        return connected_components(out.select("id_a", "id_b"))
     return out
 
 

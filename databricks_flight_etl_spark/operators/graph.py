@@ -64,9 +64,22 @@ def connected_components(
     ``driver_max_edges=0`` to force the distributed loop (the tests'
     convergence/round-count assertions do).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the PROJECTED edge list once on entry: this function
+    # consumes its input with at least two actions (the size probe,
+    # then the union-find collect or the doubled-distinct build), and
+    # the caller's edge plan is typically the EXPENSIVE tail of a
+    # dedup pipeline (the exact-Jaccard verify join) — unmaterialized,
+    # that tail re-executed per action (~2x the dominant stage;
+    # round-9 review finding, fixed at the root so every caller —
+    # dedup_survivors, the funnel, output='clusters' — benefits). The
+    # checkpoint stores (a, b) pairs only, a fraction of what the
+    # distributed path's doubled-distinct checkpoint below already
+    # stores.
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     if driver_max_edges:
-        sample = edges.limit(driver_max_edges + 1).count()
+        sample = e.limit(driver_max_edges + 1).count()
         if sample <= driver_max_edges:
             return _cc_driver_union_find(e)
     e = (
@@ -223,7 +236,11 @@ def connected_components_star(
     Converged when the edge multiset is fixed: every node then points
     at its component root. Deterministic at every step (min over sets).
     """
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # entry materialization: raw is consumed twice (nodes + canonical
+    # edges) — same root fix as connected_components
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     nodes = (
         raw.select(F.col("a").alias("node"))
         .unionByName(raw.select(F.col("b").alias("node")))
