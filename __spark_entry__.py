@@ -1058,6 +1058,41 @@ def q_minhash_clusters(spark, sf_dir):
     )
 
 
+def q_minhash_stops_supplied(spark, sf_dir):
+    """X1 precomputed stop-list path (stops=, round-10): the
+    100 TB-recommended mitigation mode — run shingle_stop_list ONCE
+    over the corpus, persist its (tiny) output, and hand it to the
+    LSH entry point via ``stops=``, which skips both the entropy
+    guard and the corpus-scale shingle-table cache
+    (dedup.py footprint note). With the stop list computed at the
+    same max_df=30 on the same corpus, the exclusion — and therefore
+    every downstream stage — is definitionally identical to
+    q_minhash_stopshingle's inline max_df path, so the DuckDB oracle
+    is that query's SQL verbatim: a divergence can only come from the
+    stops= plumbing under test (the anti-join application, the
+    no-cache pre-pass, the guard bypass)."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        shingle_stop_list,
+    )
+
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    stops = shingle_stop_list(b, "text", "doc_id",
+                              shingle_k=7, max_df=30)
+    return minhash_dedup_pairs(
+        b, "text", "doc_id", threshold=0.8, shingle_k=7,
+        hash_family="md5", stops=stops,
+    )
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental near-dup probe vs a persisted LSH index: the
     accepted corpus is banded ONCE (minhash_bands — the persistable
@@ -5435,14 +5470,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- ROUND-9 WINDOW (r8 verdict task #1): positions 21-50 rotate
-        # -- to never-driver-windowed certified queries. All four
-        # -- stop-shingle queries (the round-8/9 LSH-entropy finding,
-        # -- incl. the new corpus-relative max_df_frac replay) lead;
-        # -- the rest drains the never-windowed tail: TPC-H shapes,
-        # -- join strategies, exact quantiles/stats, scalar function
-        # -- batteries, rollups. The r8 window members are
+        # -- ROUND-10 WINDOW (r9 verdict task #1): positions 21-50
+        # -- rotate to the next 30 never-driver-windowed certified
+        # -- queries per the r9 curated list: q_minhash_clusters first
+        # -- (the r9 centerpiece, local-certified only until now), the
+        # -- new stops= precomputed-path twin (r9 task #3), the TPC-H
+        # -- remainder, the function/window batteries, and the
+        # -- sketch/similarity slice. Four TPC-H shape variants
+        # -- (q16/q20/q21/q22_shape) defer to round 11 to make room
+        # -- for q_minhash_stops_supplied. The r9 window members are
         # -- driver-certified and move below the marker. --------------
+        # -- X1 dedup: bounded clusters + precomputed stop list --------
+        "q_minhash_clusters": q_minhash_clusters,
+        "q_minhash_stops_supplied": q_minhash_stops_supplied,
+        # -- X5 TPC-H remainder ----------------------------------------
+        "q_tpch_q4": q_tpch_q4,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q2_shape": q_tpch_q2_shape,
+        "q_tpch_q9_shape": q_tpch_q9_shape,
+        "q_tpch_q11_shape": q_tpch_q11_shape,
+        "q_tpch_q12_shape": q_tpch_q12_shape,
+        # -- function / window batteries -------------------------------
+        "q_window_battery": q_window_battery,
+        "q_agg_filter": q_agg_filter,
+        "q_string_agg": q_string_agg,
+        "q_scalar_subquery_select": q_scalar_subquery_select,
+        "q_conditional_funcs": q_conditional_funcs,
+        "q_posexplode_sequence": q_posexplode_sequence,
+        "q_try_arith": q_try_arith,
+        "q_bitwise": q_bitwise,
+        "q_range_frame": q_range_frame,
+        "q_event_gaps": q_event_gaps,
+        # -- sketch / similarity slice ---------------------------------
+        "q_hll_rollup": q_hll_rollup,
+        "q_cms_sketch": q_cms_sketch,
+        "q_vector_mean": q_vector_mean,
+        "q_cosine_topk_batch": q_cosine_topk_batch,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_array_funcs": q_array_funcs,
+        # == position DRIVER_WINDOW (50) ends here — everything below ==
+        # == is certified locally but outside the driver's window ======
+        # ROUND-11 ROTATION CANDIDATES (~61 certified queries remain
+        # never-driver-windowed after the r10 rotation — union of
+        # CORRECTNESS_r0* keys vs this registry; the count is 61 not
+        # 60 because one r10 slot went to the NEW q_minhash_stops_
+        # supplied rather than the backlog). Suggested next 30: the
+        # four deferred TPC-H shapes (q_tpch_q16_shape q_tpch_q20_shape
+        # q_tpch_q21_shape q_tpch_q22_shape), the drift/stats battery
+        # (q_ab_welch q_chi_square q_spearman q_benford q_trimmed_mean
+        # q_winsorized_mean q_linear_trend q_concentration q_null_drift
+        # q_fd_violations), sampling/privacy (q_sample_n
+        # q_weighted_sample q_stratified_sample q_l_diversity
+        # q_epoch_shuffle), IO/DDL surface (q_orc_roundtrip
+        # q_xml_roundtrip q_partitioned_scan q_schema_evolution
+        # q_sql_ddl q_zorder), and joins/graph (q_containment_join
+        # q_set_similarity_join q_join_probe q_asof_join_cogroup
+        # q_pagerank q_triangle_counts q_outliers_iqr q_fill_forward
+        # q_table_checksum). Streaming twins (q_streaming_minhash
+        # q_streaming_hll q_streaming_interval_join
+        # q_streaming_quantile_sketch) stay last — the driver
+        # canonicalizer handles them but they are the least
+        # informative. Every family already has a windowed
+        # representative, so any subset keeps representation.
+        # -- rotated out after driver certification (r9 window) --------
         # -- X1 stop-shingle suite (round-8 scale finding) -------------
         "q_minhash_stopshingle": q_minhash_stopshingle,
         "q_simhash_stopshingle": q_simhash_stopshingle,
@@ -5479,22 +5575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- temporal rollups / sketch-per-day -------------------------
         "q_time_bucket_rollup": q_time_bucket_rollup,
         "q_hll_per_day": q_hll_per_day,
-        # == position DRIVER_WINDOW (50) ends here — everything below ==
-        # == is certified locally but outside the driver's window ======
-        # ROUND-10 ROTATION CANDIDATES (90 certified queries have
-        # never been driver-windowed after r9 — union of
-        # CORRECTNESS_r0* keys vs this registry). Suggested next 30:
-        # q_minhash_clusters (r9 addition), the remaining TPC-H rows
-        # (q4 q7 q8 q13 q15 q17 q19 + the _shape variants), the
-        # function/window batteries (q_window_battery q_agg_filter
-        # q_string_agg q_scalar_subquery_select q_conditional_funcs
-        # q_posexplode_sequence q_try_arith q_bitwise q_range_frame
-        # q_event_gaps), and a sketch/similarity slice (q_hll_rollup
-        # q_cms_sketch q_vector_mean q_cosine_topk_batch
-        # q_heavy_hitters q_grouped_quantiles q_array_funcs — its
-        # array column was folded to a scalar in r9, so it is now
-        # window-eligible). Every family already has a windowed
-        # representative, so any subset keeps representation.
         # -- rotated out after driver certification (r8 window) --------
         # -- r8 additions, driver-certified r8 -------------------------
         "q_vocab_curve_full": q_vocab_curve_full,
@@ -5537,15 +5617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_cohort_retention": q_cohort_retention,
         "q_sequence_gaps": q_sequence_gaps,
-        # ===== position 50 ends here — everything below is certified ==
-        # ===== locally but outside the driver's guaranteed window =====
-        # ROUND-9 ROTATION CANDIDATES (round-8 additions, locally
-        # certified): q_minhash_stopshingle, q_simhash_stopshingle,
-        # q_shingle_profile;
-        # plus the next ~30 of the
-        # ~115 never-windowed certified queries (see CORRECTNESS_r0*
-        # union) — the r8 window already covers every family, so any
-        # subset keeps representation.
         # -- rotated out after driver certification (r7 window) ---------
         "q_ks_drift": q_ks_drift,
         "q_ks_drift_grouped": q_ks_drift_grouped,
@@ -5563,9 +5634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_clusters": q_dedup_clusters,
-        # round-9 addition, locally certified — ROUND-10 ROTATION
-        # CANDIDATE alongside the next never-windowed tranche
-        "q_minhash_clusters": q_minhash_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
         "q_cosine_topk": q_cosine_topk,
@@ -5619,7 +5687,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "q_dedup_clusters_star": q_dedup_clusters_star,
         "q_span_dedup": q_span_dedup,
-        "q_cms_sketch": q_cms_sketch,
         "q_hll_registers": q_hll_registers,
         "q_bloom_bitmap": q_bloom_bitmap,
         "q_outliers_iqr": q_outliers_iqr,
@@ -5652,19 +5719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_zorder": q_zorder,
         "q_pagerank": q_pagerank,
-        "q_window_battery": q_window_battery,
-        "q_hll_rollup": q_hll_rollup,
         "q_diff_tables": q_diff_tables,
         "q_hist_equidepth": q_hist_equidepth,
         "q_table_checksum": q_table_checksum,
-        "q_vector_mean": q_vector_mean,
         "q_centroid_outliers": q_centroid_outliers,
         "q_jl_project": q_jl_project,
         "q_sample_n": q_sample_n,
         "q_winsorize": q_winsorize,
         "q_streaming_hll": q_streaming_hll,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_grouped_quantiles": q_grouped_quantiles,
         "q_quantile_sketch_exact": q_quantile_sketch_exact,
         "q_quantile_sketch": q_quantile_sketch,
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
@@ -5684,34 +5746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_grouping_sets": q_grouping_sets,
         "q_stratified_sample": q_stratified_sample,
-        "q_range_frame": q_range_frame,
-        "q_cosine_topk_batch": q_cosine_topk_batch,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
-        "q_tpch_q4": q_tpch_q4,
-        "q_tpch_q17": q_tpch_q17,
-        "q_tpch_q19": q_tpch_q19,
         "q_tpch_q21_shape": q_tpch_q21_shape,
-        "q_tpch_q7": q_tpch_q7,
-        "q_tpch_q12_shape": q_tpch_q12_shape,
-        "q_tpch_q13": q_tpch_q13,
-        "q_tpch_q15": q_tpch_q15,
         "q_tpch_q22_shape": q_tpch_q22_shape,
-        "q_tpch_q2_shape": q_tpch_q2_shape,
-        "q_tpch_q11_shape": q_tpch_q11_shape,
         "q_tpch_q16_shape": q_tpch_q16_shape,
         "q_tpch_q20_shape": q_tpch_q20_shape,
-        "q_agg_filter": q_agg_filter,
-        "q_scalar_subquery_select": q_scalar_subquery_select,
-        "q_string_agg": q_string_agg,
-        "q_event_gaps": q_event_gaps,
         "q_udtf_sentences": q_udtf_sentences,
-        "q_array_funcs": q_array_funcs,
-        "q_tpch_q8": q_tpch_q8,
-        "q_tpch_q9_shape": q_tpch_q9_shape,
-        "q_posexplode_sequence": q_posexplode_sequence,
-        "q_conditional_funcs": q_conditional_funcs,
-        "q_try_arith": q_try_arith,
-        "q_bitwise": q_bitwise,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_approx_distinct": q_approx_distinct,
         "q_minhash_pairs": q_minhash_pairs,
@@ -10787,6 +10827,13 @@ def oracle_sql() -> dict[str, str]:
         FROM reach
         GROUP BY node
     """
+    # stops= precomputed path (round-10): shingle_stop_list(max_df=30)
+    # on the SAME corpus yields exactly the df>30 shingles, so the
+    # exclusion — and every downstream stage — is definitionally the
+    # sibling's; the oracle is its SQL verbatim. What a divergence
+    # would certify: the stops= anti-join plumbing, the no-cache
+    # pre-pass, and the guard bypass on the Spark side.
+    d["q_minhash_stops_supplied"] = d["q_minhash_stopshingle"]
     # SimHash replay (same structure as q_simhash_certified) with the
     # boilerplate-prepended corpus and the max_df=30 stop-shingle
     # filter applied before the per-bit majorities.
