@@ -587,6 +587,15 @@ def main() -> None:
             d, "text", "doc_id", threshold=0.8, shingle_k=7,
             max_df=max(50, d.count() // 100), output="clusters",
         ).count(),
+        # SimHash face of the bounded cluster output (round-9 verdict
+        # task #2): the pigeonhole chunk buckets have the same Θ(n²)
+        # verify shape as banded MinHash (see simhash_stop above), so
+        # the O(n) output claim must be probed on this entry point
+        # too — the row count printed next to the timing IS the claim.
+        "simhash_stop_clusters": lambda d, v: dedup.simhash_near_dup_pairs(
+            d, "text", "doc_id", max_hamming=3,
+            max_df=max(50, d.count() // 100), output="clusters",
+        ).count(),
     }
 
     if only:
