@@ -1085,8 +1085,12 @@ def q_minhash_stops_supplied(spark, sf_dir):
             F.col("text"),
         ).alias("text"),
     )
+    # persisted, as the docstring's recommended mode says: the stop
+    # list is referenced by both the signature stage and the verify
+    # stage downstream — unpersisted, its full-corpus shingle
+    # aggregation would re-execute per consumer
     stops = shingle_stop_list(b, "text", "doc_id",
-                              shingle_k=7, max_df=30)
+                              shingle_k=7, max_df=30).persist()
     return minhash_dedup_pairs(
         b, "text", "doc_id", threshold=0.8, shingle_k=7,
         hash_family="md5", stops=stops,

@@ -166,7 +166,7 @@ def main() -> None:
     # (see the memory note above), so regression hunting should use
     # `SPARK_GRAFT_BENCH_REPS=3 python bench.py`. Default stays 1: the
     # per-round driver slot is single-run sized.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    reps = _env_reps("SPARK_GRAFT_BENCH_REPS", 1)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -339,9 +339,13 @@ def main() -> None:
         sum(v["median"] for v in parity_core.values()
             if v["median"] is not None), 3
     )
+    n_contributing = sum(
+        1 for v in parity_core.values() if v["median"] is not None
+    )
     print(
-        f"# parity core ({len(parity_core)} queries): re-timed median "
-        f"total {parity_core_median_sec}s",
+        f"# parity core ({n_contributing} of {len(parity_core)} "
+        f"re-timed queries contributing): median total "
+        f"{parity_core_median_sec}s",
         file=sys.stderr,
     )
 
