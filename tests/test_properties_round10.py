@@ -154,6 +154,39 @@ def test_stops_supplied_equals_inline_max_df(spark):
 
 
 # ---------------------------------------------------------------- #
+# round-10 finding — catalog guard must not probe location-less     #
+# relations (session-aging root cause)                              #
+# ---------------------------------------------------------------- #
+
+def test_location_in_use_skips_temp_views(spark, tmp_path, monkeypatch):
+    """_location_in_use (write_bucketed's orphan-cleanup guard) must
+    DESCRIBE only MANAGED/EXTERNAL tables: views and temp views can
+    never resolve to a storage location, and probing them made the
+    guard degrade with session age (2.6s fresh → 13.2s after 257
+    harness queries on the round-10 bench — one failing DESCRIBE +
+    py4j exception per accumulated temp view, per call)."""
+    from databricks_flight_etl_spark import sources
+
+    spark.range(3).createOrReplaceTempView("tv_guard_probe")
+    try:
+        described = []
+        orig_sql = spark.sql
+
+        def counting_sql(q, *a, **k):
+            if q.lstrip().upper().startswith("DESCRIBE"):
+                described.append(q)
+            return orig_sql(q, *a, **k)
+
+        monkeypatch.setattr(spark, "sql", counting_sql)
+        assert sources._location_in_use(
+            spark, str(tmp_path / "nowhere")
+        ) is False
+        assert not any("tv_guard_probe" in q for q in described)
+    finally:
+        spark.catalog.dropTempView("tv_guard_probe")
+
+
+# ---------------------------------------------------------------- #
 # r9 ADVICE — bench rep-count knob honors explicit values           #
 # ---------------------------------------------------------------- #
 
