@@ -482,6 +482,26 @@ def _textprep_raw_stop(docs):
     return rep.chunks.count()
 
 
+def _minhash_stops_supplied(docs):
+    """The stops= precomputed-path probe body: one stop-list pass
+    (persisted — two downstream consumers), then the guard-free,
+    no-cache LSH run. unpersist in a finally so repeated probe
+    factors don't accumulate executor storage."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    cap = max(50, docs.count() // 100)
+    stops = dedup.shingle_stop_list(
+        docs, "text", "doc_id", shingle_k=7, max_df=cap
+    ).persist()
+    try:
+        return dedup.minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.8, shingle_k=7,
+            stops=stops,
+        ).count()
+    finally:
+        stops.unpersist()
+
+
 def _relined(docs, wpl=8):
     """Re-line the single-line synthetic docs at ``wpl`` words/line so
     the line-level operators see realistic multi-line input."""
@@ -596,6 +616,14 @@ def main() -> None:
             d, "text", "doc_id", max_hamming=3,
             max_df=max(50, d.count() // 100), output="clusters",
         ).count(),
+        # the documented 100 TB mitigation mode (round-10): compute
+        # shingle_stop_list ONCE, persist its tiny output, hand it to
+        # the entry point via stops= — which skips the guard AND the
+        # corpus-scale shingle-table cache. Same exclusion as
+        # minhash_stop by construction, so the comparison isolates
+        # the cost/benefit of the precomputed path at the scale that
+        # motivated it.
+        "minhash_stops_supplied": lambda d, v: _minhash_stops_supplied(d),
     }
 
     if only:
