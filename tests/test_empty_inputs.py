@@ -384,3 +384,31 @@ def test_empty_inputs_round9_ops(spark):
     row = dedup.shingle_df_profile(empty, "text", "doc_id").collect()[0]
     assert row["n_docs"] == 0
     assert row["bg_jaccard_est"] is None and row["top_share"] is None
+
+
+def test_empty_inputs_stops_supplied(spark):
+    """Round-10 stops= path on an empty corpus: an empty precomputed
+    stop list (shingle_stop_list of nothing) fed to both LSH entry
+    points must yield empty results — pairs and clusters faces — and
+    the empty-stops anti-join must also be harmless on a NON-empty
+    corpus (it excludes nothing)."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    stops = dedup.shingle_stop_list(empty, "text", "doc_id", max_df=1)
+    assert stops.count() == 0
+    assert dedup.minhash_dedup_pairs(
+        empty, "text", "doc_id", stops=stops
+    ).count() == 0
+    assert dedup.simhash_near_dup_pairs(
+        empty, "text", "doc_id", stops=stops, output="clusters"
+    ).count() == 0
+
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        two, "text", "doc_id", threshold=0.8, stops=stops
+    )
+    assert pairs.count() == 1  # exact clones survive an empty exclusion
