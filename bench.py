@@ -246,6 +246,12 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
+        # a rep that broke on an exception skipped its clearCache —
+        # drop any intermediates it pinned before the next query
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         if runs:
             med = sorted(runs)[len(runs) // 2]
             adjudication[name] = {
@@ -325,6 +331,10 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
+        try:
+            spark.catalog.clearCache()  # cover the exception-break path
+        except Exception:
+            pass
         if runs or rep_error:
             entry = {
                 "recorded": timings[name],
@@ -398,6 +408,10 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
+        try:
+            spark.catalog.clearCache()  # cover the exception-break path
+        except Exception:
+            pass
         if runs:
             slow_tail[name] = {
                 "recorded": timings[name],

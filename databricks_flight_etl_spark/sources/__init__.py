@@ -280,17 +280,22 @@ def _location_in_use(spark, loc: str) -> bool:
     target = _os.path.abspath(loc)
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
-            # Only MANAGED/EXTERNAL tables can resolve to a storage
-            # location; views NEVER can, and temp views additionally
-            # fail DESCRIBE FORMATTED with a py4j exception + a full
-            # analyzer error log each. A long-lived session
-            # accumulates temp views from unrelated work, so probing
-            # them made this guard degrade with session age (measured
-            # on the round-10 bench: the same bucketed write took
-            # 2.6s on a fresh session, 5.2s after 80 harness queries,
-            # 13.2s after 257 — all catalog chatter, not data).
+            # DENYLIST, deliberately: skip only relations that
+            # provably cannot hold a storage location — temp views
+            # and (non-materialized) views. Temp views are the ones
+            # that accumulate over a session AND fail DESCRIBE
+            # FORMATTED with a py4j exception + a full analyzer error
+            # log each, which made this guard degrade with session
+            # age (round-10 bench: the same bucketed write took 2.6s
+            # fresh, 5.2s after 80 harness queries, 13.2s after 257 —
+            # all catalog chatter). Every OTHER type — including
+            # None/unknown and location-bearing catalog extensions —
+            # falls through to the tolerant DESCRIBE probe: this
+            # guard fronts a recursive delete, so an unrecognized
+            # type must fail SAFE (probed), never fail open
+            # (skipped → data loss).
             if t.isTemporary or (
-                (t.tableType or "").upper() not in ("MANAGED", "EXTERNAL")
+                (t.tableType or "").upper() in ("VIEW", "TEMPORARY")
             ):
                 continue
             try:
