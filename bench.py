@@ -2,9 +2,19 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line:
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
+    {"metric": "...", "value_adjudicated": <median_based_total_sec>,
+     "parity_core_median_sec": <3-rep median of the 14 parity queries>,
+     "value": <raw single-run total>, "unit": "sec",
      "queries": {<headline parity queries only>}, "sf": <sf>,
      "n_queries": N, "n_errors": N}
+
+PRIMARY METRIC: `value_adjudicated` (and `parity_core_median_sec` for
+the BASELINE.md comparison). The raw single-run `value` swung +29% on
+host contention in round 10 while per-query 3-rep medians held or
+improved — a single recorded run is the least informative number here.
+`value_adjudicated` substitutes each noise-adjudicated query's re-timed
+median for its inflated recording and subtracts the measured
+data-independent streaming floor. Full protocol: BASELINE.md.
 
 The consumer of this line keeps only the LAST 2000 characters of
 stdout, so the final line must stay comfortably under that — a full
@@ -370,6 +380,12 @@ def main() -> None:
     # already re-timed this run reuse that median instead of paying a
     # third timing pass.
     slow_tail: dict[str, dict] = {}
+    # NOTE (round-10 advice): SPARK_GRAFT_BENCH_SLOW_REPS applies ONLY
+    # to slow-tail queries not already re-timed this run — a query
+    # covered by noise adjudication or parity-core re-timing reuses
+    # that median (measured with ADJ_REPS/PARITY_REPS respectively),
+    # and each reused entry records `reps_used` + `source` so the
+    # provenance is visible in BENCH_DETAIL.json.
     slow_reps = _env_reps("SPARK_GRAFT_BENCH_SLOW_REPS", 3)
     slowest = sorted(
         (n for n in timings
@@ -382,6 +398,7 @@ def main() -> None:
                 "recorded": timings[name],
                 "median": adjudication[name]["retimed_median"],
                 "source": "noise_adjudication",
+                "reps_used": adjudication[name]["reps"],
             }
             continue
         if parity_core.get(name, {}).get("median") is not None:
@@ -389,6 +406,7 @@ def main() -> None:
                 "recorded": timings[name],
                 "median": parity_core[name]["median"],
                 "source": "parity_core",
+                "reps_used": len(parity_core[name]["reps"]),
             }
             continue
         fn = entrymod.queries()[name]
@@ -467,10 +485,17 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
 
+    # The adjudicated (median-substituted) total LEADS the line
+    # (round-10 verdict task #2): the raw single-run `value` swung +29%
+    # on host noise in round 10 while the code got faster — the
+    # median-based figures are the primary metric, `value` is kept as
+    # the secondary raw recording. Protocol documented in BASELINE.md.
     out = {
         "metric": "harness_suite_wall_clock",
-        "value": round(total, 3),
         "value_adjudicated": round(adj_total, 3),
+        "parity_core_median_sec": parity_core_median_sec,
+        "value": round(total, 3),
+        "value_note": "single-run raw; use value_adjudicated",
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
@@ -479,7 +504,6 @@ def main() -> None:
         "streaming_overhead_sec": round(
             sum(stream_overhead.values()), 3
         ),
-        "parity_core_median_sec": parity_core_median_sec,
         "slow_tail_medians": {
             k: v["median"] for k, v in slow_tail.items()
         },
