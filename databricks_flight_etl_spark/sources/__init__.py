@@ -290,7 +290,8 @@ def _location_in_use(spark, loc: str) -> bool:
             # fresh, 5.2s after 80 harness queries, 13.2s after 257 —
             # all catalog chatter). Every OTHER type — including
             # None/unknown and location-bearing catalog extensions —
-            # falls through to the tolerant DESCRIBE probe: this
+            # falls through to the DESCRIBE probe (whose own failure
+            # also counts as "possibly in use", below): this
             # guard fronts a recursive delete, so an unrecognized
             # type must fail SAFE (probed), never fail open
             # (skipped → data loss).
@@ -302,8 +303,22 @@ def _location_in_use(spark, loc: str) -> bool:
                 rows = spark.sql(
                     f"DESCRIBE FORMATTED `{db.name}`.`{t.name}`"
                 ).collect()
-            except Exception:
-                continue
+            except Exception as exc:
+                # A non-view relation whose DESCRIBE errors (even
+                # transiently) might still live at ``loc`` — and this
+                # guard fronts a recursive delete, so the unknown must
+                # count as "possibly in use" (skip the cleanup, leave
+                # a stray dir) rather than "not in use" (delete a
+                # table we could not inspect).
+                import sys as _sys
+
+                print(
+                    f"[write_bucketed] DESCRIBE failed for "
+                    f"`{db.name}`.`{t.name}` ({type(exc).__name__}); "
+                    f"treating location {loc!r} as possibly in use",
+                    file=_sys.stderr,
+                )
+                return True
             for r in rows:
                 if (r["col_name"] or "").strip() == "Location":
                     tl = (r["data_type"] or "").removeprefix("file:")

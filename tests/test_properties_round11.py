@@ -1,0 +1,142 @@
+"""Round-11 regression tests: the location-guard's fail-safe polarity
+on DESCRIBE failure (round-10 ADVICE #4) and the no-persist-leak
+precomputed-stops harness path (round-10 ADVICE #1)."""
+
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- #
+# r10 ADVICE #4 — a non-view relation whose DESCRIBE FORMATTED       #
+# errors must count as "possibly in use": the guard fronts a         #
+# recursive delete, so an uninspectable table must fail SAFE (skip   #
+# the cleanup), never fail open (delete data we could not inspect).  #
+# ---------------------------------------------------------------- #
+
+def test_location_in_use_fail_safe_on_describe_error(
+    spark, tmp_path, monkeypatch, capsys
+):
+    from databricks_flight_etl_spark import sources
+
+    fake_db = SimpleNamespace(name="default")
+    fake_tbl = SimpleNamespace(
+        name="ghost_tbl", isTemporary=False, tableType="MANAGED"
+    )
+    monkeypatch.setattr(
+        spark.catalog, "listDatabases", lambda: [fake_db]
+    )
+    monkeypatch.setattr(
+        spark.catalog, "listTables", lambda db: [fake_tbl]
+    )
+
+    def raising_sql(q, *a, **k):
+        if q.lstrip().upper().startswith("DESCRIBE"):
+            raise RuntimeError("transient catalog error")
+        raise AssertionError(f"unexpected sql: {q}")
+
+    monkeypatch.setattr(spark, "sql", raising_sql)
+    assert sources._location_in_use(
+        spark, str(tmp_path / "anywhere")
+    ) is True
+    err = capsys.readouterr().err
+    assert "ghost_tbl" in err and "possibly in use" in err
+
+
+def test_location_in_use_still_skips_views_on_describe_error(
+    spark, tmp_path, monkeypatch
+):
+    """The fail-safe applies to relations that CAN hold a location;
+    temp views stay denylisted (never described), so an erroring
+    catalog full of temp views still answers False."""
+    from databricks_flight_etl_spark import sources
+
+    fake_db = SimpleNamespace(name="default")
+    fake_view = SimpleNamespace(
+        name="tv_only", isTemporary=True, tableType="TEMPORARY"
+    )
+    monkeypatch.setattr(
+        spark.catalog, "listDatabases", lambda: [fake_db]
+    )
+    monkeypatch.setattr(
+        spark.catalog, "listTables", lambda db: [fake_view]
+    )
+
+    def raising_sql(q, *a, **k):  # must never be reached
+        raise AssertionError(f"described a temp view: {q}")
+
+    monkeypatch.setattr(spark, "sql", raising_sql)
+    assert sources._location_in_use(
+        spark, str(tmp_path / "anywhere")
+    ) is False
+
+
+# ---------------------------------------------------------------- #
+# r10 ADVICE #1 — q_minhash_stops_supplied must not leak a persisted #
+# DataFrame: the stop list is materialized as a local relation       #
+# (bounded collect of a tiny-by-construction list), not .persist()ed #
+# ---------------------------------------------------------------- #
+
+def test_stops_supplied_query_adds_no_extra_persist(spark):
+    """minhash_dedup_pairs pins internals by design (cleared by the
+    harness's clearCache between queries); the regression under test
+    is the QUERY-level stop-list persist, which added one cached
+    DataFrame on top of those internals. The stops= path also skips
+    the corpus-scale shingle-table cache, so its pin count must come
+    in strictly BELOW the inline max_df twin's."""
+    import __spark_entry__ as entry
+
+    def leak_delta(qname):
+        spark.catalog.clearCache()
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        entry.queries()[qname](spark, "/root/testdata/sf0.001").count()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        spark.catalog.clearCache()
+        return after - before
+
+    inline = leak_delta("q_minhash_stopshingle")
+    supplied = leak_delta("q_minhash_stops_supplied")
+    assert supplied < inline, (
+        f"stops= harness path pinned {supplied} DataFrame(s) vs the "
+        f"inline twin's {inline}; it must pin strictly fewer (no "
+        f"query-level stop-list persist, no corpus-scale shingle "
+        f"cache)"
+    )
+
+
+def test_stops_supplied_local_relation_matches_inline_max_df(spark):
+    """The local-relation stop list must produce the SAME exclusion as
+    the inline max_df path (the definitional identity the oracle
+    certifies at harness scale) — pinned here at sf0.001."""
+    import __spark_entry__ as entry
+
+    from databricks_flight_etl_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    supplied = sorted(
+        (r["id_a"], r["id_b"])
+        for r in entry.queries()["q_minhash_stops_supplied"](
+            spark, sf
+        ).collect()
+    )
+    docs = entry._docs_near_dup_base(spark, sf).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    inline = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            b, "text", "doc_id", threshold=0.8, shingle_k=7,
+            hash_family="md5", max_df=30,
+        ).collect()
+    )
+    assert supplied == inline
