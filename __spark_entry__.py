@@ -1182,6 +1182,47 @@ def q_simhash_stopshingle(spark, sf_dir):
     )
 
 
+def q_simhash_stops_supplied(spark, sf_dir):
+    """X1 SimHash precomputed stop-list path (stops=, round-11): the
+    simhash face of the 100 TB-recommended mitigation mode already
+    certified for MinHash by q_minhash_stops_supplied — run
+    shingle_stop_list ONCE over the corpus, materialize its tiny
+    output as a local relation (bounded collect; broadcastable in the
+    downstream anti-join), and hand it to simhash_near_dup_pairs via
+    ``stops=``, which skips the entropy guard and the corpus-scale
+    shingle-table cache. Computed at the same max_df=30 on the same
+    corpus, the exclusion — and therefore the per-bit majorities,
+    pigeonhole blocking, and Hamming verify — is definitionally
+    identical to q_simhash_stopshingle's inline path, so the DuckDB
+    oracle is that query's SQL verbatim: a divergence can only come
+    from the simhash stops= plumbing under test."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        shingle_stop_list,
+    )
+
+    docs = _docs_near_dup_base(spark, sf_dir).where(
+        (F.col("doc_id") % 200000) < 1500
+    )
+    b = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking news subscribe to our newsletter today "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    stop_rows = shingle_stop_list(
+        b, "text", "doc_id", shingle_k=7, max_df=30
+    ).collect()
+    stops = spark.createDataFrame(stop_rows, "shingle string, df bigint")
+    out = simhash_near_dup_pairs(
+        b, "text", "doc_id", max_hamming=6, shingle_k=7,
+        hash_family="md5", stops=stops,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def q_shingle_profile(spark, sf_dir):
     """X1 pre-flight entropy diagnostic (round-8 finding): one row of
     shingle document-frequency statistics + the closed-form background
@@ -5595,6 +5636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X1 stop-shingle suite (round-8 scale finding) -------------
         "q_minhash_stopshingle": q_minhash_stopshingle,
         "q_simhash_stopshingle": q_simhash_stopshingle,
+        # NEW round 11 (r10 verdict task #3) — r12 window candidate
+        "q_simhash_stops_supplied": q_simhash_stops_supplied,
         "q_shingle_profile": q_shingle_profile,
         "q_minhash_stopshingle_frac": q_minhash_stopshingle_frac,
         # -- X5 TPC-H shapes -------------------------------------------
@@ -10857,6 +10900,12 @@ def oracle_sql() -> dict[str, str]:
     # would certify: the stops= anti-join plumbing, the no-cache
     # pre-pass, and the guard bypass on the Spark side.
     d["q_minhash_stops_supplied"] = d["q_minhash_stopshingle"]
+    # SimHash face of the same identity (round-11): stop list computed
+    # at the same max_df=30 on the same corpus -> exclusion and every
+    # downstream stage definitionally equal the inline sibling's; the
+    # oracle is its SQL verbatim (assigned below, after the sibling's
+    # literal is defined). A divergence certifies the simhash stops=
+    # anti-join plumbing, the no-cache pre-pass, and the guard bypass.
     # SimHash replay (same structure as q_simhash_certified) with the
     # boilerplate-prepended corpus and the max_df=30 stop-shingle
     # filter applied before the per-bit majorities.
@@ -10930,6 +10979,8 @@ def oracle_sql() -> dict[str, str]:
         FROM cand
         WHERE bit_count(xor(sa, sb)) <= 6
     """
+    # (see the definitional-identity note above q_simhash_stopshingle)
+    d["q_simhash_stops_supplied"] = d["q_simhash_stopshingle"]
     # df table + rank-arithmetic type-1 quantiles + the same three
     # double divisions (exact integer/hugeint sums divided once).
     d["q_shingle_profile"] = """

@@ -140,3 +140,31 @@ def test_stops_supplied_local_relation_matches_inline_max_df(spark):
         ).collect()
     )
     assert supplied == inline
+
+
+# ---------------------------------------------------------------- #
+# r10 VERDICT task #3 — SimHash face of the stops= ≡ inline max_df  #
+# identity (the contract q_simhash_stops_supplied's verbatim oracle #
+# rests on, mirroring the round-10 MinHash test)                    #
+# ---------------------------------------------------------------- #
+
+def test_simhash_stops_supplied_equals_inline_max_df(spark):
+    from databricks_flight_etl_spark.operators import dedup
+    from tests.test_properties_round10 import _cloned_boiler_corpus
+
+    docs = _cloned_boiler_corpus(spark)
+    inline = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=6, shingle_k=7,
+        hash_family="md5", max_df=10,
+    ).orderBy("id_a", "id_b").collect()
+    stops = dedup.shingle_stop_list(
+        docs, "text", "doc_id", shingle_k=7, max_df=10
+    )
+    supplied = dedup.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=6, shingle_k=7,
+        hash_family="md5", stops=stops,
+    ).orderBy("id_a", "id_b").collect()
+    assert len(inline) > 0  # clone pairs survive the exclusion
+    assert [r.asDict() for r in inline] == [
+        r.asDict() for r in supplied
+    ]
