@@ -1061,7 +1061,7 @@ def q_minhash_clusters(spark, sf_dir):
 def q_minhash_stops_supplied(spark, sf_dir):
     """X1 precomputed stop-list path (stops=, round-10): the
     100 TB-recommended mitigation mode — run shingle_stop_list ONCE
-    over the corpus, persist its (tiny) output, and hand it to the
+    over the corpus, materialize its (tiny) output, and hand it to the
     LSH entry point via ``stops=``, which skips both the entropy
     guard and the corpus-scale shingle-table cache
     (dedup.py footprint note). With the stop list computed at the

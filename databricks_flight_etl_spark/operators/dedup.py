@@ -128,6 +128,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return spread(df, "__id")
 
 
+def _shingle_arrays_pre(raw: DataFrame, k: int) -> DataFrame:
+    """Shingle a pre-projected, pre-parallelized (__id, __raw) frame —
+    the shared tail of :func:`_shingle_arrays` for callers that manage
+    the parallelism decision themselves (see ``_jaccard_verified``,
+    where probing the joined plan for narrowness cost more than the
+    whole verify join)."""
+    norm = raw.select("__id", normalize_text("__raw").alias("__t"))
+    return norm.select(
+        "__id", _shingles_of(F.col("__t"), k).alias("__shs")
+    )
+
+
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, array<string> shingles) — one row per doc, no explode.
     Normalizes through a materializing projection FIRST so the regexp
@@ -141,10 +153,7 @@ def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
             F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")
         )
     )
-    norm = raw.select("__id", normalize_text("__raw").alias("__t"))
-    return norm.select(
-        "__id", _shingles_of(F.col("__t"), k).alias("__shs")
-    )
+    return _shingle_arrays_pre(raw, k)
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
@@ -845,12 +854,32 @@ def _jaccard_verified(
             f"strategy must be 'intersect' or 'index', got {strategy!r}"
         )
     ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    docs = df.join(ids, id_col, "left_semi")  # AQE broadcasts when small
-    arrs = _shingle_arrays(docs, text_col, id_col, shingle_k)
+    # prune + canonicalize BEFORE the semi join so the narrow-scan
+    # probe below plans ONLY the corpus projection (null filter still
+    # pushes to the scan; filter and semi join commute)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")
+    )
+    docs = base.join(ids, "__id", "left_semi")  # AQE broadcasts small ids
+    # Narrow-scan detection runs on the CORPUS plan, not the joined
+    # plan: probing docs.rdd here forced full physical planning of the
+    # entire candidate lineage — measured ~8 s of cold driver time at
+    # sf0.1, the q_minhash_clusters fixed-overhead floor (round-11) —
+    # while a broadcast semi join preserves base's partitioning anyway,
+    # so base's split count IS the joined side's in exactly the case
+    # the spread matters (few-split scan + small candidate set). When
+    # the ids side is instead shuffle-joined, the output is already
+    # target-partitioned and the extra keyed repartition of the (small,
+    # candidates-only) doc set is one cheap exchange.
+    sc_ = df.sparkSession.sparkContext
+    if (not df.isStreaming
+            and base.rdd.getNumPartitions() < sc_.defaultParallelism):
+        docs = docs.repartition(sc_.defaultParallelism, "__id")
+    arrs = _shingle_arrays_pre(docs, shingle_k)
     if stops is not None:
         # Jaccard over the FILTERED sets — the same exclusion the
         # signature side applied, so verify and banding agree. Explode →

@@ -65,9 +65,9 @@ def connected_components(
     convergence/round-count assertions do).
     """
     # Materialize the PROJECTED edge list once on entry: this function
-    # consumes its input with at least two actions (the size probe,
-    # then the union-find collect or the doubled-distinct build), and
-    # the caller's edge plan is typically the EXPENSIVE tail of a
+    # consumes its input with at least two actions (the combined
+    # probe+collect, then — above the bound — the doubled-distinct
+    # build), and the caller's edge plan is typically the EXPENSIVE tail of a
     # dedup pipeline (the exact-Jaccard verify join) — unmaterialized,
     # that tail re-executed per action (~2x the dominant stage;
     # round-9 review finding, fixed at the root so every caller —
@@ -79,9 +79,14 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint()
     if driver_max_edges:
-        sample = e.limit(driver_max_edges + 1).count()
-        if sample <= driver_max_edges:
-            return _cc_driver_union_find(e)
+        # ONE bounded action decides the fast path AND feeds it: a
+        # limit(B+1) collect off the checkpointed edges — if it comes
+        # back with ≤B rows, that IS the complete edge list (round-11;
+        # previously a separate limit+count probe paid an extra job
+        # before an identical collect).
+        rows = e.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            return _cc_driver_union_find(rows, e)
     e = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -114,9 +119,10 @@ def connected_components(
     )
 
 
-def _cc_driver_union_find(e: DataFrame) -> DataFrame:
-    """Union-find over a collected (bounded) edge list; same output
-    contract as the distributed loop: component id = min node id."""
+def _cc_driver_union_find(collected_rows, e: DataFrame) -> DataFrame:
+    """Union-find over an already-collected (bounded) edge list; same
+    output contract as the distributed loop: component id = min node
+    id. ``e`` supplies the session and the (a, b) schema only."""
     parent: dict = {}
 
     def find(x):
@@ -127,7 +133,7 @@ def _cc_driver_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e.collect():
+    for row in collected_rows:
         a, b = row["a"], row["b"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
