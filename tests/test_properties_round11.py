@@ -168,3 +168,44 @@ def test_simhash_stops_supplied_equals_inline_max_df(spark):
     assert [r.asDict() for r in inline] == [
         r.asDict() for r in supplied
     ]
+
+
+# ---------------------------------------------------------------- #
+# r10 VERDICT stretch #7 — the funnel surfaces the guard's measured  #
+# profile in its report instead of letting it die with the warning   #
+# ---------------------------------------------------------------- #
+
+def test_pipeline_reports_guard_profile(spark):
+    import warnings
+
+    from databricks_flight_etl_spark.pipeline import run_textprep_pipeline
+    from tests.test_properties_round9 import _boiler_corpus
+
+    docs = _boiler_corpus(spark, n=30)
+    kw = dict(
+        min_tokens=1, max_stopword_ratio=1.0,
+        langs=("en", "es", "de", "fr", "??"), near_dup_threshold=0.8,
+        chunk_tokens=16, overlap=4,
+    )
+    # unmitigated run: the guard runs (warns) and its measurement must
+    # land in the report
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rep = run_textprep_pipeline(docs, **kw)
+    prof = rep.guard_profile
+    assert prof is not None
+    assert prof["caller"] == "minhash_dedup_pairs"
+    assert prof["bg_jaccard_est"] is not None
+    assert prof["triggered"] is True  # boiler corpus: J_bg over the bar
+    spark.catalog.clearCache()
+
+    # mitigated run: the guard is skipped, and the report must NOT pick
+    # up the stale profile the previous (guarded) run left behind
+    rep2 = run_textprep_pipeline(docs, near_dup_max_df=9, **kw)
+    assert rep2.guard_profile is None
+    spark.catalog.clearCache()
+
+    # near-dup off: no guard either
+    rep3 = run_textprep_pipeline(docs, near_dup=False, **kw)
+    assert rep3.guard_profile is None
+    spark.catalog.clearCache()
