@@ -2037,7 +2037,9 @@ def q_streaming_minhash(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
     )
     stage = tempfile.mkdtemp(prefix="flight_etl_smh_")
-    inc.write.mode("overwrite").parquet(stage)
+    # coalesce(1): the staged increment is KBs — one file means one
+    # write task and one file-source listing entry instead of 32
+    inc.coalesce(1).write.mode("overwrite").parquet(stage)
     idx = minhash_bands(docs, "text", "doc_id",
                         shingle_k=7, hash_family="md5")
     stream = spark.readStream.schema(inc.schema).format("parquet").load(

@@ -654,22 +654,23 @@ def minhash_bands_rowwise(
             lambda s: F.pmod(base(s), p),
         ).alias("__hs"),
     )
-    def _affine(j: int):
-        # bind the coefficients OUTSIDE the lambda: a defaulted second
-        # lambda param (lambda h, j=j: ...) is misread by Spark's HOF
-        # signature inspection as the element-index variable
+    # The num_perm affine-min columns are built as ONE selectExpr parse
+    # instead of num_perm python-side F.transform lambdas: each
+    # Python-constructed HOF lambda costs a py4j call chain (variable
+    # allocation, lambda wrapping), measured ~8x the construction time
+    # of the parsed form at num_perm=32 — pure plan-build overhead that
+    # lands in every streaming micro-batch query's recorded floor. The
+    # parsed expressions resolve to the identical plan (coefficients
+    # are int literals; operands are non-negative so pmod == the
+    # loop form's %; bit-identity to the agg path stays unit-pinned).
+    sig_exprs = []
+    for j in range(num_perm):
         aj, bj = _perm_coeffs(j)
-        a, b = F.lit(aj), F.lit(bj)
-        return lambda h: (h * a + b) % p
-
-    sig = hs.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("__hs"), _affine(j)))
-            .alias(f"mh_{j}")
-            for j in range(num_perm)
-        ],
-    )
+        sig_exprs.append(
+            f"array_min(transform(__hs, h -> "
+            f"pmod(h * {aj}L + {bj}L, {_MINHASH_PRIME}L))) AS mh_{j}"
+        )
+    sig = hs.selectExpr(f"`{id_col}`", *sig_exprs)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]

@@ -9,6 +9,7 @@ changes (SURVEY §7.4 item 6).
 """
 
 from .jobs import (
+    bounded_shuffle_partitions,
     run_stream_to_memory,
     streaming_day_counts,
     streaming_hll,
@@ -27,6 +28,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "bounded_shuffle_partitions",
     "streaming_day_counts",
     "streaming_hll",
     "streaming_interval_join",
