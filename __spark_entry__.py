@@ -75,23 +75,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-from contextlib import contextmanager  # noqa: E402
-
-
-@contextmanager
 def _stream_parts(spark: SparkSession, n: int = 4):
     """Size streaming state stores to the harness micro-batches: one
     state store per shuffle partition PER STATEFUL OPERATOR, so the
     batch default of 32 pays ~32x bookkeeping for dozens of keys —
     measured ~24 s of the r4 bench suite in pure trigger overhead
     (VERDICT r4 task #8). At production scale the same knob goes UP
-    with key cardinality instead."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with key cardinality instead. Delegates to the library's
+    bounded_shuffle_partitions (round-11) so the restore-on-exit
+    contract has one implementation."""
+    from databricks_flight_etl_spark.streaming import (
+        bounded_shuffle_partitions,
+    )
+
+    return bounded_shuffle_partitions(spark, n)
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
