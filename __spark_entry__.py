@@ -3366,9 +3366,7 @@ def q_streaming_day_counts(spark, sf_dir):
     # one state store per shuffle partition: size to the open-window
     # cardinality (~30 day windows), not the batch default — 32 stores
     # for 30 keys is pure per-batch bookkeeping overhead
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _stream_parts(spark):
         q = (
             out.writeStream.format("memory")
             .queryName("harness_stream_days")
@@ -3379,8 +3377,6 @@ def q_streaming_day_counts(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("harness_stream_days").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n"
     )
@@ -4591,9 +4587,7 @@ def q_streaming_dedup(spark, sf_dir):
         "value",
         "props",
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _stream_parts(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName("harness_stream_dedup")
@@ -4604,8 +4598,6 @@ def q_streaming_dedup(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("harness_stream_dedup")
 
 
@@ -4637,9 +4629,7 @@ def q_streaming_sessionize(spark, sf_dir):
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _stream_parts(spark):
         q = (
             out.writeStream.format("memory")
             .queryName("harness_stream_sess")
@@ -4665,12 +4655,10 @@ def q_streaming_sessionize(spark, sf_dir):
                 F.lit(0.0).alias("value"),
                 F.lit("{}").alias("props"),
             )
-            sentinel.write.mode("append").parquet(stage)
+            sentinel.coalesce(1).write.mode("append").parquet(stage)
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("harness_stream_sess")
 
 
