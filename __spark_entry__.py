@@ -2472,11 +2472,12 @@ def q_vector_mean(spark, sf_dir):
 
 def q_jl_project(spark, sf_dir):
     """Johnson–Lindenstrauss ±1-sign projection 64→16 (scale 1/√16 =
-    0.25, exact in binary): per-coordinate chains of ±element adds in
-    whole-stage codegen, no shuffle. The SAME Python-derived sign
-    matrix stamps the Spark expression and the SQL oracle; identical
-    left-assoc add order makes the sums bit-identical before the 6 dp
-    round. posexploded to scalar rows for the harness."""
+    0.25, exact in binary): per-coordinate zip_with against the literal
+    sign row, folded left seeded with the first term — no shuffle. The
+    SAME Python-derived sign matrix stamps the Spark expression and
+    the SQL oracle; identical left-assoc add order makes the sums
+    bit-identical before the 6 dp round. posexploded to scalar rows
+    for the harness."""
     from databricks_flight_etl_spark.operators.similarity import (
         project_embeddings,
     )

@@ -87,14 +87,21 @@ def connected_components(
         rows = e.limit(driver_max_edges + 1).collect()
         if len(rows) <= driver_max_edges:
             return _cc_driver_union_find(rows, e)
+    # lazy checkpoints from here down: the plan is cut (LogicalRDD)
+    # exactly as before, but materialization folds into the first
+    # consuming job — labels pins inside round 1, and each round's
+    # new_labels pins inside the convergence count() that immediately
+    # follows — instead of paying a standalone eager job per round
+    # (halves the loop's action count; labels are integer/string min
+    # propagation, so cadence cannot perturb values)
     e = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = e.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         nbr_min = (
@@ -109,7 +116,7 @@ def connected_components(
                 F.least("component", "nbr_component").alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__chg"),
             )
-        ).localCheckpoint()  # cut lineage: plan stays one round deep
+        ).localCheckpoint(eager=False)  # cut lineage, pin in the count
         changed = new_labels.where(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -247,11 +254,15 @@ def connected_components_star(
     raw = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint()
+    # lazy checkpoints below: plan cut as before, materialization folds
+    # into the first consumer (nodes → the final roots anti-join, e →
+    # round 1, each round's e → its own sig agg) instead of one eager
+    # job apiece; labels are min propagation, cadence can't change them
     nodes = (
         raw.select(F.col("a").alias("node"))
         .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # canonical undirected form: a > b, self-loop-free — the invariant
     # both phases preserve (every emitted edge points high → low)
@@ -261,7 +272,7 @@ def connected_components_star(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(cur: DataFrame) -> DataFrame:
@@ -295,7 +306,7 @@ def connected_components_star(
 
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # bit_xor is overflow-free: sum(xxhash64) relies on non-ANSI
         # long wraparound and throws ARITHMETIC_OVERFLOW under Spark 4's
         # default ANSI mode outside our session config
@@ -352,13 +363,18 @@ def pagerank(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    nodes = nodes.localCheckpoint(eager=True)
+    # lazy checkpoints: the plan is cut (LogicalRDD) either way, but a
+    # lazy one materializes inside the first job that consumes it — so
+    # nodes pins during the count() below and out_deg during round 1's
+    # contribs job — instead of paying one standalone eager job each
+    # (the fixed-overhead floor this shaved: 3 setup jobs → 1)
+    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
-    ).localCheckpoint(eager=True)  # re-joined every round
+    ).localCheckpoint(eager=False)  # re-joined every round
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         with_deg = ranks.join(out_deg, "node", "left")
@@ -390,7 +406,14 @@ def pagerank(
                        + F.col("__m") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: cuts the plan each round (O(1) depth) but defers
+            # materialization to the next round's first consumer — the
+            # dangling broadcast job — collapsing the per-round
+            # checkpoint action into work the loop already does. The
+            # two consumers (dangling, contribs) still share the one
+            # cached copy; at worst a concurrent broadcast job computes
+            # a partition twice, never a different value.
+            .localCheckpoint(eager=False)
         )
     if decimals is not None:
         ranks = ranks.select("node", F.round("rank", decimals).alias("rank"))

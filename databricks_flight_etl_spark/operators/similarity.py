@@ -390,9 +390,9 @@ def _nearest_list(vec: Column, centroids: list[list[float]]) -> Column:
 _ASSIGN_ARROW_MIN_LISTS = 9
 
 # JL auto-dispatch crossover: above this many sign-matrix terms
-# (dim × out_dim) the codegen'd add-chain form pays multi-second
-# janino compiles (and ultimately the 64 KB JVM method cap), so
-# project_embeddings switches to the compile-free Arrow matmul.
+# (dim × out_dim) the expression form's per-row interpreted HOF fold
+# (linear in terms) loses to one numpy GEMM per Arrow batch, so
+# project_embeddings switches to the Arrow matmul.
 # 64-dim × 16 (the bit-certified config) stays comfortably below;
 # 1024-dim × 128 lands far above.
 _JL_ARROW_MIN_TERMS = 32_768
@@ -1249,17 +1249,18 @@ def project_embeddings(
     the raw embedding is wide.
 
     The signs are CONSTANTS baked into the expression (no per-row
-    hashing): each output coordinate compiles to a chain of ±element
-    adds inside whole-stage codegen — a narrow map, no shuffle, no
-    Python. Output: (id, proj array<double>, rounded to ``decimals``).
+    hashing): each output coordinate is a zip_with against its literal
+    sign row folded left — a narrow map, no shuffle, no Python, and
+    the fold is seeded with the first term so the sum order is the
+    exact left-assoc chain an unrolled-SQL oracle replays.
+    Output: (id, proj array<double>, rounded to ``decimals``).
 
     Above ``_JL_ARROW_MIN_TERMS`` total sign-matrix terms
     (dim × out_dim) the call auto-dispatches to
-    :func:`project_embeddings_pandas`: the literal add-chain pays
-    janino compile time linear in the term count and blows past the
-    JVM's 64 KB method-size limit entirely around 1024-dim → 128
-    projections, while the Arrow matmul is compile-free (values agree
-    to the rounding decimals; both paths are certified equal by test).
+    :func:`project_embeddings_pandas`: the per-row interpreted HOF
+    fold is linear in the term count, while the Arrow matmul hands
+    the whole batch to one numpy GEMM (values agree to the rounding
+    decimals; both paths are certified equal by test).
     """
     dim = _infer_dim(df, vec_col)
     if dim is None:
@@ -1272,15 +1273,29 @@ def project_embeddings(
         )
     df = df.where(F.col(vec_col).isNotNull())
     signs = _jl_signs(dim, out_dim, seed)
-    v = _as_double(vec_col)
     scale = 1.0 / math.sqrt(out_dim)
+    # per coordinate: terms = ±vᵢ via zip_with against the literal sign
+    # row, then a left fold SEEDED WITH THE FIRST TERM — exactly the
+    # left-assoc chain t₀+t₁+…, bit-for-bit (s·x with s=±1.0 is an
+    # exact IEEE sign flip; a 0.0 seed would turn a -0.0 first term
+    # into +0.0). The unrolled add-chain form this replaced generated
+    # one giant expression per coordinate: janino refused it at 64 KB
+    # on EVERY run (dim·out_dim=1024 terms), so it always paid a
+    # failed-compile attempt plus interpreted eval of dim·out_dim
+    # whole-array casts per row — measured ~3x this form on the same
+    # data. slice(…, 1, dim) pins the read window to the inferred dim
+    # (zip_with would otherwise null-pad AGAINST a longer vector).
     outs = []
     for j in range(out_dim):
-        term = None
-        for i, s in enumerate(signs[j]):
-            t = v[i] if s > 0 else -v[i]
-            term = t if term is None else term + t
-        outs.append(F.round(term * F.lit(scale), decimals))
+        sgn = F.array(*[F.lit(float(s)) for s in signs[j]])
+        vd = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+        terms = F.zip_with(sgn, vd, lambda s, x: s * x)
+        coord = F.aggregate(
+            F.slice(terms, 2, max(dim - 1, 0)),
+            F.element_at(terms, 1),
+            lambda acc, x: acc + x,
+        )
+        outs.append(F.round(coord * F.lit(scale), decimals))
     return df.select(F.col(id_col), F.array(*outs).alias("proj"))
 
 
