@@ -2484,8 +2484,14 @@ def q_jl_project(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out = project_embeddings(emb, out_dim=16)
+    # posexplode_OUTER: row-identical here (proj is always a non-null
+    # 16-element array), but plain posexplode lets Catalyst's
+    # InferFiltersFromGenerate add `size(proj) > 0` and push it below
+    # the projection — re-running the ENTIRE 16-coordinate fold per
+    # row inside a Filter (the PLANS.md λfilt tripwire); outer
+    # generate infers no such filter
     return out.select(
-        "vec_id", F.posexplode("proj").alias("j", "value")
+        "vec_id", F.posexplode_outer("proj").alias("j", "value")
     ).orderBy("vec_id", "j")
 
 
