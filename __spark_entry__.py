@@ -2499,9 +2499,9 @@ def q_jl_project_wide(spark, sf_dir):
     """The BIG-DIM JL regime (r4 verdict task #6): vectors widened to
     1024 dims (flatten ∘ array_repeat — deterministic), projected to
     128 — 131 072 sign-matrix terms, far past _JL_ARROW_MIN_TERMS, so
-    the public project_embeddings auto-dispatches to the compile-free
-    Arrow matmul (the add-chain form would pay a janino compile linear
-    in terms and overflow the 64 KB JVM method cap). Rows-only: the
+    the public project_embeddings auto-dispatches to the Arrow matmul
+    (the expression form's per-row HOF fold is linear in the term
+    count; one numpy GEMM per batch is far cheaper). Rows-only: the
     certified twin is q_jl_project (bit-identical 64→16 expression
     path); this query certifies the dispatcher's scale path runs."""
     from databricks_flight_etl_spark.operators.similarity import (

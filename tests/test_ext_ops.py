@@ -1941,11 +1941,12 @@ def test_project_embeddings_pandas_matches_expression(spark):
 
 def test_project_embeddings_autoswitch_to_arrow(spark):
     """r4 verdict task #6: above _JL_ARROW_MIN_TERMS (dim × out_dim)
-    the public project_embeddings must dispatch to the compile-free
-    Arrow matmul — a 1024-term-per-output add chain pays seconds of
-    janino compile and ultimately the 64 KB JVM method cap. Pinned by
-    plan shape: big config shows a Python map stage (Arrow), the
-    certified small config stays pure codegen (no Python in plan)."""
+    the public project_embeddings must dispatch to the Arrow matmul —
+    the expression form's per-row HOF fold is linear in the term
+    count, while the matmul hands each batch to one numpy GEMM.
+    Pinned by plan shape: big config shows a Python map stage
+    (Arrow), the certified small config stays a pure JVM-side
+    expression (no Python in plan)."""
     import random
 
     from databricks_flight_etl_spark.operators.similarity import (
