@@ -88,7 +88,18 @@ def test_stops_supplied_query_adds_no_extra_persist(spark):
     import __spark_entry__ as entry
 
     def leak_delta(qname):
+        # quiesce the async ContextCleaner before opening the count
+        # window: persisted RDDs left by EARLIER tests in a shared
+        # session are unpersisted asynchronously when their Python
+        # refs die, and a cleanup landing inside the window deflates
+        # `after - before` (seen as a suite-order-dependent flake)
+        import gc
+        import time
+
         spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
         before = spark.sparkContext._jsc.getPersistentRDDs().size()
         entry.queries()[qname](spark, "/root/testdata/sf0.001").count()
         after = spark.sparkContext._jsc.getPersistentRDDs().size()
