@@ -4651,10 +4651,14 @@ def q_streaming_sessionize(spark, sf_dir):
                 spark.read.parquet(f"{sf_dir}/events.parquet")
                 .agg(F.max("ts").alias("m")).first()["m"]
             )
-            sentinel = spark.createDataFrame(
-                [(int(-1),)], "event_id long"
-            ).select(
-                F.col("event_id"),
+            # range(..., numPartitions=1): a JVM-native single-partition
+            # one-row source. createDataFrame([...]) parallelizes the
+            # row across defaultParallelism Python-payload partitions,
+            # and coalesce(1) then made ONE write task drain all 32
+            # sequentially — measured ~4.5 s for this one-row write
+            # (the bulk of this query's recorded floor)
+            sentinel = spark.range(0, 1, 1, 1).select(
+                F.lit(-1).cast("long").alias("event_id"),
                 (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS"))
                 .cast("timestamp_ntz").alias("ts"),
                 F.lit(-1).cast("long").alias("user_id"),
@@ -4662,7 +4666,7 @@ def q_streaming_sessionize(spark, sf_dir):
                 F.lit(0.0).alias("value"),
                 F.lit("{}").alias("props"),
             )
-            sentinel.coalesce(1).write.mode("append").parquet(stage)
+            sentinel.write.mode("append").parquet(stage)
             q.processAllAvailable()
         finally:
             q.stop()
