@@ -1094,7 +1094,14 @@ def q_minhash_stops_supplied(spark, sf_dir):
     stop_rows = shingle_stop_list(
         b, "text", "doc_id", shingle_k=7, max_df=30
     ).collect()
-    stops = spark.createDataFrame(stop_rows, "shingle string, df bigint")
+    # ONE slice: the default createDataFrame parallelizes even a tiny
+    # list across defaultParallelism Python-payload partitions, and
+    # every broadcast exchange that consumes it (signature anti-join +
+    # verify anti-join) re-drains all of them (~0.8 s each, measured)
+    stops = spark.createDataFrame(
+        spark.sparkContext.parallelize(stop_rows, 1),
+        "shingle string, df bigint",
+    )
     return minhash_dedup_pairs(
         b, "text", "doc_id", threshold=0.8, shingle_k=7,
         hash_family="md5", stops=stops,
@@ -1210,7 +1217,12 @@ def q_simhash_stops_supplied(spark, sf_dir):
     stop_rows = shingle_stop_list(
         b, "text", "doc_id", shingle_k=7, max_df=30
     ).collect()
-    stops = spark.createDataFrame(stop_rows, "shingle string, df bigint")
+    # one slice — see q_minhash_stops_supplied's note on the
+    # per-broadcast cost of default-parallelism local relations
+    stops = spark.createDataFrame(
+        spark.sparkContext.parallelize(stop_rows, 1),
+        "shingle string, df bigint",
+    )
     out = simhash_near_dup_pairs(
         b, "text", "doc_id", max_hamming=6, shingle_k=7,
         hash_family="md5", stops=stops,
@@ -5358,8 +5370,9 @@ def q_linear_scorer(spark, sf_dir):
     )
 
     weights = spark.createDataFrame(
-        [("spark", 0.8), ("join", 0.25), ("scan", -0.4),
-         ("batch", -0.15), ("window", 0.3), ("hash", -0.2)],
+        spark.sparkContext.parallelize(
+            [("spark", 0.8), ("join", 0.25), ("scan", -0.4),
+             ("batch", -0.15), ("window", 0.3), ("hash", -0.2)], 1),
         "token string, weight double",
     )
     docs = _t(spark, sf_dir, "documents")
