@@ -1067,8 +1067,11 @@ def ivf_assign_two_level(
         else:
             spark = df.sparkSession
             cent_rows = [(i, c) for i, c in enumerate(super_cents)]
+            # one slice: n_super rows; a default-parallelism local
+            # relation costs ~0.8 s per consuming broadcast exchange
             cent_df = spark.createDataFrame(
-                cent_rows, "__super int, __cent array<double>"
+                spark.sparkContext.parallelize(cent_rows, 1),
+                "__super int, __cent array<double>",
             )
             # residual = v − c_super(v): broadcast the n_super-row
             # centroid table; the corpus never shuffles

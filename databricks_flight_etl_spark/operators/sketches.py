@@ -91,7 +91,12 @@ def cms_estimate(
     the term's d cells (0 if any cell is empty). The terms table is
     tiny and broadcast; the sketch is at most depth·width rows."""
     spark = sketch.sparkSession
-    t = spark.createDataFrame([(x,) for x in terms], "term string")
+    # one slice: a default-parallelism local relation makes every
+    # consuming exchange drain 32 Python-payload partitions
+    t = spark.createDataFrame(
+        spark.sparkContext.parallelize([(x,) for x in terms], 1),
+        "term string",
+    )
     probes = t.select(
         "term",
         F.explode(
