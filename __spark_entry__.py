@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from databricks_flight_etl_spark.partitioning import local_df as _local_df
 from databricks_flight_etl_spark.session import tune
 from databricks_flight_etl_spark.sources import load_table
 from databricks_flight_etl_spark.functions import (
@@ -1094,14 +1095,12 @@ def q_minhash_stops_supplied(spark, sf_dir):
     stop_rows = shingle_stop_list(
         b, "text", "doc_id", shingle_k=7, max_df=30
     ).collect()
-    # ONE slice: the default createDataFrame parallelizes even a tiny
-    # list across defaultParallelism Python-payload partitions, and
-    # every broadcast exchange that consumes it (signature anti-join +
-    # verify anti-join) re-drains all of them (~0.8 s each, measured)
-    stops = spark.createDataFrame(
-        spark.sparkContext.parallelize(stop_rows, 1),
-        "shingle string, df bigint",
-    )
+    # ONE slice (partitioning.local_df): the default createDataFrame
+    # parallelizes even a tiny list across defaultParallelism
+    # Python-payload partitions, and every broadcast exchange that
+    # consumes it (signature anti-join + verify anti-join) re-drains
+    # all of them (~0.8 s each, measured)
+    stops = _local_df(spark, stop_rows, "shingle string, df bigint")
     return minhash_dedup_pairs(
         b, "text", "doc_id", threshold=0.8, shingle_k=7,
         hash_family="md5", stops=stops,
@@ -1219,10 +1218,7 @@ def q_simhash_stops_supplied(spark, sf_dir):
     ).collect()
     # one slice — see q_minhash_stops_supplied's note on the
     # per-broadcast cost of default-parallelism local relations
-    stops = spark.createDataFrame(
-        spark.sparkContext.parallelize(stop_rows, 1),
-        "shingle string, df bigint",
-    )
+    stops = _local_df(spark, stop_rows, "shingle string, df bigint")
     out = simhash_near_dup_pairs(
         b, "text", "doc_id", max_hamming=6, shingle_k=7,
         hash_family="md5", stops=stops,
@@ -5369,10 +5365,10 @@ def q_linear_scorer(spark, sf_dir):
         linear_score_documents,
     )
 
-    weights = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [("spark", 0.8), ("join", 0.25), ("scan", -0.4),
-             ("batch", -0.15), ("window", 0.3), ("hash", -0.2)], 1),
+    weights = _local_df(
+        spark,
+        [("spark", 0.8), ("join", 0.25), ("scan", -0.4),
+         ("batch", -0.15), ("window", 0.3), ("hash", -0.2)],
         "token string, weight double",
     )
     docs = _t(spark, sf_dir, "documents")

@@ -1340,11 +1340,10 @@ def ks_drift_report(
     # groups where a column had a/b rows but ALL values null can drop
     # out of the melt-filter entirely; restore the guaranteed
     # row-per-column contract with a spine join
-    spark = df.sparkSession
-    # one slice — tiny spine, see the local-relation broadcast note
-    spine = spark.createDataFrame(
-        spark.sparkContext.parallelize([(c,) for c in sorted(cols)], 1),
-        "column string",
+    from ..partitioning import local_df
+
+    spine = local_df(
+        df.sparkSession, [(c,) for c in sorted(cols)], "column string"
     )
     return (
         spine.join(report, "column", "left")

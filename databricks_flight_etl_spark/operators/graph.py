@@ -154,7 +154,13 @@ def _cc_driver_union_find(collected_rows, e: DataFrame) -> DataFrame:
     schema = e.select(
         F.col("a").alias("node"), F.col("a").alias("component")
     ).schema
-    return spark.createDataFrame(rows, schema)
+    # size-aware slicing: small label tables stay ONE Python-payload
+    # partition (downstream broadcast anti-joins drain every slice —
+    # the round-11 local-relation finding), while near-the-gate lists
+    # (≤2M rows) keep enough slices for parallel consumption
+    from ..partitioning import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def dedup_survivors(
@@ -363,11 +369,14 @@ def pagerank(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    # lazy checkpoints: the plan is cut (LogicalRDD) either way, but a
-    # lazy one materializes inside the first job that consumes it — so
-    # nodes pins during the count() below and out_deg during round 1's
-    # contribs job — instead of paying one standalone eager job each
-    # (the fixed-overhead floor this shaved: 3 setup jobs → 1)
+    # lazy checkpoints for the SETUP tables: the plan is cut
+    # (LogicalRDD) either way, but a lazy one materializes inside the
+    # first job that consumes it — nodes pins during the count() below,
+    # out_deg during round 1's first consumer (the dangling broadcast's
+    # with_deg scan) — instead of paying one standalone eager job each.
+    # Value-safe even if two jobs race to compute a partition: nodes is
+    # a distinct set and out_deg an integer count, identical under any
+    # evaluation order.
     nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
@@ -406,14 +415,16 @@ def pagerank(
                        + F.col("__m") / n)
                 ).alias("rank"),
             )
-            # lazy: cuts the plan each round (O(1) depth) but defers
-            # materialization to the next round's first consumer — the
-            # dangling broadcast job — collapsing the per-round
-            # checkpoint action into work the loop already does. The
-            # two consumers (dangling, contribs) still share the one
-            # cached copy; at worst a concurrent broadcast job computes
-            # a partition twice, never a different value.
-            .localCheckpoint(eager=False)
+            # EAGER for the float ranks: each round's frame has two
+            # consumers (the next round's dangling broadcast and its
+            # contribs join). A lazy checkpoint would let those jobs
+            # race to compute a partition, and F.sum over doubles is
+            # shuffle-fetch-order nondeterministic — two ulp-divergent
+            # copies of "the same" ranks could then feed one round (a
+            # boundary value at the 6-dp round could flip). The eager
+            # action guarantees exactly one copy ever exists; the
+            # integer-labeled CC loops above don't need this.
+            .localCheckpoint(eager=True)
         )
     if decimals is not None:
         ranks = ranks.select("node", F.round("rank", decimals).alias("rank"))

@@ -1066,12 +1066,11 @@ def ivf_assign_two_level(
             )
         else:
             spark = df.sparkSession
+            from ..partitioning import local_df
+
             cent_rows = [(i, c) for i, c in enumerate(super_cents)]
-            # one slice: n_super rows; a default-parallelism local
-            # relation costs ~0.8 s per consuming broadcast exchange
-            cent_df = spark.createDataFrame(
-                spark.sparkContext.parallelize(cent_rows, 1),
-                "__super int, __cent array<double>",
+            cent_df = local_df(
+                spark, cent_rows, "__super int, __cent array<double>"
             )
             # residual = v − c_super(v): broadcast the n_super-row
             # centroid table; the corpus never shuffles
@@ -1286,20 +1285,26 @@ def project_embeddings(
     # on EVERY run (dim·out_dim=1024 terms), so it always paid a
     # failed-compile attempt plus interpreted eval of dim·out_dim
     # whole-array casts per row — measured ~3x this form on the same
-    # data. slice(…, 1, dim) pins the read window to the inferred dim
-    # (zip_with would otherwise null-pad AGAINST a longer vector).
+    # data. The cast+slice is HOISTED into its own projection so the
+    # interpreted HOFs (no codegen subexpression elimination) pay it
+    # once per row, not once per coordinate; slice(…, 1, dim) pins the
+    # read window to the inferred dim (zip_with would otherwise
+    # null-pad AGAINST a longer vector).
+    vd = df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("__vd"),
+    )
     outs = []
     for j in range(out_dim):
         sgn = F.array(*[F.lit(float(s)) for s in signs[j]])
-        vd = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
-        terms = F.zip_with(sgn, vd, lambda s, x: s * x)
+        terms = F.zip_with(sgn, F.col("__vd"), lambda s, x: s * x)
         coord = F.aggregate(
             F.slice(terms, 2, max(dim - 1, 0)),
             F.element_at(terms, 1),
             lambda acc, x: acc + x,
         )
         outs.append(F.round(coord * F.lit(scale), decimals))
-    return df.select(F.col(id_col), F.array(*outs).alias("proj"))
+    return vd.select(F.col(id_col), F.array(*outs).alias("proj"))
 
 
 def project_embeddings_pandas(

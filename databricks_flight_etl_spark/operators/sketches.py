@@ -90,13 +90,10 @@ def cms_estimate(
     """Point estimates for ``terms``: (term, est) where est = min over
     the term's d cells (0 if any cell is empty). The terms table is
     tiny and broadcast; the sketch is at most depth·width rows."""
+    from ..partitioning import local_df
+
     spark = sketch.sparkSession
-    # one slice: a default-parallelism local relation makes every
-    # consuming exchange drain 32 Python-payload partitions
-    t = spark.createDataFrame(
-        spark.sparkContext.parallelize([(x,) for x in terms], 1),
-        "term string",
-    )
+    t = local_df(spark, [(x,) for x in terms], "term string")
     probes = t.select(
         "term",
         F.explode(

@@ -12,9 +12,10 @@ already arrive pre-split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import types as T
 
-__all__ = ["spread"]
+__all__ = ["spread", "local_df"]
 
 
 def spread(df: DataFrame, *keys: Column | str) -> DataFrame:
@@ -44,3 +45,25 @@ def spread(df: DataFrame, *keys: Column | str) -> DataFrame:
     if keys:
         return df.repartition(target, *keys)
     return df.repartition(target)
+
+
+def local_df(spark: SparkSession, rows, schema: str | T.StructType):
+    """Driver-side rows → DataFrame with SIZE-AWARE slicing (round-11).
+
+    Plain ``createDataFrame(list)`` parallelizes even a 6-row table
+    across ``defaultParallelism`` Python-payload partitions, and every
+    consuming exchange drains ALL of them through Python workers —
+    measured ~0.8 s per broadcast of a tiny stop list, and ~4.5 s when
+    a ``coalesce(1)`` write forced one task to drain 32 sequentially.
+    Tiny tables (stop lists, sketch probe terms, centroid tables,
+    report spines) therefore get ONE slice; large driver lists (the
+    gated ≤1M-edge union-find labels) keep enough slices that
+    downstream jobs stay parallel (~100k rows per slice, capped at
+    ``defaultParallelism``).
+    """
+    rows = rows if isinstance(rows, list) else list(rows)
+    sc = spark.sparkContext
+    if not rows:
+        return spark.createDataFrame([], schema)
+    slices = max(1, min(sc.defaultParallelism, len(rows) // 100_000))
+    return spark.createDataFrame(sc.parallelize(rows, slices), schema)
