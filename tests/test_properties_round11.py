@@ -87,24 +87,27 @@ def test_stops_supplied_query_adds_no_extra_persist(spark):
     in strictly BELOW the inline max_df twin's."""
     import __spark_entry__ as entry
 
-    def leak_delta(qname):
-        # quiesce the async ContextCleaner before opening the count
-        # window: persisted RDDs left by EARLIER tests in a shared
-        # session are unpersisted asynchronously when their Python
-        # refs die, and a cleanup landing inside the window deflates
-        # `after - before` (seen as a suite-order-dependent flake)
-        import gc
-        import time
+    def persistent_ids():
+        return {
+            int(i)
+            for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
 
+    def leak_delta(qname):
+        # count NEWLY-ADDED persistent RDD ids (set difference), not
+        # the global size delta: persisted RDDs left by EARLIER tests
+        # in the shared session are unpersisted asynchronously by the
+        # ContextCleaner when their Python refs die, and a cleanup
+        # landing inside a size-based window deflates `after - before`
+        # (a suite-order-dependent flake seen twice in round 11 —
+        # a GC-quiesce before the window was not enough). Added-id
+        # counting is immune to concurrent removals of old RDDs.
         spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(1.0)
-        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        before = persistent_ids()
         entry.queries()[qname](spark, "/root/testdata/sf0.001").count()
-        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        added = len(persistent_ids() - before)
         spark.catalog.clearCache()
-        return after - before
+        return added
 
     inline = leak_delta("q_minhash_stopshingle")
     supplied = leak_delta("q_minhash_stops_supplied")
