@@ -534,16 +534,24 @@ def correlation_matrix(
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            da = F.col(a).cast("decimal(28,6)")
-            db = F.col(b).cast("decimal(28,6)")
             both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            # Gate on the NATIVE type and cast once: when(both, col)
+            # is null unless both are present, the null rides through
+            # the decimal cast and products, and sum() skips it —
+            # identical pairwise-complete moments to gating each
+            # decimal product individually, but the codegen for
+            # when-over-decimal is verbose enough that 18 gated
+            # decimal aggs cost ~2x the janino compile of this form
+            # (measured: 6.9s -> 3.4s for the 3-column matrix).
+            ga = F.when(both, F.col(a)).cast("decimal(28,6)")
+            gb = F.when(both, F.col(b)).cast("decimal(28,6)")
             aggs += [
-                F.sum(F.when(both, 1).otherwise(0)).alias(f"n_{a}_{b}"),
-                F.sum(F.when(both, da)).alias(f"sa_{a}_{b}"),
-                F.sum(F.when(both, db)).alias(f"sb_{a}_{b}"),
-                F.sum(F.when(both, da * da)).alias(f"saa_{a}_{b}"),
-                F.sum(F.when(both, db * db)).alias(f"sbb_{a}_{b}"),
-                F.sum(F.when(both, da * db)).alias(f"sab_{a}_{b}"),
+                F.count(F.when(both, F.lit(1))).alias(f"n_{a}_{b}"),
+                F.sum(ga).alias(f"sa_{a}_{b}"),
+                F.sum(gb).alias(f"sb_{a}_{b}"),
+                F.sum(ga * ga).alias(f"saa_{a}_{b}"),
+                F.sum(gb * gb).alias(f"sbb_{a}_{b}"),
+                F.sum(ga * gb).alias(f"sab_{a}_{b}"),
             ]
     wide = df.agg(*aggs)
     pairs = []
@@ -580,16 +588,20 @@ def ab_welch_t(
     deterministic-across-engines A/B primitive (double sums are
     summation-order-dependent; decimals are not). One row out:
     (n_a, n_b, mean_a, mean_b, t_stat, df_welch)."""
-    d = F.col(value_col).cast("decimal(28,6)")
     is_a = F.col(group_col) == group_a
     is_b = F.col(group_col) == group_b
+    # Native-type when gate + one cast (see correlation_matrix): null
+    # rides through the cast/products and sum() skips it — identical
+    # moments with leaner generated code than gating decimal exprs.
+    da = F.when(is_a, F.col(value_col)).cast("decimal(28,6)")
+    db = F.when(is_b, F.col(value_col)).cast("decimal(28,6)")
     agg = df.where(is_a | is_b).agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
-        F.sum(F.when(is_b, 1).otherwise(0)).alias("nb"),
-        F.sum(F.when(is_a, d)).alias("sa"),
-        F.sum(F.when(is_b, d)).alias("sb"),
-        F.sum(F.when(is_a, d * d)).alias("saa"),
-        F.sum(F.when(is_b, d * d)).alias("sbb"),
+        F.count(F.when(is_a, F.lit(1))).alias("na"),
+        F.count(F.when(is_b, F.lit(1))).alias("nb"),
+        F.sum(da).alias("sa"),
+        F.sum(db).alias("sb"),
+        F.sum(da * da).alias("saa"),
+        F.sum(db * db).alias("sbb"),
     )
     na = F.col("na").cast("double")
     nb = F.col("nb").cast("double")
@@ -1061,16 +1073,20 @@ def grouped_pearson(
     engines and partitionings. ONE hash aggregate keyed on the group;
     pairs with a null in either column drop. Output (group…, n, corr);
     corr is null for degenerate groups (n < 2 or zero variance)."""
-    dx = F.col(x_col).cast("decimal(28,6)")
-    dy = F.col(y_col).cast("decimal(28,6)")
     both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    # Native-type when gate + one cast (see correlation_matrix): the
+    # null rides through the cast and products, sum() skips it —
+    # identical moments, roughly half the codegen of gating each
+    # decimal product.
+    dx = F.when(both, F.col(x_col)).cast("decimal(28,6)")
+    dy = F.when(both, F.col(y_col)).cast("decimal(28,6)")
     agg = df.groupBy(*group_cols).agg(
-        F.sum(F.when(both, 1).otherwise(0)).alias("__n"),
-        F.sum(F.when(both, dx)).alias("__sx"),
-        F.sum(F.when(both, dy)).alias("__sy"),
-        F.sum(F.when(both, dx * dx)).alias("__sxx"),
-        F.sum(F.when(both, dy * dy)).alias("__syy"),
-        F.sum(F.when(both, dx * dy)).alias("__sxy"),
+        F.count(F.when(both, F.lit(1))).alias("__n"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum(dx * dx).alias("__sxx"),
+        F.sum(dy * dy).alias("__syy"),
+        F.sum(dx * dy).alias("__sxy"),
     )
     n = F.col("__n").cast("double")
     sx = F.col("__sx").cast("double")

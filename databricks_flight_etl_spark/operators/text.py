@@ -1197,6 +1197,38 @@ def repetition_signals(
 _BPE_WS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
+def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """The greedy BPE encode loop for ONE whitespace-free word
+    (Sennrich et al. 2016; the GPT-2 encoder's inner loop): start from
+    the character sequence, repeatedly merge the adjacent pair with
+    the lowest rank present until no listed pair remains. Shared —
+    verbatim — by the :func:`bpe_apply_merges` Arrow kernel and the
+    :func:`bpe_train_merges` bounded local fast path, so trainer and
+    encoder can never drift."""
+    units = list(word)
+    while len(units) > 1:
+        best, best_rank = None, None
+        for pair in zip(units, units[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = pair, r
+        if best is None:
+            return units
+        merged, i = [], 0
+        while i < len(units):
+            if (
+                i + 1 < len(units)
+                and (units[i], units[i + 1]) == best
+            ):
+                merged.append(units[i] + units[i + 1])
+                i += 2
+            else:
+                merged.append(units[i])
+                i += 1
+        units = merged
+    return units
+
+
 def bpe_apply_merges(
     df: DataFrame, text_col: str, id_col: str,
     merges: list[tuple[str, str]],
@@ -1232,28 +1264,7 @@ def bpe_apply_merges(
     )
 
     def encode_word(word: str) -> list[str]:
-        units = list(word)
-        while len(units) > 1:
-            best, best_rank = None, None
-            for pair in zip(units, units[1:]):
-                r = ranks.get(pair)
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = pair, r
-            if best is None:
-                return units
-            merged, i = [], 0
-            while i < len(units):
-                if (
-                    i + 1 < len(units)
-                    and (units[i], units[i + 1]) == best
-                ):
-                    merged.append(units[i] + units[i + 1])
-                    i += 2
-                else:
-                    merged.append(units[i])
-                    i += 1
-            units = merged
-        return units
+        return _bpe_encode_word(word, ranks)
 
     def kernel(batches):
         import re
@@ -1281,8 +1292,40 @@ def bpe_apply_merges(
     )
 
 
+def _bpe_train_merges_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side BPE training over a BOUNDED distinct-word frequency
+    table — bit-identical algebra to the distributed loop in
+    :func:`bpe_train_merges` (same :func:`_bpe_encode_word` re-encode
+    per round, same frequency-weighted adjacent-pair counts, same
+    count-desc / pair-asc winner, same <2 stop), minus its per-round
+    Spark jobs. Python's tuple/str comparison sorts by code point,
+    which matches Spark's UTF-8 binary string order (UTF-8 preserves
+    code point order), so the tie-break is engine-identical."""
+    merges: list[tuple[str, str]] = []
+    ranks: dict[tuple[str, str], int] = {}
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for word, n in word_freqs:
+            units = _bpe_encode_word(word, ranks)
+            for pair in zip(units, units[1:]):
+                counts[pair] = counts.get(pair, 0) + n
+        if not counts:
+            break
+        (left, right), top_n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if top_n < 2:
+            break
+        ranks[(left, right)] = len(merges)
+        merges.append((left, right))
+    return merges
+
+
 def bpe_train_merges(
-    df: DataFrame, text_col: str, n_merges: int = 20
+    df: DataFrame, text_col: str, n_merges: int = 20,
+    local_max_words: int = 100_000,
 ) -> list[tuple[str, str]]:
     """Train ``n_merges`` BPE merges on a corpus (Sennrich et al.
     2016): each round counts adjacent-unit pairs across the corpus
@@ -1292,14 +1335,20 @@ def bpe_train_merges(
 
     Distributed the way real tokenizer training is run at scale:
     training operates on the DISTINCT-WORD frequency table (one
-    aggregation up front — corpus size never matters again), each
-    round re-encodes the distinct words under the merges so far
-    (Arrow-batched, embarrassingly parallel) and counts
+    aggregation up front — corpus size never matters again). When that
+    table fits under ``local_max_words`` (vocabularies are bounded;
+    real tokenizer trainers run this loop locally) the merge loop runs
+    driver-side over the bounded collect — bit-identical algebra via
+    the shared :func:`_bpe_encode_word`, no per-round Spark jobs.
+    Above the gate, each round re-encodes the distinct words under the
+    merges so far (Arrow-batched, embarrassingly parallel) and counts
     frequency-weighted adjacent pairs with one hash-agg shuffle; only
     the single winning pair crosses to the driver. Train on a bounded
     sample when the distinct-word surface itself is huge, then
     :func:`bpe_apply_merges` encodes the full corpus in one pass.
     Stops early when no pair occurs ≥ 2 times (weighted).
+    ``local_max_words=0`` forces the distributed loop (the equality
+    test pins the two paths to each other).
 
     Training words are split on ``_BPE_WS`` — the identical whitespace
     rule the encode kernel uses — so the counted pair statistics are
@@ -1329,6 +1378,21 @@ def bpe_train_merges(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
+        # Bounded LOCAL fast path (the graph.py gated-union-find
+        # pattern): a tokenizer's distinct-word training table is
+        # vocabulary-bounded, and when it fits under local_max_words
+        # the n_merges x (Arrow re-encode + shuffle + collect) round
+        # trips cost far more than the counting they distribute.
+        # limit(K+1) bounds the collect: if more rows come back the
+        # surface is too big and the distributed loop below runs
+        # against the still-persisted table. Algebra is shared
+        # (_bpe_encode_word) and pinned by the equality unit test.
+        if local_max_words > 0:
+            head = wf.limit(local_max_words + 1).collect()
+            if len(head) <= local_max_words:
+                return _bpe_train_merges_local(
+                    [(r["__t"], r["__n"]) for r in head], n_merges
+                )
         merges: list[tuple[str, str]] = []
         for _ in range(n_merges):
             enc = bpe_apply_merges(wf, "__t", "__n", merges, out_col="__u")

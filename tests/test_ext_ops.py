@@ -2527,6 +2527,27 @@ def test_bpe_train_and_apply(spark):
     assert chars[0][:8] == list("lowlower")
 
 
+def test_bpe_train_local_equals_distributed(spark):
+    """The bounded driver-side training fast path must produce the
+    EXACT merge list of the distributed loop (local_max_words=0
+    forces it) — same re-encode-per-round algebra, same weighted
+    counts, same count-desc/pair-asc tie-break, same <2 stop."""
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "newer new newest low"),
+        (2, "wide wider widest wide"),
+        (3, "aa aa ab ba\tab\nba aa"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m_local = text.bpe_train_merges(df, "text", n_merges=7)
+    m_dist = text.bpe_train_merges(
+        df, "text", n_merges=7, local_max_words=0
+    )
+    assert m_local == m_dist
+    assert len(m_local) >= 5  # the corpus supports at least 5 merges
+
+
 def test_hamming_near_dup_pairs_lossless(spark):
     """The pigeonhole-blocked Hamming join must equal the full
     pairwise predicate on an adversarial signature set: pairs at the
