@@ -546,7 +546,11 @@ def correlation_matrix(
             ga = F.when(both, F.col(a)).cast("decimal(28,6)")
             gb = F.when(both, F.col(b)).cast("decimal(28,6)")
             aggs += [
-                F.count(F.when(both, F.lit(1))).alias(f"n_{a}_{b}"),
+                # count stays the original sum-of-int form: when+int
+                # codegen is cheap (the compile cost was when+decimal)
+                # and sum yields NULL on empty input exactly like the
+                # oracle's sum(CASE...) — count() would return 0.
+                F.sum(F.when(both, 1).otherwise(0)).alias(f"n_{a}_{b}"),
                 F.sum(ga).alias(f"sa_{a}_{b}"),
                 F.sum(gb).alias(f"sb_{a}_{b}"),
                 F.sum(ga * ga).alias(f"saa_{a}_{b}"),
@@ -596,8 +600,10 @@ def ab_welch_t(
     da = F.when(is_a, F.col(value_col)).cast("decimal(28,6)")
     db = F.when(is_b, F.col(value_col)).cast("decimal(28,6)")
     agg = df.where(is_a | is_b).agg(
-        F.count(F.when(is_a, F.lit(1))).alias("na"),
-        F.count(F.when(is_b, F.lit(1))).alias("nb"),
+        # sum-of-int, not count(): NULL on empty filtered input like
+        # the oracle's sum(CASE...); when+int codegen is cheap.
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("nb"),
         F.sum(da).alias("sa"),
         F.sum(db).alias("sb"),
         F.sum(da * da).alias("saa"),
@@ -1081,7 +1087,10 @@ def grouped_pearson(
     dx = F.when(both, F.col(x_col)).cast("decimal(28,6)")
     dy = F.when(both, F.col(y_col)).cast("decimal(28,6)")
     agg = df.groupBy(*group_cols).agg(
-        F.count(F.when(both, F.lit(1))).alias("__n"),
+        # sum-of-int, not count(): matches the oracle's sum(CASE...)
+        # shape (equal within any non-empty group; kept for parity
+        # with the global-agg variants where empty input differs).
+        F.sum(F.when(both, 1).otherwise(0)).alias("__n"),
         F.sum(dx).alias("__sx"),
         F.sum(dy).alias("__sy"),
         F.sum(dx * dx).alias("__sxx"),
