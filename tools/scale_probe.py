@@ -624,6 +624,16 @@ def main() -> None:
         # the cost/benefit of the precomputed path at the scale that
         # motivated it.
         "minhash_stops_supplied": lambda d, v: _minhash_stops_supplied(d),
+        # BPE training reads the DISTINCT-WORD frequency table, so its
+        # cost is vocabulary-bounded, not corpus-bounded: the probe's
+        # claim is ~flat time as the corpus grows (the one corpus-size
+        # job is the up-front word-frequency aggregation). The bounded
+        # local fast path (round-11) takes over whenever the distinct
+        # words fit 100k — which any natural-language vocabulary does;
+        # the 'rows' printed is the learned merge count.
+        "bpe_train": lambda d, v: len(
+            text.bpe_train_merges(d, "text", n_merges=8)
+        ),
     }
 
     if only:
