@@ -380,6 +380,66 @@ def test_rank_normalize_and_corr_matrix(spark):
     assert math.isclose(corr[("b", "c")], -1.0, abs_tol=1e-9)
 
 
+def test_corr_matrix_pairwise_complete_nulls(spark):
+    """Pairwise-complete null semantics pinned against a pure-Python
+    reference: a row drops from a PAIR's moments iff either of that
+    pair's columns is null there — other pairs still use it. Guards
+    the round-11 native-when-gate rewrite (null must ride through the
+    decimal cast and products into the null-skipping sums)."""
+    import math
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        correlation_matrix,
+    )
+
+    rows = [
+        (1.0, 2.0, None),
+        (2.0, None, 5.0),
+        (3.0, 5.0, 1.0),
+        (None, 7.0, 2.0),
+        (5.0, 11.0, 4.0),
+        (6.0, 13.0, None),
+        (7.0, 17.0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           correlation_matrix(df, ["a", "b", "c"], decimals=9).collect()}
+
+    def ref(i, j):
+        xs = [(r[i], r[j]) for r in rows
+              if r[i] is not None and r[j] is not None]
+        n = len(xs)
+        sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    for (pa, pb), (i, j) in {("a", "b"): (0, 1), ("a", "c"): (0, 2),
+                             ("b", "c"): (1, 2)}.items():
+        assert math.isclose(got[(pa, pb)], round(ref(i, j), 9),
+                            abs_tol=1e-9), (pa, pb)
+
+
+def test_ab_welch_null_values_count_in_n(spark):
+    """The certified (and oracle-replayed) quirk: group counts n_a/n_b
+    include rows whose VALUE is null (the CASE counts by group only),
+    while the moment sums skip them — pinned so a refactor can't
+    silently 'fix' it out of oracle agreement."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ab_welch_t,
+    )
+
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("a", 4.0),
+            ("b", 2.0), ("b", 4.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = ab_welch_t(df, "g", "x", "a", "b").collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 3        # null rows counted
+    assert r["mean_a"] == 2.0                     # (1+3+4)/4, not /3
+    assert r["mean_b"] == 2.0                     # (2+4)/3
+
+
 def test_stratified_sample_n_balanced(spark):
     from pyspark.sql import functions as F
 
