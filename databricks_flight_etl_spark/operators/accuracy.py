@@ -531,52 +531,58 @@ def correlation_matrix(
     engines and partitionings (double summation order is not); the
     final formula is a handful of scalar double ops. Null handling:
     rows with a null in either column drop from that PAIR only."""
+    # Internal aliases are keyed by PAIR INDEX, not by the column
+    # names: f"n_{a}_{b}" collides for underscore-bearing names
+    # (("x_y","z") and ("x","y_z") both render n_x_y_z → ambiguous
+    # reference). The pair list is materialized once so the agg and
+    # formula loops agree on the numbering.
+    pair_list = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
     aggs = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            both = F.col(a).isNotNull() & F.col(b).isNotNull()
-            # Gate on the NATIVE type and cast once: when(both, col)
-            # is null unless both are present, the null rides through
-            # the decimal cast and products, and sum() skips it —
-            # identical pairwise-complete moments to gating each
-            # decimal product individually, but the codegen for
-            # when-over-decimal is verbose enough that 18 gated
-            # decimal aggs cost ~2x the janino compile of this form
-            # (measured: 6.9s -> 3.4s for the 3-column matrix).
-            ga = F.when(both, F.col(a)).cast("decimal(28,6)")
-            gb = F.when(both, F.col(b)).cast("decimal(28,6)")
-            aggs += [
-                # count stays the original sum-of-int form: when+int
-                # codegen is cheap (the compile cost was when+decimal)
-                # and sum yields NULL on empty input exactly like the
-                # oracle's sum(CASE...) — count() would return 0.
-                F.sum(F.when(both, 1).otherwise(0)).alias(f"n_{a}_{b}"),
-                F.sum(ga).alias(f"sa_{a}_{b}"),
-                F.sum(gb).alias(f"sb_{a}_{b}"),
-                F.sum(ga * ga).alias(f"saa_{a}_{b}"),
-                F.sum(gb * gb).alias(f"sbb_{a}_{b}"),
-                F.sum(ga * gb).alias(f"sab_{a}_{b}"),
-            ]
+    for k, (a, b) in enumerate(pair_list):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        # Gate on the NATIVE type and cast once: when(both, col)
+        # is null unless both are present, the null rides through
+        # the decimal cast and products, and sum() skips it —
+        # identical pairwise-complete moments to gating each
+        # decimal product individually, but the codegen for
+        # when-over-decimal is verbose enough that 18 gated
+        # decimal aggs cost ~2x the janino compile of this form
+        # (measured: 6.9s -> 3.4s for the 3-column matrix).
+        ga = F.when(both, F.col(a)).cast("decimal(28,6)")
+        gb = F.when(both, F.col(b)).cast("decimal(28,6)")
+        aggs += [
+            # count stays the original sum-of-int form: when+int
+            # codegen is cheap (the compile cost was when+decimal)
+            # and sum yields NULL on empty input exactly like the
+            # oracle's sum(CASE...) — count() would return 0.
+            F.sum(F.when(both, 1).otherwise(0)).alias(f"n_{k}"),
+            F.sum(ga).alias(f"sa_{k}"),
+            F.sum(gb).alias(f"sb_{k}"),
+            F.sum(ga * ga).alias(f"saa_{k}"),
+            F.sum(gb * gb).alias(f"sbb_{k}"),
+            F.sum(ga * gb).alias(f"sab_{k}"),
+        ]
     wide = df.agg(*aggs)
     pairs = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            n = F.col(f"n_{a}_{b}").cast("double")
-            sa = F.col(f"sa_{a}_{b}").cast("double")
-            sb = F.col(f"sb_{a}_{b}").cast("double")
-            saa = F.col(f"saa_{a}_{b}").cast("double")
-            sbb = F.col(f"sbb_{a}_{b}").cast("double")
-            sab = F.col(f"sab_{a}_{b}").cast("double")
-            corr = (n * sab - sa * sb) / (
-                F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    for k, (a, b) in enumerate(pair_list):
+        n = F.col(f"n_{k}").cast("double")
+        sa = F.col(f"sa_{k}").cast("double")
+        sb = F.col(f"sb_{k}").cast("double")
+        saa = F.col(f"saa_{k}").cast("double")
+        sbb = F.col(f"sbb_{k}").cast("double")
+        sab = F.col(f"sab_{k}").cast("double")
+        corr = (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+        pairs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(corr, decimals).alias("corr"),
             )
-            pairs.append(
-                F.struct(
-                    F.lit(a).alias("col_a"),
-                    F.lit(b).alias("col_b"),
-                    F.round(corr, decimals).alias("corr"),
-                )
-            )
+        )
     return (
         wide.select(F.explode(F.array(*pairs)).alias("p"))
         .select("p.col_a", "p.col_b", "p.corr")

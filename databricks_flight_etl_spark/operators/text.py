@@ -1197,6 +1197,23 @@ def repetition_signals(
 _BPE_WS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
+def _bpe_merge_pair(units: list[str], best: tuple[str, str]) -> list[str]:
+    """One left-to-right non-overlapping sweep merging every
+    occurrence of ``best`` in ``units`` — the single-merge step both
+    the greedy encoder and the incremental local trainer use, so the
+    two can never drift on sweep semantics ("aaa" + ("a","a") →
+    ["aa","a"])."""
+    merged, i = [], 0
+    while i < len(units):
+        if i + 1 < len(units) and (units[i], units[i + 1]) == best:
+            merged.append(units[i] + units[i + 1])
+            i += 2
+        else:
+            merged.append(units[i])
+            i += 1
+    return merged
+
+
 def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
     """The greedy BPE encode loop for ONE whitespace-free word
     (Sennrich et al. 2016; the GPT-2 encoder's inner loop): start from
@@ -1214,18 +1231,7 @@ def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
                 best, best_rank = pair, r
         if best is None:
             return units
-        merged, i = [], 0
-        while i < len(units):
-            if (
-                i + 1 < len(units)
-                and (units[i], units[i + 1]) == best
-            ):
-                merged.append(units[i] + units[i + 1])
-                i += 2
-            else:
-                merged.append(units[i])
-                i += 1
-        units = merged
+        units = _bpe_merge_pair(units, best)
     return units
 
 
@@ -1296,30 +1302,44 @@ def _bpe_train_merges_local(
     word_freqs: list[tuple[str, int]], n_merges: int
 ) -> list[tuple[str, str]]:
     """Driver-side BPE training over a BOUNDED distinct-word frequency
-    table — bit-identical algebra to the distributed loop in
-    :func:`bpe_train_merges` (same :func:`_bpe_encode_word` re-encode
-    per round, same frequency-weighted adjacent-pair counts, same
-    count-desc / pair-asc winner, same <2 stop), minus its per-round
-    Spark jobs. Python's tuple/str comparison sorts by code point,
-    which matches Spark's UTF-8 binary string order (UTF-8 preserves
-    code point order), so the tie-break is engine-identical."""
+    table — bit-identical results to the distributed loop in
+    :func:`bpe_train_merges` (same frequency-weighted adjacent-pair
+    counts, same count-desc / pair-asc winner, same <2 stop), minus
+    its per-round Spark jobs. Each word's unit list is cached and
+    advanced by ONE :func:`_bpe_merge_pair` sweep per learned merge
+    instead of re-encoded from scratch: for ranks a trainer built
+    itself every merge's operands are constructible from strictly
+    lower ranks, so rank-order application equals the greedy
+    lowest-rank-first re-encode (the equality test pins it against
+    the distributed from-scratch loop). Python's tuple/str comparison
+    sorts by code point, which matches Spark's UTF-8 binary string
+    order (UTF-8 preserves code point order), so the tie-break is
+    engine-identical."""
     merges: list[tuple[str, str]] = []
-    ranks: dict[tuple[str, str], int] = {}
+    # Unit lists are CACHED and advanced one merge per round instead
+    # of re-encoded from scratch: for ranks a trainer built itself,
+    # every merge's operands are constructible from strictly lower
+    # ranks (they existed when it was learned), so applying the newest
+    # merge to last round's state equals the full greedy re-encode —
+    # the equality test vs the distributed from-scratch loop pins it.
+    state = [[list(word), n] for word, n in word_freqs]
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
-        for word, n in word_freqs:
-            units = _bpe_encode_word(word, ranks)
+        for units, n in state:
             for pair in zip(units, units[1:]):
                 counts[pair] = counts.get(pair, 0) + n
         if not counts:
             break
-        (left, right), top_n = min(
+        best, top_n = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
         if top_n < 2:
             break
-        ranks[(left, right)] = len(merges)
-        merges.append((left, right))
+        merges.append(best)
+        for entry in state:
+            units = entry[0]
+            if len(units) > 1:
+                entry[0] = _bpe_merge_pair(units, best)
     return merges
 
 
@@ -1383,15 +1403,17 @@ def bpe_train_merges(
         # vocabulary-bounded, and when it fits under local_max_words
         # the n_merges x (Arrow re-encode + shuffle + collect) round
         # trips cost far more than the counting they distribute.
-        # limit(K+1) bounds the collect: if more rows come back the
-        # surface is too big and the distributed loop below runs
-        # against the still-persisted table. Algebra is shared
-        # (_bpe_encode_word) and pinned by the equality unit test.
+        # The size PROBE is a limit(K+1).count() — no word payload
+        # crosses to the driver just to learn "too big"; the collect
+        # below it reads the already-persisted table, so the second
+        # action on the small path is a cache scan. Algebra is shared
+        # (_bpe_merge_pair/_bpe_encode_word) and pinned by the
+        # equality unit test.
         if local_max_words > 0:
-            head = wf.limit(local_max_words + 1).collect()
-            if len(head) <= local_max_words:
+            if wf.limit(local_max_words + 1).count() <= local_max_words:
                 return _bpe_train_merges_local(
-                    [(r["__t"], r["__n"]) for r in head], n_merges
+                    [(r["__t"], r["__n"]) for r in wf.collect()],
+                    n_merges,
                 )
         merges: list[tuple[str, str]] = []
         for _ in range(n_merges):

@@ -2538,11 +2538,19 @@ def test_bpe_train_local_equals_distributed(spark):
         (2, "wide wider widest wide"),
         (3, "aa aa ab ba\tab\nba aa"),
         (4, "solo"),
+        # overlap/repeat stress: the incremental local loop advances
+        # cached unit lists one sweep per merge, and these words are
+        # where a sweep-semantics drift vs the from-scratch greedy
+        # re-encode would show (non-overlapping "aaaa"→[aa,aa],
+        # "aaa"→[aa,a], self-adjacent learned units)
+        (5, "aaaa aaaa aaa aaaaa"),
+        (6, "xyxy xyxyxy yxyx"),
+        (7, "aaaa aab baa aba"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    m_local = text.bpe_train_merges(df, "text", n_merges=7)
+    m_local = text.bpe_train_merges(df, "text", n_merges=10)
     m_dist = text.bpe_train_merges(
-        df, "text", n_merges=7, local_max_words=0
+        df, "text", n_merges=10, local_max_words=0
     )
     assert m_local == m_dist
     assert len(m_local) >= 5  # the corpus supports at least 5 merges

@@ -422,6 +422,27 @@ def test_corr_matrix_pairwise_complete_nulls(spark):
                             abs_tol=1e-9), (pa, pb)
 
 
+def test_corr_matrix_underscore_names_no_alias_collision(spark):
+    """Column names containing underscores must not collide in the
+    internal moment aliases: ("x_y","z") and ("x","y_z") both rendered
+    n_x_y_z under the old name-keyed scheme (ambiguous reference);
+    aliases are keyed by pair index now."""
+    import math
+
+    from databricks_flight_etl_spark.operators.accuracy import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i, float(-i), 3.0 * i + 1) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "x_y double, z double, x double, y_z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           correlation_matrix(df, ["x_y", "z", "x", "y_z"]).collect()}
+    assert len(got) == 6
+    assert math.isclose(got[("x_y", "z")], 1.0, abs_tol=1e-9)
+    assert math.isclose(got[("x", "y_z")], -1.0, abs_tol=1e-9)
+
+
 def test_ab_welch_null_values_count_in_n(spark):
     """The certified (and oracle-replayed) quirk: group counts n_a/n_b
     include rows whose VALUE is null (the CASE counts by group only),
