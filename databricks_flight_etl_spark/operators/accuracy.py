@@ -683,7 +683,16 @@ def spearman_corr(
     for ties — rank granularity 0.5, exact in decimal), each column's
     midranks from its value histogram (cumulative counts — never a
     global row sort), moments folded as exact decimals. Deterministic
-    across engines; one row: (rho, n)."""
+    across engines; one row: (rho, n).
+
+    Null semantics, pinned: each column is ranked over ITS OWN
+    non-null population, then the Pearson step keeps complete cases —
+    so with one-sided nulls the ranks are computed on a superset of
+    the correlated rows (cheaper: one histogram per column, reusable
+    across pairs). Classic pairwise-deletion Spearman would re-rank
+    within the complete-case subset; on null-free columns (the
+    certified lineitem pair) the two definitions coincide. The oracle
+    replays this construction exactly."""
     from pyspark.sql import Window
 
     if col_a == col_b:
