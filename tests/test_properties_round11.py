@@ -223,3 +223,64 @@ def test_pipeline_reports_guard_profile(spark):
     rep3 = run_textprep_pipeline(docs, near_dup=False, **kw)
     assert rep3.guard_profile is None
     spark.catalog.clearCache()
+
+
+def test_bpe_incremental_equals_greedy_reencode_property():
+    """Hypothesis sweep for the round-11 incremental local trainer:
+    applying each learned merge as ONE sweep over cached unit lists
+    must equal training with a from-scratch greedy lowest-rank-first
+    re-encode every round (the distributed loop's construction). The
+    equivalence holds because every self-built merge's operands are
+    constructible from strictly lower ranks — random 2-char-alphabet
+    corpora maximize repeated/overlapping pairs, the regime where a
+    sweep-semantics drift would show. Pure Python: no Spark session."""
+    import pytest
+
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databricks_flight_etl_spark.operators.text import (
+        _bpe_encode_word,
+        _bpe_train_merges_local,
+    )
+
+    def train_reference(word_freqs, n_merges):
+        # from-scratch greedy re-encode per round — the distributed
+        # loop's algebra, transcribed
+        merges, ranks = [], {}
+        for _ in range(n_merges):
+            counts = {}
+            for w, n in word_freqs:
+                units = _bpe_encode_word(w, ranks)
+                for pair in zip(units, units[1:]):
+                    counts[pair] = counts.get(pair, 0) + n
+            if not counts:
+                break
+            best, top_n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if top_n < 2:
+                break
+            ranks[best] = len(merges)
+            merges.append(best)
+        return merges
+
+    corpus_strategy = st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=10),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(word_freqs=corpus_strategy,
+           n_merges=st.integers(min_value=1, max_value=12))
+    def run(word_freqs, n_merges):
+        assert (
+            _bpe_train_merges_local(word_freqs, n_merges)
+            == train_reference(word_freqs, n_merges)
+        )
+
+    run()
