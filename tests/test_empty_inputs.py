@@ -412,3 +412,42 @@ def test_empty_inputs_stops_supplied(spark):
         two, "text", "doc_id", threshold=0.8, stops=stops
     )
     assert pairs.count() == 1  # exact clones survive an empty exclusion
+
+
+def test_empty_inputs_round11_moment_aggs(spark):
+    """Round-11 native-when-gate rewrite: on an EMPTY (or fully
+    filtered) input the moment n-columns stay NULL like the oracle's
+    sum(CASE...) — the deliberate reason they remained sum-of-int
+    instead of count() — and the derived statistics come back null,
+    never a divide-by-zero error."""
+    from databricks_flight_etl_spark.operators.accuracy import (
+        ab_welch_t,
+        correlation_matrix,
+        grouped_pearson,
+    )
+
+    empty = spark.createDataFrame([], "g string, x double, y double")
+    corr = correlation_matrix(empty, ["x", "y"]).collect()
+    assert len(corr) == 1 and corr[0]["corr"] is None
+
+    w = ab_welch_t(empty, "g", "x", "a", "b").collect()[0]
+    assert w["n_a"] is None and w["t_stat"] is None
+
+    # bpe training on an empty corpus: no merges, either path
+    from databricks_flight_etl_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train_merges(edocs, "text", n_merges=3) == []
+    assert bpe_train_merges(
+        edocs, "text", n_merges=3, local_max_words=0
+    ) == []
+
+    # grouped variant: groups always have >= 1 row, so n is 0 only
+    # when every row has a null in the pair — corr null, no error
+    one_null = spark.createDataFrame(
+        [("a", None, 1.0)], "g string, x double, y double"
+    )
+    gp = grouped_pearson(one_null, ["g"], "x", "y").collect()[0]
+    assert gp["n"] == 0 and gp["corr"] is None
