@@ -92,6 +92,46 @@ def _stream_parts(spark: SparkSession, n: int = 4):
     return bounded_shuffle_partitions(spark, n)
 
 
+def _stage_parity_halves(df: DataFrame, key_col: str, root: str) -> str:
+    """Stage ``df`` as TWO single-file micro-batches (even/odd parity
+    of ``key_col``) under ``root`` with ONE write job: a 1-partition
+    partitionBy("__half") write produces both files in one task where
+    the old per-half coalesce(1) loop paid two jobs (~0.3-0.5 s of the
+    streaming twins' fixed floor each). even.parquet is copied before
+    odd.parquet so the file source's (mtime, path) ordering keeps the
+    even half as micro-batch 1 — and 'even' < 'odd' breaks any mtime
+    tie the same way. Parity preserves batch MEMBERSHIP exactly; the
+    consuming kernels (integer counts, exact-mode sketch pooling) are
+    value-order-insensitive within a batch, so the changed within-file
+    row order cannot move a certified value."""
+    import glob
+    import os
+    import shutil
+
+    tmp = f"{root}/tmp_halves"
+    (
+        df.withColumn(
+            "__half", F.pmod(F.col(key_col), F.lit(2)).cast("int")
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("__half")
+        .parquet(tmp)
+    )
+    stage = f"{root}/in"
+    os.makedirs(stage, exist_ok=True)
+    for half, name in ((0, "even"), (1, "odd")):
+        parts = glob.glob(f"{tmp}/__half={half}/part-*.parquet")
+        if not parts:
+            raise RuntimeError(
+                f"_stage_parity_halves: no rows with {key_col} % 2 == "
+                f"{half} — the harness tables always carry both "
+                f"parities, so an empty half means the wrong key_col"
+            )
+        shutil.copy(parts[0], f"{stage}/{name}.parquet")
+    return stage
+
+
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts projected to epoch microseconds (cross-engine-stable)."""
     return _t(spark, sf_dir, "events").select(
@@ -2652,8 +2692,6 @@ def q_streaming_quantile_sketch(spark, sf_dir):
     the replay the state reads out EXACTLY the batch type-1 quantiles
     — the same oracle as q_quantiles_exact, now certifying the
     incremental-fold path end-to-end."""
-    import glob
-    import shutil
     import tempfile
 
     from databricks_flight_etl_spark.operators.sketches import (
@@ -2666,20 +2704,7 @@ def q_streaming_quantile_sketch(spark, sf_dir):
     tune(spark)
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     root = tempfile.mkdtemp(prefix="flight_etl_smrl_")
-    stage = f"{root}/in"
-    for name, half in (
-        ("even", ev.where(F.col("event_id") % 2 == 0)),
-        ("odd", ev.where(F.col("event_id") % 2 == 1)),
-    ):
-        tmp = f"{root}/tmp_{name}"
-        half.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import os
-
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(
-            glob.glob(f"{tmp}/part-*.parquet")[0],
-            f"{stage}/{name}.parquet",
-        )
+    stage = _stage_parity_halves(ev, "event_id", root)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -5202,9 +5227,6 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     so after the replay the state reads out EXACTLY the batch word
     counts — the oracle — certifying the incremental fold end-to-end
     (replay-idempotence unit-tested like the MRL twin)."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from databricks_flight_etl_spark.streaming import (
@@ -5214,18 +5236,7 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     tune(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="flight_etl_shh_")
-    stage = f"{root}/in"
-    for name, half in (
-        ("even", docs.where(F.col("doc_id") % 2 == 0)),
-        ("odd", docs.where(F.col("doc_id") % 2 == 1)),
-    ):
-        tmp = f"{root}/tmp_{name}"
-        half.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(
-            glob.glob(f"{tmp}/part-*.parquet")[0],
-            f"{stage}/{name}.parquet",
-        )
+    stage = _stage_parity_halves(docs, "doc_id", root)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -5258,9 +5269,6 @@ def q_streaming_drift(spark, sf_dir):
     reference. Binning is pure IEEE double arithmetic (the q_histogram
     certification precedent), so the oracle replays bucket-for-bucket:
     the incremental fold is certified exactly, not rows-only."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from databricks_flight_etl_spark.streaming import (
@@ -5274,18 +5282,7 @@ def q_streaming_drift(spark, sf_dir):
         "event_id", "value"
     )
     root = tempfile.mkdtemp(prefix="flight_etl_sdrift_")
-    stage = f"{root}/in"
-    for name, half in (
-        ("even", purchases.where(F.col("event_id") % 2 == 0)),
-        ("odd", purchases.where(F.col("event_id") % 2 == 1)),
-    ):
-        tmp = f"{root}/tmp_{name}"
-        half.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(
-            glob.glob(f"{tmp}/part-*.parquet")[0],
-            f"{stage}/{name}.parquet",
-        )
+    stage = _stage_parity_halves(purchases, "event_id", root)
     stream = (
         spark.readStream.schema(purchases.schema)
         .option("maxFilesPerTrigger", "1")
