@@ -97,13 +97,20 @@ def _stage_parity_halves(df: DataFrame, key_col: str, root: str) -> str:
     of ``key_col``) under ``root`` with ONE write job: a 1-partition
     partitionBy("__half") write produces both files in one task where
     the old per-half coalesce(1) loop paid two jobs (~0.3-0.5 s of the
-    streaming twins' fixed floor each). even.parquet is copied before
-    odd.parquet so the file source's (mtime, path) ordering keeps the
-    even half as micro-batch 1 — and 'even' < 'odd' breaks any mtime
-    tie the same way. Parity preserves batch MEMBERSHIP exactly; the
-    consuming kernels (integer counts, exact-mode sketch pooling) are
-    value-order-insensitive within a batch, so the changed within-file
-    row order cannot move a certified value."""
+    streaming twins' fixed floor each). even.parquet gets an explicitly
+    EARLIER pinned mtime than odd.parquet (os.utime, 1 s apart) so the
+    file source's (mtime, path) ordering makes the even half
+    micro-batch 1 by contract rather than by copy-timing luck — two
+    back-to-back shutil.copy calls land microseconds apart, and
+    FileStreamSource's tie-break is not a documented guarantee. Parity
+    preserves batch MEMBERSHIP exactly (note pmod: negative odd keys
+    land in the odd half, where a raw `% 2 == 1` filter would drop
+    them); the consuming kernels (integer counts, exact-mode sketch
+    pooling) are value-order-insensitive within a batch, so the
+    changed within-file row order cannot move a certified value. Only
+    order-insensitive consumers should reuse this helper anyway — a
+    future order-SENSITIVE twin must assert on batch ids, not file
+    order."""
     import glob
     import os
     import shutil
@@ -124,11 +131,18 @@ def _stage_parity_halves(df: DataFrame, key_col: str, root: str) -> str:
         parts = glob.glob(f"{tmp}/__half={half}/part-*.parquet")
         if not parts:
             raise RuntimeError(
-                f"_stage_parity_halves: no rows with {key_col} % 2 == "
-                f"{half} — the harness tables always carry both "
-                f"parities, so an empty half means the wrong key_col"
+                f"_stage_parity_halves: no rows with pmod({key_col}, 2)"
+                f" == {half}. The harness tables always carry both "
+                f"parities, so this usually means the wrong key_col — "
+                f"but an all/mostly-NULL key (NULL parity rows land in "
+                f"__HIVE_DEFAULT_PARTITION__ and are excluded) or a "
+                f"tiny scale factor can also legitimately empty a half."
             )
         shutil.copy(parts[0], f"{stage}/{name}.parquet")
+    # Pin strictly increasing mtimes (even < odd) — see docstring.
+    base = os.stat(f"{stage}/even.parquet").st_mtime
+    os.utime(f"{stage}/even.parquet", (base, base))
+    os.utime(f"{stage}/odd.parquet", (base + 1, base + 1))
     return stage
 
 

@@ -1322,12 +1322,27 @@ def _bpe_train_merges_local(
     # ranks (they existed when it was learned), so applying the newest
     # merge to last round's state equals the full greedy re-encode —
     # the equality test vs the distributed from-scratch loop pins it.
+    #
+    # Counts are maintained INCREMENTALLY (classic trainer shape): one
+    # full counting pass up front builds pair counts plus an inverted
+    # pair -> {word index} occurrence map; each merge then re-sweeps
+    # ONLY the words that ever contained the winning pair, subtracting
+    # their old adjacent pairs and adding the post-merge ones. The old
+    # loop re-counted and re-swept every multi-unit word for every
+    # merge — O(vocab x n_merges) unit scans in the hot fast path
+    # (ADVICE r11). Integer add/subtract makes the maintained counts
+    # exactly the from-scratch recount; a merged pair cannot reappear
+    # (merging replaces two units with one CONCATENATED unit, so
+    # surviving units never become newly adjacent to each other), so
+    # popping its occurrence set is safe.
     state = [[list(word), n] for word, n in word_freqs]
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for i, (units, n) in enumerate(state):
+        for pair in zip(units, units[1:]):
+            counts[pair] = counts.get(pair, 0) + n
+            occ.setdefault(pair, set()).add(i)
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for units, n in state:
-            for pair in zip(units, units[1:]):
-                counts[pair] = counts.get(pair, 0) + n
         if not counts:
             break
         best, top_n = min(
@@ -1336,10 +1351,25 @@ def _bpe_train_merges_local(
         if top_n < 2:
             break
         merges.append(best)
-        for entry in state:
-            units = entry[0]
-            if len(units) > 1:
-                entry[0] = _bpe_merge_pair(units, best)
+        for i in sorted(occ.pop(best, ())):
+            units, n = state[i]
+            # occ is append-only per pair, so it may hold words whose
+            # best-occurrence was consumed by an earlier overlapping
+            # merge of the SAME pair sweep's predecessor rounds;
+            # membership check keeps the count algebra touch-free.
+            if best not in zip(units, units[1:]):
+                continue
+            for pair in zip(units, units[1:]):
+                left = counts[pair] - n
+                if left:
+                    counts[pair] = left
+                else:
+                    del counts[pair]
+            new_units = _bpe_merge_pair(units, best)
+            state[i][0] = new_units
+            for pair in zip(new_units, new_units[1:]):
+                counts[pair] = counts.get(pair, 0) + n
+                occ.setdefault(pair, set()).add(i)
     return merges
 
 

@@ -8,6 +8,7 @@ get a deterministic, UTC-pinned, AQE-enabled local session.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -70,6 +71,29 @@ def get_spark(
     """
     cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     driver_memory = driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    # Python workers are separate processes that do NOT inherit the
+    # driver's sys.path — a cloudpickled kernel that references this
+    # package fails to unpickle on the worker unless the repo root is
+    # on PYTHONPATH (only bites when the driver ran from a cwd other
+    # than the repo root). Must be set before JVM launch; on a real
+    # cluster this is --py-files / a wheel install instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pythonpath if pythonpath else "")
+        )
+    # Per-PROCESS scratch roots (env override kept). A fixed shared path
+    # plus derby's cwd metastore_db let two concurrent pytest sessions
+    # corrupt each other's managed tables (24 measured cross-talk
+    # failures); pid-suffixed defaults make concurrent runs disjoint
+    # while staying stable across getOrCreate() calls within a process.
+    scratch = os.path.join(tempfile.gettempdir(), f"flight_etl_{os.getpid()}")
+    warehouse = os.environ.get(
+        "SPARK_WAREHOUSE_DIR", os.path.join(scratch, "warehouse")
+    )
+    derby_home = os.environ.get("DERBY_SYSTEM_HOME", os.path.join(scratch, "derby"))
+    os.makedirs(derby_home, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -77,9 +101,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(cpus))
         # bucketed saveAsTable target — keep managed tables out of the repo
+        .config("spark.sql.warehouse.dir", warehouse)
+        # derby metastore otherwise lands in cwd (metastore_db/) and is
+        # single-writer; JVM-launch-time option, no-op on getOrCreate()
+        # reuse, which is fine — reuse means same process, same derby.
         .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/flight_etl_warehouse"),
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={derby_home}"
         )
     )
     for k, v in RUNTIME_CONF.items():
