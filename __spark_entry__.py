@@ -2167,17 +2167,19 @@ def q_embed_dup_int8(spark, sf_dir):
     yields a deterministic, engine-reproducible pair set (the oracle
     replays quantize, dequantize, and the pairwise cosine). Threshold
     slightly below q_embed_dup's: reconstruction shifts cosines by
-    O(amax/254) per coordinate."""
+    O(amax/254) per coordinate. Uses the FUSED reconstruction
+    (bit-identical to dequantize∘quantize, pinned by unit test) —
+    the composed pair paid a ~2.6 s first-run floor materializing
+    two intermediate generated array projections (r11 task #7)."""
     from databricks_flight_etl_spark.operators.similarity import (
         cosine_near_dup_pairs,
-        dequantize_embeddings,
-        quantize_embeddings,
+        reconstruct_embeddings_int8,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    deq = dequantize_embeddings(
-        quantize_embeddings(emb, "embedding")
-    ).select("vec_id", "label", F.col("vec_hat").alias("embedding"))
+    deq = reconstruct_embeddings_int8(emb, "embedding").select(
+        "vec_id", "label", F.col("vec_hat").alias("embedding")
+    )
     return cosine_near_dup_pairs(
         deq, threshold=0.35, block_col="label"
     )

@@ -1245,6 +1245,53 @@ def test_quantize_roundtrip_error_bound(spark):
     assert all(r["cos"] > 0.999 for r in chk)
 
 
+def test_reconstruct_int8_fused_equals_composed(spark):
+    """The fused one-pass reconstruction is BIT-identical to
+    dequantize(quantize(x)) — same per-element double ops in the same
+    order — on edge rows (zero vector, negatives, sub-1 amax) and the
+    real corpus shape. Exactness matters: q_embed_dup_int8's oracle
+    replays the composed arithmetic cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+        reconstruct_embeddings_int8,
+    )
+
+    rows = [
+        (1, [0.5, -1.25, 3.75, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+        (4, [1e-9, -1e-9, 5e-10, 0.25]),
+    ]
+    edge = spark.createDataFrame(rows, "id long, v array<double>")
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(50)
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    )
+    for df in (edge, emb):
+        composed = {
+            r["id"]: r["vec_hat"]
+            for r in dequantize_embeddings(
+                quantize_embeddings(df, "v", q_col="qvec")
+            ).collect()
+        }
+        fused = {
+            r["id"]: r["vec_hat"]
+            for r in reconstruct_embeddings_int8(df, "v").collect()
+        }
+        assert fused.keys() == composed.keys()
+        for k in fused:
+            # exact float equality, not approx — bit-identity is the claim
+            assert fused[k] == composed[k]
+    # fused adds exactly one column and drops its internal amax helper
+    assert set(reconstruct_embeddings_int8(edge, "v").columns) == {
+        "id", "v", "vec_hat"
+    }
+
+
 def test_merge_upsert_semantics(spark):
     """Update overwrites matched keys, insert adds unmatched, base
     passes through; updates win version ties."""
