@@ -578,6 +578,9 @@ def mrl_quantiles(
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile must be in [0, 1], got {q}")
     hist = sketch.groupBy("value").agg(F.sum("weight").alias("cnt"))
+    # unpartitioned window is SAFE here: hist is the sketch's value
+    # histogram, bounded by construction at <= k * n_levels rows (the
+    # sketch's own compaction invariant) — never corpus-sized
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
