@@ -5613,8 +5613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     has a bit-certified exact twin ALREADY driver-green:
         #     q_quantile_sketch_exact, q_semantic_dedup_exact,
         #     q_decode_features_arrow (pHash), q_ann_ivf_exhaustive,
-        #     q_winnow_certified, q_embed_dup_int8, q_jl_project,
-        #     q_bpe_encode_certified. If the r13 window has spare
+        #     q_winnow_certified, q_embed_dup_int8, q_jl_project, and
+        #     for q_bpe_encode the certified q_bpe_merges pair
+        #     statistic + the train/encode equality unit tests (no
+        #     q_bpe_encode_certified exists — iterative training is
+        #     not SQL-expressible). If the r13 window has spare
         #     slots after the two streaming twins, re-window pinned
         #     parity + the oldest-certified entries (r1/r2 vintages:
         #     q_join_inner, q_token_counts, q_dedup_exact) to refresh
