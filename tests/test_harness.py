@@ -64,3 +64,28 @@ def test_all_exports_exist():
             if not hasattr(m, n):
                 bad.append((mi.name, n))
     assert bad == []
+
+
+def test_session_scratch_isolation_contract(spark):
+    """Two concurrent pytest processes must not share mutable session
+    state (r11 verdict: a fixed /tmp warehouse + cwd derby metastore
+    produced 24 cross-talk failures). Pins the per-PROCESS defaults:
+    pid-scoped warehouse + derby.system.home (unless the env override
+    is set), and the repo root on PYTHONPATH so cloudpickled kernels
+    referencing the package unpickle on workers from any cwd."""
+    import os
+
+    pid = str(os.getpid())
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if "SPARK_WAREHOUSE_DIR" in os.environ:
+        assert os.environ["SPARK_WAREHOUSE_DIR"] in warehouse
+    else:
+        assert f"flight_etl_{pid}" in warehouse, warehouse
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    if "DERBY_SYSTEM_HOME" not in os.environ and "derby.system.home" in opts:
+        assert f"flight_etl_{pid}" in opts, opts
+    # worker import path: repo root must be on PYTHONPATH after get_spark
+    import databricks_flight_etl_spark as pkg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    assert repo_root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
