@@ -5504,6 +5504,89 @@ def q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _scored_docs(spark, sf_dir):
+    """documents with a deterministic, ENGINE-PORTABLE (score, label):
+    score = first-3-hex-of-md5(doc_id)/4096 — a binary fraction k/2^12,
+    so sums of scores are IEEE-exact under any summation order (the
+    float-sum-order trap the verify notes flag for double aggregates) —
+    and label correlates with score through an independent md5 noise
+    draw (AUC lands ≈ 0.75, away from both degenerate 0.5 and 1.0).
+    The md5-hex idiom is the sampling family's (sampling.hash_bucket):
+    md5 is md5 in every engine, so the oracle rebuilds the identical
+    columns."""
+    docs = _t(spark, sf_dir, "documents")
+    si = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10
+    ).cast("int")
+    ni = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("lbl"), F.col("doc_id").cast("string"))),
+            1, 3,
+        ), 16, 10,
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        (si / F.lit(4096.0)).alias("score"),
+        ((si + ni) >= 4096).cast("int").alias("label"),
+    )
+
+
+_SCORED_DOCS_SQL = """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                AS BIGINT) / 4096.0 AS score,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                          AS BIGINT)
+                   + CAST('0x' || substr(md5('lbl' ||
+                          CAST(doc_id AS VARCHAR)), 1, 3) AS BIGINT)
+                   >= 4096
+                THEN 1 ELSE 0 END AS label
+    FROM documents
+"""
+
+
+def q_auc_roc(spark, sf_dir):
+    """X12 model-eval: tie-aware AUC-ROC of a deterministic quality
+    scorer against its correlated label, via the Mann-Whitney rank-sum
+    over the shared bucketed prefix-sum (no unpartitioned rank window
+    — the continuous-score regime that collapses naive rank plans onto
+    one task). Integer 2U algebra end-to-end, so the DuckDB oracle
+    replays the statistic exactly from its own window cumulative."""
+    from databricks_flight_etl_spark.operators.model_eval import auc_roc
+
+    return auc_roc(_scored_docs(spark, sf_dir), "score", "label")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """X12 model-eval: 10-bin reliability table (n, mean_score,
+    frac_pos, |gap| — the ECE summand) for the derived scorer. Scores
+    are binary fractions k/2^12, so the double averages are exact
+    under any partitioning/sum order — certifiable cell-for-cell."""
+    from databricks_flight_etl_spark.operators.model_eval import (
+        calibration_bins,
+    )
+
+    return calibration_bins(
+        _scored_docs(spark, sf_dir), "score", "label", n_bins=10
+    )
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """X12 model-eval: confusion counts + precision/recall/F1 at 5
+    operating points in ONE corpus pass (thresholds ride as a
+    broadcast literal explode — one ≤5-group hash-agg, not 5 scans).
+    Thresholds are binary fractions; counts are integers; the ratio
+    columns are single rounded divisions of exact integers."""
+    from databricks_flight_etl_spark.operators.model_eval import (
+        confusion_sweep,
+    )
+
+    return confusion_sweep(
+        _scored_docs(spark, sf_dir), "score", "label",
+        [0.25, 0.5, 0.625, 0.75, 0.875],
+    )
+
+
 # The driver's correctness gate evaluates only the first DRIVER_WINDOW
 # insertion-order queries() keys. Single source of truth — tools
 # (check_oracle.py) and the registry comments below derive from it.
@@ -5592,8 +5675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # == position DRIVER_WINDOW (50) ends here — everything below ==
         # == is certified locally but outside the driver's window ======
         # ROUND-13 FINISHER (r11 verdict task #2) — after the r12
-        # rotation exactly 10 registered queries remain never
-        # driver-windowed, and here is why each is last:
+        # rotation 10 pre-existing registered queries remain never
+        # driver-windowed (plus the 3 NEW round-12 X12 model-eval
+        # queries below, q_auc_roc/q_calibration_bins/
+        # q_threshold_sweep — window those 3 alongside the finishers),
+        # and here is why each pre-existing one is last:
         #   * q_streaming_interval_join, q_streaming_quantile_sketch —
         #     the two remaining streaming twins. Full oracle entries
         #     exist (the batch canonicalizer makes the micro-batch
@@ -5840,6 +5926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r13 finisher pair (see ROUND-13 FINISHER note above) -------
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
+        # -- NEW round 12: X12 model-eval analytics (r13 candidates) ----
+        "q_auc_roc": q_auc_roc,
+        "q_calibration_bins": q_calibration_bins,
+        "q_threshold_sweep": q_threshold_sweep,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
         "q_join_multiway": q_join_multiway,
@@ -11070,5 +11160,80 @@ def oracle_sql() -> dict[str, str]:
                                       * (CAST(n_docs AS DOUBLE) - 1)))),
                    6) AS bg_jaccard_est
         FROM sums, nd, quant
+    """
+    # -- NEW round 12: X12 model-eval analytics ------------------------
+    # Tie-aware AUC via the integer 2U rank-sum: the oracle's window
+    # cumulative (negatives strictly below each score) replays
+    # _hist_cumsum's inclusive=False semantics; 2U and 2·P·N stay
+    # integers until the one rounded double division, so the engines
+    # agree bit-for-bit.
+    d["q_auc_roc"] = f"""
+        WITH sc AS ({_SCORED_DOCS_SQL}),
+        h AS (
+            SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS np,
+                   CAST(SUM(1 - label) AS BIGINT) AS nn
+            FROM sc GROUP BY score
+        ),
+        c AS (
+            SELECT np, nn,
+                   COALESCE(CAST(SUM(nn) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum
+            FROM h
+        )
+        SELECT CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+                    THEN ROUND(CAST(SUM(np * (2 * cum + nn)) AS DOUBLE)
+                               / (2.0 * SUM(np) * SUM(nn)), 6)
+               END AS auc,
+               CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
+               CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg
+        FROM c
+    """
+    # scores are binary fractions k/2^12 → the double averages are
+    # summation-order-exact (see _scored_docs), so avg() matches
+    d["q_calibration_bins"] = f"""
+        WITH sc AS ({_SCORED_DOCS_SQL})
+        SELECT CAST(GREATEST(0, LEAST(9, FLOOR(score * 10))) AS INT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(score), 6) AS mean_score,
+               ROUND(AVG(label), 6) AS frac_pos,
+               ROUND(ABS(AVG(label) - AVG(score)), 6) AS gap
+        FROM sc
+        GROUP BY 1 ORDER BY bin
+    """
+    d["q_threshold_sweep"] = f"""
+        WITH sc AS ({_SCORED_DOCS_SQL}),
+        t(threshold) AS (VALUES (0.25), (0.5), (0.625), (0.75), (0.875)),
+        agg AS (
+            SELECT t.threshold,
+                   CAST(SUM(CASE WHEN score >= t.threshold AND label = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score >= t.threshold AND label = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score < t.threshold AND label = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN score < t.threshold AND label = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM sc, t GROUP BY t.threshold
+        )
+        SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, fn, tn,
+               ROUND(CASE WHEN tp + fp > 0
+                          THEN tp / CAST(tp + fp AS DOUBLE) END, 6)
+                   AS precision,
+               ROUND(CASE WHEN tp + fn > 0
+                          THEN tp / CAST(tp + fn AS DOUBLE) END, 6)
+                   AS recall,
+               ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                          AND (tp / CAST(tp + fp AS DOUBLE)
+                               + tp / CAST(tp + fn AS DOUBLE)) > 0
+                          THEN 2 * (tp / CAST(tp + fp AS DOUBLE))
+                               * (tp / CAST(tp + fn AS DOUBLE))
+                               / (tp / CAST(tp + fp AS DOUBLE)
+                                  + tp / CAST(tp + fn AS DOUBLE)) END, 6)
+                   AS f1
+        FROM agg ORDER BY threshold
     """
     return d

@@ -1,0 +1,218 @@
+"""Classifier-quality analytics at corpus scale (X12): AUC-ROC,
+calibration / expected calibration error, and threshold confusion
+sweeps.
+
+A training-data pipeline gates documents with model scores —
+fasttext-style quality classifiers, LM perplexity filters, toxicity
+scorers (cf. text.linear_score_documents / text.ngram_lm_score, which
+PRODUCE such scores). Validating a filter over millions of scored
+rows is itself a distributed-analytics problem: AUC needs a global
+rank statistic over a continuous score column (distinct ≈ rows — the
+exact regime where a naive unpartitioned rank window collapses onto
+one task), and calibration needs weighted per-bin aggregates.
+Everything here is groupBy/window algebra on the JVM; no per-row
+Python anywhere.
+
+Scale shape: one hash-agg histogram per call (map-side partial, keyed
+on the score value), then either the shared two-level range-bucket
+prefix-sum (`accuracy._hist_cumsum` — no task ever holds the distinct-
+score surface) for AUC, or a bounded n_bins/n_thresholds aggregate for
+calibration/sweeps. At 100 TB the histogram IS the scan; everything
+after it is sketch-sized.
+
+Exactness discipline (oracle-certifiable): AUC's rank-sum is carried
+as INTEGER 2U (the tie term 0.5·n_neg(s) is folded by doubling), so
+any engine reproduces the statistic bit-for-bit up to one final
+rounded division; calibration sums doubles, which is exact whenever
+scores are binary fractions (k/2^m — the harness queries derive
+scores that way; arbitrary float scores are still correct, just
+last-ulp sensitive to sum order like any float aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "auc_roc",
+    "calibration_bins",
+    "confusion_sweep",
+]
+
+
+def _scored(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Rows usable for ranking metrics: score AND label non-null, label
+    coerced to {0,1} int (nulls pass through neither as 0 nor 1 —
+    unlabeled rows carry no evidence, same convention as the validity
+    operators' three-valued logic)."""
+    return df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("__s"),
+        (F.col(label_col).cast("int") != 0).cast("int").alias("__y"),
+    )
+
+
+def auc_roc(
+    df: DataFrame, score_col: str, label_col: str, decimals: int = 6,
+) -> DataFrame:
+    """Area under the ROC curve via the Mann-Whitney U rank statistic,
+    tie-aware: AUC = Σ_s n_pos(s)·(N_neg(<s) + ½·n_neg(s)) / (P·N).
+
+    Distributed shape: ONE histogram hash-agg over the score column
+    (n_pos, n_neg per distinct score), then the shared two-level
+    prefix-sum for the exclusive negative-count cumulative — a
+    continuous score (distinct ≈ rows) spreads over n_buckets ×
+    shuffle partitions instead of one global rank window. The ½ tie
+    term is folded into integers by doubling (2U = Σ n_pos·(2·cum +
+    n_neg)), so the statistic is exact integer algebra until the one
+    final division.
+
+    Returns ONE row: (auc, n_pos, n_neg). Empty input or a single
+    class present → auc NULL (undefined), counts still reported."""
+    from .accuracy import _hist_cumsum
+
+    hist = (
+        _scored(df, score_col, label_col)
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").alias("__np"),
+            F.sum(1 - F.col("__y")).alias("__nn"),
+        )
+    )
+    # __np rides along as a second sum column because _hist_cumsum
+    # projects to (value, sum_cols, cums) — its cumulative is unused
+    cum = _hist_cumsum(hist, "__s", ["__nn", "__np"], inclusive=False)
+    parts = cum.agg(
+        F.coalesce(
+            F.sum(
+                F.col("__np")
+                * (F.lit(2) * F.col("__cum___nn") + F.col("__nn"))
+            ),
+            F.lit(0),
+        ).alias("__2u"),
+        F.coalesce(F.sum("__np"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("__nn"), F.lit(0)).alias("n_neg"),
+    )
+    return parts.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("__2u")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                decimals,
+            ),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reliability table over equi-width score bins on [0, 1]: per bin
+    (bin, n, mean_score, frac_pos, gap) with gap = |frac_pos −
+    mean_score| — the summand of expected calibration error; ECE is
+    Σ (n/N)·gap, recoverable from this table in one more agg (the
+    harness certifies the TABLE, the finer artifact). Scores outside
+    [0, 1] clamp into the edge bins (a miscalibrated-by-construction
+    scorer still lands somewhere); the right-closed top bin keeps
+    score = 1.0 in bin n_bins−1.
+
+    One bounded hash-agg: ≤ n_bins output rows regardless of corpus
+    size. Empty bins are absent (report joins against observed data,
+    not a bin spine — callers needing a dense axis can generate one)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = _scored(df, score_col, label_col)
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col("__s") * n_bins).cast("int"),
+        ),
+    )
+    return (
+        s.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__s"), decimals).alias("mean_score"),
+            F.round(F.avg("__y"), decimals).alias("frac_pos"),
+            F.round(F.abs(F.avg("__y") - F.avg("__s")), decimals)
+            .alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def confusion_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    decimals: int = 6,
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1 at EVERY threshold in one
+    corpus pass: predicted positive iff score ≥ t. The thresholds ride
+    in as a broadcast literal array (posexplode), so the plan is one
+    projection + one ≤ len(thresholds)-group hash-agg — sweeping 100
+    operating points costs the same scan as sweeping one.
+
+    Precision is NULL when nothing is predicted positive, recall NULL
+    when there are no positives (0/0 is unknowable, not 0 — validity-
+    operator convention); F1 NULL when either is. Output ordered by
+    threshold."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s = _scored(df, score_col, label_col)
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in thresholds])
+    ).alias("threshold")
+    pred = (F.col("__s") >= F.col("threshold")).cast("int")
+    agg = (
+        s.select("__s", "__y", t)
+        .select(
+            "threshold",
+            (pred * F.col("__y")).alias("__tp"),
+            (pred * (1 - F.col("__y"))).alias("__fp"),
+            ((1 - pred) * F.col("__y")).alias("__fn"),
+            ((1 - pred) * (1 - F.col("__y"))).alias("__tn"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum("__tp").alias("tp"),
+            F.sum("__fp").alias("fp"),
+            F.sum("__fn").alias("fn"),
+            F.sum("__tn").alias("tn"),
+        )
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        precision.isNotNull()
+        & recall.isNotNull()
+        & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(precision, decimals).alias("precision"),
+        F.round(recall, decimals).alias("recall"),
+        F.round(f1, decimals).alias("f1"),
+    ).orderBy("threshold")
