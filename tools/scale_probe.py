@@ -171,6 +171,27 @@ def _linear_scorer(docs):
     ).count()
 
 
+def _auc(docs):
+    """Tie-aware AUC on a CONTINUOUS hash-derived score (distinct ≈
+    rows — the regime where a naive global rank window collapses onto
+    one task) with a correlated hash label; rides the same shared
+    _hist_cumsum prefix-sum the quantile/ks probes certify."""
+    from pyspark.sql import functions as F
+
+    from databricks_flight_etl_spark.operators.model_eval import auc_roc
+
+    scored = docs.select(
+        (F.xxhash64("doc_id").cast("double") / F.lit(2.0**63))
+        .alias("s"),
+        (
+            F.xxhash64("doc_id")
+            + F.pmod(F.xxhash64("doc_id", F.lit("n")), F.lit(1 << 62))
+            > 0
+        ).cast("int").alias("y"),
+    )
+    return auc_roc(scored, "s", "y").count()
+
+
 def _quant_cont(docs):
     """Exact quantiles on a CONTINUOUS hash-derived double (distinct ≈
     rows) — exercises the shared _hist_cumsum distributed prefix-sum
@@ -563,6 +584,7 @@ def main() -> None:
         "ks_drift": lambda d, v: _ks(d),
         "quantiles_cont": lambda d, v: _quant_cont(d),
         "linear_scorer": lambda d, v: _linear_scorer(d),
+        "auc": lambda d, v: _auc(d),
         "semantic_dedup": lambda d, v: _semdedup(v),
         "semdedup_2level": lambda d, v: _semdedup_2level(v, v.count()),
         "pagerank": lambda d, v: _pagerank(d),
