@@ -27,6 +27,15 @@ rounded division; calibration sums doubles, which is exact whenever
 scores are binary fractions (k/2^m — the harness queries derive
 scores that way; arbitrary float scores are still correct, just
 last-ulp sensitive to sum order like any float aggregate).
+
+Deliberately ABSENT: PR-AUC / average precision. AP sums per-group
+precision RATIOS (cum_tp/(cum_tp+cum_fp) per distinct score) — a sum
+of non-binary float quotients whose result depends on summation
+order, so it cannot meet the exact-cell oracle bar the way 2U can
+(no common denominator folds it to integers). The precision/recall
+surface is available exactly instead: confusion_sweep at any
+threshold grid IS the PR curve's operating points, each cell a single
+rounded division of exact integers.
 """
 
 from __future__ import annotations
