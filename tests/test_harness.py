@@ -89,3 +89,38 @@ def test_session_scratch_isolation_contract(spark):
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
     assert repo_root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def test_stage_parity_halves_contract(spark, tmp_path):
+    """The streaming twins' staging helper: both parity files exist,
+    even.parquet's pinned mtime is STRICTLY earlier than odd.parquet's
+    (micro-batch order by contract, not copy-timing luck — r11
+    ADVICE), membership is exact pmod parity, and an all-null key
+    raises the broadened empty-half error."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    stage = entry._stage_parity_halves(df, "k", str(tmp_path / "a"))
+    even, odd = f"{stage}/even.parquet", f"{stage}/odd.parquet"
+    assert os.path.exists(even) and os.path.exists(odd)
+    assert os.stat(even).st_mtime < os.stat(odd).st_mtime
+    got_even = {r["k"] for r in spark.read.parquet(even).collect()}
+    got_odd = {r["k"] for r in spark.read.parquet(odd).collect()}
+    assert got_even == set(range(0, 100, 2))
+    assert got_odd == set(range(1, 100, 2))
+    # pmod membership: negative odd keys land in the ODD half (a raw
+    # `% 2 == 1` filter would have dropped them)
+    neg = spark.createDataFrame([(-3,), (-2,), (4,), (5,)], "k long")
+    stage = entry._stage_parity_halves(neg, "k", str(tmp_path / "b"))
+    got_odd = {r["k"] for r in
+               spark.read.parquet(f"{stage}/odd.parquet").collect()}
+    assert got_odd == {-3, 5}
+    # all-null key -> both halves empty -> the broadened error
+    nulls = spark.createDataFrame([(None,), (None,)], "k long")
+    with pytest.raises(RuntimeError, match="NULL"):
+        entry._stage_parity_halves(nulls, "k", str(tmp_path / "c"))
