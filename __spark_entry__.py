@@ -5625,89 +5625,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- ROUND-12 WINDOW (r11 verdict task #1): positions 21-50
-        # -- rotate to the 30 baked r12 candidates: the two r11
-        # -- deferrals + the new stop-list variant first, then
-        # -- joins/graph (q_triangle_counts from the draft list was
-        # -- already windowed r4, so the slice is 7 not 8), sketch
-        # -- internals + exact twins, the text/dedup tail, the ANN
-        # -- exhaustive twins, and TWO of the four streaming twins
-        # -- (q_streaming_minhash/q_streaming_hll — full oracles via
-        # -- the canonicalizer) to fill the freed slots. The r11
-        # -- window members are driver-certified and move below the
-        # -- marker. ---------------------------------------------------
-        # -- r11 deferrals + new stop-list variant ----------------------
-        "q_pagerank": q_pagerank,
-        "q_dedup_clusters_star": q_dedup_clusters_star,
-        "q_simhash_stops_supplied": q_simhash_stops_supplied,
-        # -- joins / graph / per-group analytics -------------------------
-        "q_containment_join": q_containment_join,
-        "q_set_similarity_join": q_set_similarity_join,
-        "q_join_probe": q_join_probe,
-        "q_asof_join_cogroup": q_asof_join_cogroup,
-        "q_outliers_iqr": q_outliers_iqr,
-        "q_fill_forward": q_fill_forward,
-        "q_cluster_sizes": q_cluster_sizes,
-        # -- sketch internals + exact twins -------------------------------
-        "q_hll_registers": q_hll_registers,
-        "q_bloom_bitmap": q_bloom_bitmap,
-        "q_quantile_sketch_exact": q_quantile_sketch_exact,
-        "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
-        "q_hist_equidepth": q_hist_equidepth,
-        "q_cms_join_size": q_cms_join_size,
-        # -- text / dedup tail --------------------------------------------
-        "q_span_dedup": q_span_dedup,
-        "q_vocab_coverage": q_vocab_coverage,
-        "q_udtf_sentences": q_udtf_sentences,
-        "q_resample_mix": q_resample_mix,
-        "q_fd_violations": q_fd_violations,
-        "q_l_diversity": q_l_diversity,
-        "q_winsorize": q_winsorize,
-        "q_grouped_outliers": q_grouped_outliers,
-        "q_trailing_range_agg": q_trailing_range_agg,
-        # -- ANN exhaustive twins -------------------------------------------
-        "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-        "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
-        "q_cosine_topk_pandas": q_cosine_topk_pandas,
-        # -- streaming twins (first 2 of 4; rest r13) -----------------------
-        "q_streaming_minhash": q_streaming_minhash,
-        "q_streaming_hll": q_streaming_hll,
+        # -- ROUND-13 WINDOW (r12 verdict task #1): positions 21-50.
+        # -- This rotation COMPLETES the certification program: the 5
+        # -- never-windowed windowable queries (the last 2 streaming
+        # -- twins + the 3 new X12 model-eval queries) take the first
+        # -- slots, and the remaining 25 re-certify the OLDEST-vintage
+        # -- oracle-bearing entries (computed from the union of
+        # -- CORRECTNESS_r01..r12: 6 from r01, 10 from r02, 5 from
+        # -- r03, 4 from r04 — alphabetical within vintage; q_tfidf
+        # -- and q_triangle_counts are the next-oldest and lead the
+        # -- r14 refresh). Rows-only-by-design queries are excluded
+        # -- per the registry note below. The r12 window members are
+        # -- driver-certified and move below the marker. ----------------
+        # -- never-windowed: last 2 streaming twins + 3 X12 -------------
+        "q_streaming_interval_join": q_streaming_interval_join,
+        "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
+        "q_auc_roc": q_auc_roc,
+        "q_calibration_bins": q_calibration_bins,
+        "q_threshold_sweep": q_threshold_sweep,
+        # -- oldest vintage: r01 certifications -------------------------
+        "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_join_anti": q_join_anti,
+        "q_join_multiway": q_join_multiway,
+        "q_join_semi": q_join_semi,
+        "q_set_ops": q_set_ops,
+        # -- r02 certifications ------------------------------------------
+        "q_count_distinct": q_count_distinct,
+        "q_fingerprint": q_fingerprint,
+        "q_json_extract": q_json_extract,
+        "q_moving_avg": q_moving_avg,
+        "q_pivot": q_pivot,
+        "q_rollup": q_rollup,
+        "q_sessionize": q_sessionize,
+        "q_tpch_q1": q_tpch_q1,
+        "q_window_topk_per_group": q_window_topk_per_group,
+        "q_zscore_grouped": q_zscore_grouped,
+        # -- r03 certifications --------------------------------------------
+        "q_bm25": q_bm25,
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_embed_dup": q_embed_dup,
+        "q_token_count_bpe": q_token_count_bpe,
+        "q_value_freq_capped": q_value_freq_capped,
+        # -- r04 certifications ----------------------------------------------
+        "q_interpolate_gaps": q_interpolate_gaps,
+        "q_k_anonymize": q_k_anonymize,
+        "q_quantile_sketch_merge": q_quantile_sketch_merge,
+        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         # == position DRIVER_WINDOW (50) ends here — everything below ==
         # == is certified locally but outside the driver's window ======
-        # ROUND-13 FINISHER (r11 verdict task #2) — after the r12
-        # rotation 10 pre-existing registered queries remain never
-        # driver-windowed (plus the 3 NEW round-12 X12 model-eval
-        # queries below, q_auc_roc/q_calibration_bins/
-        # q_threshold_sweep — window those 3 alongside the finishers),
-        # and here is why each pre-existing one is last:
-        #   * q_streaming_interval_join, q_streaming_quantile_sketch —
-        #     the two remaining streaming twins. Full oracle entries
-        #     exist (the batch canonicalizer makes the micro-batch
-        #     result deterministic), but each run pays the ~8 s
-        #     Structured-Streaming fixed floor, so they were the
-        #     natural pair to defer when 32 candidates chased 30
-        #     slots. Window BOTH in r13 — that makes every
-        #     oracle-bearing registered query driver-certified.
-        #   * q_quantile_sketch q_semantic_dedup q_phash_near_dup
-        #     q_ann_ivf q_winnow q_embed_dup_lsh q_jl_project_wide
-        #     q_bpe_encode — the 8 rows-only-BY-DESIGN queries
-        #     (hash-seeded sketch internals / approximate indexes
-        #     whose cell values are legitimately engine-specific).
-        #     They are NEVER windowable as value-hash rows; windowing
-        #     them buys only a rows-count check and burns a slot —
-        #     exactly the round-1 mistake the curation fixed. Each
-        #     has a bit-certified exact twin ALREADY driver-green:
-        #     q_quantile_sketch_exact, q_semantic_dedup_exact,
-        #     q_decode_features_arrow (pHash), q_ann_ivf_exhaustive,
-        #     q_winnow_certified, q_embed_dup_int8, q_jl_project, and
-        #     for q_bpe_encode the certified q_bpe_merges pair
-        #     statistic + the train/encode equality unit tests (no
-        #     q_bpe_encode_certified exists — iterative training is
-        #     not SQL-expressible). If the r13 window has spare
-        #     slots after the two streaming twins, re-window pinned
-        #     parity + the oldest-certified entries (r1/r2 vintages:
-        #     q_join_inner, q_token_counts, q_dedup_exact) to refresh
-        #     their certification rather than adding rows-only rows.
+        # CERTIFICATION PROGRAM COMPLETE (r13) — with the round-13
+        # rotation above, EVERY oracle-bearing registered query has
+        # been driver-windowed at least once (union of
+        # CORRECTNESS_r01..r13). The only never-windowed queries are
+        # the 15 rows-only ones, 8 of them rows-only BY DESIGN:
+        #   q_quantile_sketch q_semantic_dedup q_phash_near_dup
+        #   q_ann_ivf q_winnow q_embed_dup_lsh q_jl_project_wide
+        #   q_bpe_encode — hash-seeded sketch internals / approximate
+        #   indexes whose cell values are legitimately
+        #   engine-specific. They are NEVER windowable as value-hash
+        #   rows; windowing them buys only a rows-count check and
+        #   burns a slot. Each has a bit-certified exact twin ALREADY
+        #   driver-green: q_quantile_sketch_exact,
+        #   q_semantic_dedup_exact, q_decode_features_arrow (pHash),
+        #   q_ann_ivf_exhaustive, q_winnow_certified,
+        #   q_embed_dup_int8, q_jl_project, and for q_bpe_encode the
+        #   certified q_bpe_merges pair statistic + the train/encode
+        #   equality unit tests (iterative training is not
+        #   SQL-expressible). The other 7 (q_approx_distinct,
+        #   q_minhash_pairs, q_simhash_pairs, q_ann_lsh,
+        #   q_ann_lsh_multiprobe, q_ann_ivf_batch,
+        #   q_textprep_pipeline) likewise have driver-green exact
+        #   twins (q_count_distinct, q_minhash_certified,
+        #   q_simhash_certified, q_ann_lsh_exhaustive,
+        #   q_cosine_topk_pandas, q_ann_ivf_exhaustive,
+        #   q_textprep_exact/q_textprep_full_certified).
+        # FROM r14 ON: rotate positions 21-50 to refresh the
+        # oldest-vintage certifications (next up: q_tfidf and
+        # q_triangle_counts at r04, then the r05 cohort) and to
+        # window any newly registered oracle-bearing queries
+        # (q_auc_roc_grouped, registered r13, leads the r14 list).
         # -- rotated out after driver certification (r11 window) -------
         # -- X5 TPC-H deferred shapes ----------------------------------
         "q_tpch_q16_shape": q_tpch_q16_shape,
@@ -5902,40 +5899,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transition_matrix": q_transition_matrix,
         "q_bpe_merges": q_bpe_merges,
         "q_diff_cells": q_diff_cells,
-        "q_k_anonymize": q_k_anonymize,
-        "q_quantile_sketch_merge": q_quantile_sketch_merge,
-        "q_interpolate_gaps": q_interpolate_gaps,
         "q_tfidf": q_tfidf,
         "q_triangle_counts": q_triangle_counts,
-        "q_semantic_dedup_2level": q_semantic_dedup_2level,
-        "q_value_freq_capped": q_value_freq_capped,
-        "q_token_count_bpe": q_token_count_bpe,
-        "q_bm25": q_bm25,
-        "q_embed_dup": q_embed_dup,
-        "q_dedup_survivors": q_dedup_survivors,
-        "q_window_topk_per_group": q_window_topk_per_group,
-        "q_sessionize": q_sessionize,
-        "q_pivot": q_pivot,
-        "q_rollup": q_rollup,
-        "q_moving_avg": q_moving_avg,
-        "q_zscore_grouped": q_zscore_grouped,
-        "q_count_distinct": q_count_distinct,
-        "q_json_extract": q_json_extract,
-        "q_tpch_q1": q_tpch_q1,
-        "q_fingerprint": q_fingerprint,
-        # -- r13 finisher pair (see ROUND-13 FINISHER note above) -------
-        "q_streaming_interval_join": q_streaming_interval_join,
-        "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
-        # -- NEW round 12: X12 model-eval analytics (r13 candidates) ----
-        "q_auc_roc": q_auc_roc,
-        "q_calibration_bins": q_calibration_bins,
-        "q_threshold_sweep": q_threshold_sweep,
-        "q_join_semi": q_join_semi,
-        "q_join_anti": q_join_anti,
-        "q_join_multiway": q_join_multiway,
-        "q_set_ops": q_set_ops,
-        "q_cube": q_cube,
-        "q_grouping_sets": q_grouping_sets,
+        # -- rotated out after driver certification (r12 window) --------
+        "q_pagerank": q_pagerank,
+        "q_dedup_clusters_star": q_dedup_clusters_star,
+        "q_simhash_stops_supplied": q_simhash_stops_supplied,
+        "q_containment_join": q_containment_join,
+        "q_set_similarity_join": q_set_similarity_join,
+        "q_join_probe": q_join_probe,
+        "q_asof_join_cogroup": q_asof_join_cogroup,
+        "q_outliers_iqr": q_outliers_iqr,
+        "q_fill_forward": q_fill_forward,
+        "q_cluster_sizes": q_cluster_sizes,
+        "q_hll_registers": q_hll_registers,
+        "q_bloom_bitmap": q_bloom_bitmap,
+        "q_quantile_sketch_exact": q_quantile_sketch_exact,
+        "q_quantile_sketch_grouped": q_quantile_sketch_grouped,
+        "q_hist_equidepth": q_hist_equidepth,
+        "q_cms_join_size": q_cms_join_size,
+        "q_span_dedup": q_span_dedup,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_udtf_sentences": q_udtf_sentences,
+        "q_resample_mix": q_resample_mix,
+        "q_fd_violations": q_fd_violations,
+        "q_l_diversity": q_l_diversity,
+        "q_winsorize": q_winsorize,
+        "q_grouped_outliers": q_grouped_outliers,
+        "q_trailing_range_agg": q_trailing_range_agg,
+        "q_ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "q_ann_lsh_exhaustive": q_ann_lsh_exhaustive,
+        "q_cosine_topk_pandas": q_cosine_topk_pandas,
+        "q_streaming_minhash": q_streaming_minhash,
+        "q_streaming_hll": q_streaming_hll,
         # -- rows-only (no SQL-expressible oracle; weaker driver check) -
         "q_quantile_sketch": q_quantile_sketch,
         "q_semantic_dedup": q_semantic_dedup,

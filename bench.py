@@ -228,16 +228,52 @@ def main() -> None:
             prev_timings = json.load(f).get("queries", {})
     except (OSError, ValueError):
         pass
+    # Cross-round blind spot (r12 verdict task #2): the working-tree
+    # BENCH_DETAIL.json is refreshed mid-round by the builder, so a
+    # query that crept up ACROSS rounds never moves >1.5x vs the
+    # freshest file and escapes re-timing (q_containment_join rose
+    # 1.79x r11->r12 untriggered). Also compare against the previous
+    # ROUND'S committed detail — the last driver round-close commit
+    # ("round N: ..."), fetched via git; missing git degrades to the
+    # single-baseline behavior.
+    round_timings: dict[str, float] = {}
+    try:
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        log = subprocess.run(
+            ["git", "-C", repo, "log", "--format=%H %s", "--",
+             "BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+        for line in log.splitlines():
+            sha, _, subject = line.partition(" ")
+            if subject.startswith("round "):
+                blob = subprocess.run(
+                    ["git", "-C", repo, "show", f"{sha}:BENCH_DETAIL.json"],
+                    capture_output=True, text=True, timeout=30,
+                ).stdout
+                round_timings = json.loads(blob).get("queries", {})
+                break
+    except Exception:
+        pass
     adjudication: dict[str, dict] = {}
     adj_reps = _env_reps("SPARK_GRAFT_BENCH_ADJ_REPS", 3)
-    for name, recorded in sorted(timings.items()):
-        prev = prev_timings.get(name)
+
+    def _trips(prev: float | None, recorded: float) -> bool:
         # sub-0.2s pairs are all jitter; re-timing them buys nothing
         if prev is None or (prev < 0.2 and recorded < 0.2):
-            continue
+            return False
         ratio = recorded / max(prev, 1e-9)
-        if 1 / 1.5 < ratio < 1.5:
+        return not (1 / 1.5 < ratio < 1.5)
+
+    for name, recorded in sorted(timings.items()):
+        prev = prev_timings.get(name)
+        prev_round = round_timings.get(name)
+        if not _trips(prev, recorded) and not _trips(prev_round, recorded):
             continue
+        if prev is None:
+            prev = prev_round
         fn = entrymod.queries()[name]
         runs = []
         for _ in range(adj_reps):
@@ -270,6 +306,8 @@ def main() -> None:
                 "retimed_median": round(med, 3),
                 "reps": len(runs),
             }
+            if prev_round is not None and prev_round != prev:
+                adjudication[name]["prev_round_commit"] = prev_round
             print(
                 f"# adjudicate {name}: prev {prev:.3f}s, recorded "
                 f"{recorded:.3f}s, re-timed median {med:.3f}s "

@@ -1521,19 +1521,46 @@ def set_similarity_join(
         F.slice("__sorted", 1, prefix_len).alias("__prefix"),
     )
     pref = _pin(pref, persist)
-    # candidates meet on BARE IDS: dedupe (id_a, id_b) while the rows
-    # are two longs wide, then re-join the pinned per-doc arrays for
-    # the verify — shuffling the full token arrays once per candidate
-    # duplicate through dropDuplicates is the expensive shape at scale
+    # candidates meet on BARE IDS + two ints (set size, prefix token
+    # position): dedupe (id_a, id_b) while the rows are narrow, then
+    # re-join the pinned per-doc arrays for the verify — shuffling the
+    # full token arrays once per candidate duplicate through
+    # dropDuplicates is the expensive shape at scale. The two carried
+    # ints buy the PPJoin length + positional filters (Xiao WWW'08
+    # §3), which drop impossible pairs BEFORE the distinct shuffle and
+    # the two array re-fetch joins (r12 verdict task #4 — the re-fetch
+    # dominated the 100x probe):
+    #   length: J >= t  =>  |a∩b| >= t·max(na,nb) and <= min(na,nb),
+    #     so any true pair has min >= t·max — size-skewed pairs go.
+    #   positional: J >= t  <=>  overlap o >= α := ⌈t·(na+nb)/(1+t)⌉;
+    #     a common token at 0-indexed sorted positions (pa, pb) bounds
+    #     o <= min(pa,pb) + 1 + min(na−pa−1, nb−pb−1) (same global
+    #     token order both sides). For a true pair EVERY common-token
+    #     row satisfies the bound (it upper-bounds o >= α), so
+    #     any-row-survives semantics keep the join lossless.
     a = pref.select(
-        F.col("__id").alias("id_a"), F.explode("__prefix").alias("__t")
+        F.col("__id").alias("id_a"),
+        F.size("__sorted").alias("__na"),
+        F.posexplode("__prefix").alias("__pa", "__t"),
     )
     b = pref.select(
-        F.col("__id").alias("id_b"), F.explode("__prefix").alias("__t")
+        F.col("__id").alias("id_b"),
+        F.size("__sorted").alias("__nb"),
+        F.posexplode("__prefix").alias("__pb", "__t"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    pa, pb = F.col("__pa"), F.col("__pb")
+    alpha = F.ceil(F.lit(threshold) * (na + nb) / F.lit(1.0 + threshold))
+    ubound = (
+        F.least(pa, pb) + 1 + F.least(na - pa - 1, nb - pb - 1)
     )
     pairs = (
         a.join(b, "__t")
         .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
+            & (ubound >= alpha)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -140,13 +140,17 @@ def calibration_bins(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     s = _scored(df, score_col, label_col)
+    # clamp on the LongType floor FIRST, cast to int LAST: with ANSI
+    # off, casting an extreme score's floor (|s·n_bins| > 2^31) to int
+    # wraps, so a huge positive score could land in bin 0 instead of
+    # the top edge bin the docstring promises (r12 ADVICE).
     b = F.greatest(
         F.lit(0),
         F.least(
             F.lit(n_bins - 1),
-            F.floor(F.col("__s") * n_bins).cast("int"),
+            F.floor(F.col("__s") * n_bins),
         ),
-    )
+    ).cast("int")
     return (
         s.groupBy(b.alias("bin"))
         .agg(

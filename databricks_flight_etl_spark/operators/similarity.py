@@ -964,6 +964,14 @@ def reconstruct_embeddings_int8(
     themselves are the output."""
     v0 = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax_col = f"__amax_{out_col}"
+    if amax_col in df.columns:
+        # withColumn would silently OVERWRITE the caller's column and
+        # the final drop would delete their data (r12 ADVICE) — fail
+        # loudly like temporal.py's join-collision guard does.
+        raise ValueError(
+            f"input column {amax_col!r} collides with the operator's "
+            f"internal staging name; rename it or pick another out_col"
+        )
     t = df.withColumn(
         amax_col, F.array_max(F.transform(v0, lambda x: F.abs(x)))
     )

@@ -1331,10 +1331,13 @@ def _bpe_train_merges_local(
     # loop re-counted and re-swept every multi-unit word for every
     # merge — O(vocab x n_merges) unit scans in the hot fast path
     # (ADVICE r11). Integer add/subtract makes the maintained counts
-    # exactly the from-scratch recount; a merged pair cannot reappear
-    # (merging replaces two units with one CONCATENATED unit, so
-    # surviving units never become newly adjacent to each other), so
-    # popping its occurrence set is safe.
+    # exactly the from-scratch recount. Popping the winner's occurrence
+    # set is safe NOT because the pair can never re-form — a later
+    # merge can rebuild a string-equal unit pair (e.g. ('ab','c') after
+    # ('a','bc') both yield an 'abc'-adjacent shape) — but because any
+    # re-formed occurrence is re-inserted into counts/occ by the
+    # post-merge add loop below (get/setdefault), so the maps stay
+    # exact either way (r12 ADVICE reword).
     state = [[list(word), n] for word, n in word_freqs]
     counts: dict[tuple[str, str], int] = {}
     occ: dict[tuple[str, str], set[int]] = {}

@@ -7,10 +7,28 @@ get a deterministic, UTC-pinned, AQE-enabled local session.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
+
+# Startup-time scratch root, created lazily once per process. mkdtemp
+# (not a bare pid suffix) so a recycled pid can never resurrect a dead
+# process's derby metastore/warehouse and surface its stale managed
+# tables (r12 ADVICE); atexit rmtree so roots don't accumulate across
+# runs. Module-global cache keeps the path stable within the process,
+# which derby.system.home (JVM-launch-time option) requires.
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_root() -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix=f"flight_etl_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return _SCRATCH_ROOT
 
 # Runtime-settable confs that correctness depends on (timezone) or that
 # keep small-scale plans sane. Applied by tune() even to sessions we did
@@ -86,9 +104,10 @@ def get_spark(
     # Per-PROCESS scratch roots (env override kept). A fixed shared path
     # plus derby's cwd metastore_db let two concurrent pytest sessions
     # corrupt each other's managed tables (24 measured cross-talk
-    # failures); pid-suffixed defaults make concurrent runs disjoint
+    # failures); mkdtemp-per-process defaults (see _scratch_root) make
+    # concurrent runs disjoint, immune to pid reuse, and cleaned at exit,
     # while staying stable across getOrCreate() calls within a process.
-    scratch = os.path.join(tempfile.gettempdir(), f"flight_etl_{os.getpid()}")
+    scratch = _scratch_root()
     warehouse = os.environ.get(
         "SPARK_WAREHOUSE_DIR", os.path.join(scratch, "warehouse")
     )

@@ -70,9 +70,12 @@ def test_session_scratch_isolation_contract(spark):
     """Two concurrent pytest processes must not share mutable session
     state (r11 verdict: a fixed /tmp warehouse + cwd derby metastore
     produced 24 cross-talk failures). Pins the per-PROCESS defaults:
-    pid-scoped warehouse + derby.system.home (unless the env override
-    is set), and the repo root on PYTHONPATH so cloudpickled kernels
-    referencing the package unpickle on workers from any cwd."""
+    an mkdtemp-uniquified pid-prefixed scratch root (r12 ADVICE — a
+    bare pid suffix can resurrect a dead process's derby on pid reuse)
+    registered for atexit cleanup, warehouse + derby.system.home under
+    it (unless the env override is set), and the repo root on
+    PYTHONPATH so cloudpickled kernels referencing the package
+    unpickle on workers from any cwd."""
     import os
 
     pid = str(os.getpid())
@@ -80,10 +83,19 @@ def test_session_scratch_isolation_contract(spark):
     if "SPARK_WAREHOUSE_DIR" in os.environ:
         assert os.environ["SPARK_WAREHOUSE_DIR"] in warehouse
     else:
-        assert f"flight_etl_{pid}" in warehouse, warehouse
+        # mkdtemp prefix 'flight_etl_<pid>_' + random suffix
+        assert f"flight_etl_{pid}_" in warehouse, warehouse
+        from databricks_flight_etl_spark import session as sess
+
+        root = sess._scratch_root()
+        # conf value comes back as a file: URI
+        assert warehouse.removeprefix("file:").startswith(root), (
+            warehouse, root,
+        )
+        assert root == sess._scratch_root()  # stable within process
     opts = spark.conf.get("spark.driver.extraJavaOptions", "")
     if "DERBY_SYSTEM_HOME" not in os.environ and "derby.system.home" in opts:
-        assert f"flight_etl_{pid}" in opts, opts
+        assert f"flight_etl_{pid}_" in opts, opts
     # worker import path: repo root must be on PYTHONPATH after get_spark
     import databricks_flight_etl_spark as pkg
 

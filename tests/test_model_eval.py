@@ -160,5 +160,17 @@ def test_auc_continuous_scores_no_global_window(spark):
         (F.col("id") % 3 == 0).cast("int").alias("y"),
     )
     rows = [(r["s"], r["y"]) for r in df.collect()]
-    got = auc_roc(df, "s", "y").first()["auc"]
+    out = auc_roc(df, "s", "y")
+    got = out.first()["auc"]
     assert got == round(_auc_reference(rows), 6)
+    # structural: every window spec in the optimized plan carries a
+    # partition expression — an UNpartitioned ordered spec leads with
+    # its ordering expression, printed with ASC/DESC (same idiom as
+    # test_vocab_coverage_full_curve_has_no_global_window)
+    import re
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    for s in specs:
+        head = s.split(",")[0].strip()
+        assert "ASC" not in head and "DESC" not in head, plan
