@@ -1538,16 +1538,21 @@ def set_similarity_join(
     #     token order both sides). For a true pair EVERY common-token
     #     row satisfies the bound (it upper-bounds o >= α), so
     #     any-row-survives semantics keep the join lossless.
+    # the join key is xxhash64(token), not the token string: shingle
+    # tokens are tens of bytes and the candidate join's shuffle+sort is
+    # byte-bound (the 100x probe spilled on exactly this sort). A hash
+    # collision can only ADD a spurious candidate — the exact-Jaccard
+    # verify below removes it — so losslessness is untouched.
     a = pref.select(
         F.col("__id").alias("id_a"),
         F.size("__sorted").alias("__na"),
         F.posexplode("__prefix").alias("__pa", "__t"),
-    )
+    ).select("id_a", "__na", "__pa", F.xxhash64("__t").alias("__h"))
     b = pref.select(
         F.col("__id").alias("id_b"),
         F.size("__sorted").alias("__nb"),
         F.posexplode("__prefix").alias("__pb", "__t"),
-    )
+    ).select("id_b", "__nb", "__pb", F.xxhash64("__t").alias("__h"))
     na, nb = F.col("__na"), F.col("__nb")
     pa, pb = F.col("__pa"), F.col("__pb")
     alpha = F.ceil(F.lit(threshold) * (na + nb) / F.lit(1.0 + threshold))
@@ -1555,7 +1560,7 @@ def set_similarity_join(
         F.least(pa, pb) + 1 + F.least(na - pa - 1, nb - pb - 1)
     )
     pairs = (
-        a.join(b, "__t")
+        a.join(b, "__h")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
