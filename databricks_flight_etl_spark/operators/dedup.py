@@ -1530,14 +1530,21 @@ def set_similarity_join(
     # §3), which drop impossible pairs BEFORE the distinct shuffle and
     # the two array re-fetch joins (r12 verdict task #4 — the re-fetch
     # dominated the 100x probe):
-    #   length: J >= t  =>  |a∩b| >= t·max(na,nb) and <= min(na,nb),
-    #     so any true pair has min >= t·max — size-skewed pairs go.
-    #   positional: J >= t  <=>  overlap o >= α := ⌈t·(na+nb)/(1+t)⌉;
-    #     a common token at 0-indexed sorted positions (pa, pb) bounds
-    #     o <= min(pa,pb) + 1 + min(na−pa−1, nb−pb−1) (same global
-    #     token order both sides). For a true pair EVERY common-token
-    #     row satisfies the bound (it upper-bounds o >= α), so
+    #   length: inter <= min(na,nb) and union >= max(na,nb), so the
+    #     verify's kept pairs all satisfy min/max >= inter/union >= t.
+    #   positional: a common token at 0-indexed sorted positions
+    #     (pa, pb) bounds the overlap o <= ubound := min(pa,pb) + 1 +
+    #     min(na−pa−1, nb−pb−1) (same global token order both sides),
+    #     and x/(na+nb−x) is increasing in x, so kept pairs satisfy
+    #     ubound/(na+nb−ubound) >= o/(na+nb−o) = inter/union >= t.
+    #     For a true pair EVERY common-token row satisfies both, so
     #     any-row-survives semantics keep the join lossless.
+    #   Both bounds are phrased as the SAME IEEE ratio-vs-threshold
+    #     comparison the verify uses (division is monotone in each
+    #     argument, so the implications above hold bit-for-bit) — the
+    #     ceil(t·(na+nb)/(1+t)) overlap form would round UP at exact
+    #     rational boundaries (0.6·16/1.6 floats to 6.000…001 → ceil 7)
+    #     and silently drop a pair whose exact Jaccard equals t.
     # the join key is xxhash64(token), not the token string: shingle
     # tokens are tens of bytes and the candidate join's shuffle+sort is
     # byte-bound (the 100x probe spilled on exactly this sort). A hash
@@ -1555,7 +1562,6 @@ def set_similarity_join(
     ).select("id_b", "__nb", "__pb", F.xxhash64("__t").alias("__h"))
     na, nb = F.col("__na"), F.col("__nb")
     pa, pb = F.col("__pa"), F.col("__pb")
-    alpha = F.ceil(F.lit(threshold) * (na + nb) / F.lit(1.0 + threshold))
     ubound = (
         F.least(pa, pb) + 1 + F.least(na - pa - 1, nb - pb - 1)
     )
@@ -1563,8 +1569,10 @@ def set_similarity_join(
         a.join(b, "__h")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
-            (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
-            & (ubound >= alpha)
+            (F.least(na, nb).cast("double") / F.greatest(na, nb)
+             >= F.lit(threshold))
+            & (ubound.cast("double") / (na + nb - ubound)
+               >= F.lit(threshold))
         )
         .select("id_a", "id_b")
         .distinct()

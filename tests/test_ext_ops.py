@@ -1687,6 +1687,34 @@ def test_set_similarity_join_lossless_vs_bruteforce(spark):
         assert got == want, t
 
 
+def test_set_similarity_join_exact_rational_boundary(spark):
+    """A pair whose exact Jaccard EQUALS the threshold must survive the
+    candidate filters — regression for the (reverted) ceil-form
+    positional bound: at t=2/3, na+nb=15 the float
+    ceil(t·15/(1+t)) = ceil(10.000…001/1.666…) lands at 7 while the
+    exact required overlap is 6, and this instance's ONLY shared
+    prefix token (s0 at positions pa=0, pb=2 — the unique-token dfs
+    push it to those slots) has ubound = 0+1+min(6,5) = 6 < 7, so the
+    valid J=6/9=2/3 pair would have been dropped before verification.
+    The filters are now the verify's own IEEE ratio compare (monotone
+    division), which keeps every boundary pair by construction."""
+    from databricks_flight_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    shared = [f"s{i}" for i in range(6)]
+    rows = [
+        (1, shared + ["z9"]),            # na=7 (z9 df=2 via doc 3)
+        (2, shared + ["ub1", "ub2"]),    # nb=8; inter=6, union=9
+        (3, ["z9"]),                     # raises z9's df so doc 1's
+                                         # prefix leads with s0 (pa=0)
+    ]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in set_similarity_join(df, "s", "id", 2 / 3).collect()}
+    assert got == {(1, 2): round(2 / 3, 6)}
+
+
 def test_containment_join_asymmetric(spark):
     """Page-plus-boilerplate: containment catches what Jaccard misses,
     direction matters, and the filter equals brute force."""
