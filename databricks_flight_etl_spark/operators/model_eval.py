@@ -104,6 +104,13 @@ def auc_roc(
     from .accuracy import _hist_cumsum
 
     by = list(by or [])
+    if bad := {"__s", "__y"} & set(by):
+        # _scored projects the score/label onto these internal names;
+        # a group column called "__s"/"__y" would silently collide
+        raise ValueError(
+            f"by columns {sorted(bad)} collide with internal staging "
+            f"names; rename them before calling auc_roc"
+        )
     hist = (
         _scored(df, score_col, label_col, by)
         .groupBy(*by, "__s")

@@ -26,8 +26,12 @@ _SCRATCH_ROOT: str | None = None
 def _scratch_root() -> str:
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
-        _SCRATCH_ROOT = tempfile.mkdtemp(prefix=f"flight_etl_{os.getpid()}_")
-        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+        # register the LOCAL name: registering the global would, under a
+        # get_spark race from two threads, bind the loser's handler to
+        # the winner's dir (double-rmtree one, leak the other)
+        root = tempfile.mkdtemp(prefix=f"flight_etl_{os.getpid()}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT = root
     return _SCRATCH_ROOT
 
 # Runtime-settable confs that correctness depends on (timezone) or that
