@@ -1450,6 +1450,61 @@ def corpus_digests(df: DataFrame, text_col: str) -> DataFrame:
     ).distinct()
 
 
+def _ordered_prefixes(
+    df: DataFrame,
+    set_col: str,
+    id_col: str,
+    threshold: float,
+    persist: bool,
+) -> DataFrame:
+    """Shared PPJoin staging for set_similarity_join / containment_join:
+    (__id, __sorted, __prefix) where __sorted is the token set ordered
+    by the GLOBAL rare-first total order (document-frequency asc, token
+    asc — the same order for every doc, which the positional filter's
+    order-consistency argument requires) and __prefix is its first
+    |s| − ⌈t·|s|⌉ + 1 tokens. Pinned twice: the toks projection feeds
+    two consumers (the df-count and the per-doc ordering) and the
+    size(__s) > 0 filter would otherwise push below the projection and
+    re-run the tokenizer lineage a third time (the lambda_filters
+    tripwire — see plans.lambda_filters). Extracted (r13) so both
+    joins share one staging and tests can assert the staged positions
+    directly instead of re-deriving them."""
+    toks = _pin(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col(set_col)).alias("__s"),
+        ).where(F.size("__s") > 0),
+        persist,
+    )
+    tok_df = (
+        toks.select(F.explode("__s").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    with_order = (
+        toks.select("__id", F.explode("__s").alias("__t"))
+        .join(tok_df, "__t")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__df", "__t"))
+                ),
+                lambda s: s["__t"],
+            ).alias("__sorted")
+        )
+    )
+    sz = F.size("__sorted")
+    prefix_len = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
+    return _pin(
+        with_order.select(
+            "__id", "__sorted",
+            F.slice("__sorted", 1, prefix_len).alias("__prefix"),
+        ),
+        persist,
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     set_col: str,
@@ -1483,44 +1538,7 @@ def set_similarity_join(
     that — cap the input or raise the threshold there."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # pinned: (a) two consumers (the global df-count and the per-doc
-    # ordering) would otherwise each re-evaluate set_col's lineage —
-    # for a tokenizer expression that is the whole split+distinct per
-    # row, twice; (b) the size(__s) > 0 filter otherwise pushes BELOW
-    # the projection and re-runs the same expression a third time (the
-    # lambda_filters tripwire — see plans.lambda_filters)
-    toks = _pin(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(F.col(set_col)).alias("__s"),
-        ).where(F.size("__s") > 0),
-        persist,
-    )
-    tok_df = (
-        toks.select(F.explode("__s").alias("__t"))
-        .groupBy("__t")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
-    with_order = (
-        toks.select("__id", F.explode("__s").alias("__t"))
-        .join(tok_df, "__t")
-        .groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__df", "__t"))
-                ),
-                lambda s: s["__t"],
-            ).alias("__sorted")
-        )
-    )
-    sz = F.size("__sorted")
-    prefix_len = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
-    pref = with_order.select(
-        "__id", "__sorted",
-        F.slice("__sorted", 1, prefix_len).alias("__prefix"),
-    )
-    pref = _pin(pref, persist)
+    pref = _ordered_prefixes(df, set_col, id_col, threshold, persist)
     # candidates meet on BARE IDS + two ints (set size, prefix token
     # position): dedupe (id_a, id_b) while the rows are narrow, then
     # re-join the pinned per-doc arrays for the verify — shuffling the
@@ -1624,44 +1642,10 @@ def containment_join(
     for a ≠ b, both directions reported independently."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # pinned: (a) two consumers (the global df-count and the per-doc
-    # ordering) would otherwise each re-evaluate set_col's lineage —
-    # for a tokenizer expression that is the whole split+distinct per
-    # row, twice; (b) the size(__s) > 0 filter otherwise pushes BELOW
-    # the projection and re-runs the same expression a third time (the
-    # lambda_filters tripwire — see plans.lambda_filters)
-    toks = _pin(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(F.col(set_col)).alias("__s"),
-        ).where(F.size("__s") > 0),
-        persist,
-    )
-    tok_df = (
-        toks.select(F.explode("__s").alias("__t"))
-        .groupBy("__t")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
-    with_order = (
-        toks.select("__id", F.explode("__s").alias("__t"))
-        .join(tok_df, "__t")
-        .groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__df", "__t"))),
-                lambda s: s["__t"],
-            ).alias("__sorted")
-        )
-    )
-    sz = F.size("__sorted")
-    prefix_len = sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1
-    pref = _pin(
-        with_order.select(
-            "__id", "__sorted",
-            F.slice("__sorted", 1, prefix_len).alias("__prefix"),
-        ),
-        persist,
-    )
+    # NOTE: containment's prefix bound is one-sided (|A∩B| >= ⌈t·|A|⌉,
+    # no B-side restriction), but the PER-DOC prefix length formula is
+    # the same |s| − ⌈t·|s|⌉ + 1, so the staging is shared verbatim.
+    pref = _ordered_prefixes(df, set_col, id_col, threshold, persist)
     # same narrow-dedupe-then-fetch shape as set_similarity_join:
     # pair ids meet and dedupe as two longs, arrays re-attach after
     a = pref.select(

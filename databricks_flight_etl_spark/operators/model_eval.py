@@ -50,6 +50,22 @@ __all__ = [
 ]
 
 
+def _checked_by(by: list[str] | None) -> list[str]:
+    """Validate grouped-metric group columns: no collision with the
+    internal staging names (_scored projects score/label onto
+    __s/__y) and no duplicates (duplicate output columns would fail
+    confusingly downstream instead of at the call site)."""
+    by = list(by or [])
+    if bad := {"__s", "__y"} & set(by):
+        raise ValueError(
+            f"by columns {sorted(bad)} collide with internal staging "
+            f"names; rename them before calling"
+        )
+    if len(set(by)) != len(by):
+        raise ValueError(f"duplicate by columns: {by}")
+    return by
+
+
 def _scored(
     df: DataFrame,
     score_col: str,
@@ -103,14 +119,7 @@ def auc_roc(
     still reported."""
     from .accuracy import _hist_cumsum
 
-    by = list(by or [])
-    if bad := {"__s", "__y"} & set(by):
-        # _scored projects the score/label onto these internal names;
-        # a group column called "__s"/"__y" would silently collide
-        raise ValueError(
-            f"by columns {sorted(bad)} collide with internal staging "
-            f"names; rename them before calling auc_roc"
-        )
+    by = _checked_by(by)
     hist = (
         _scored(df, score_col, label_col, by)
         .groupBy(*by, "__s")

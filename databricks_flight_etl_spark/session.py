@@ -111,11 +111,15 @@ def get_spark(
     # failures); mkdtemp-per-process defaults (see _scratch_root) make
     # concurrent runs disjoint, immune to pid reuse, and cleaned at exit,
     # while staying stable across getOrCreate() calls within a process.
-    scratch = _scratch_root()
-    warehouse = os.environ.get(
-        "SPARK_WAREHOUSE_DIR", os.path.join(scratch, "warehouse")
+    # _scratch_root() only when a default path is actually needed —
+    # with both env overrides set, eagerly calling it would create an
+    # unused empty mkdtemp dir (r13 self-review)
+    warehouse = os.environ.get("SPARK_WAREHOUSE_DIR") or os.path.join(
+        _scratch_root(), "warehouse"
     )
-    derby_home = os.environ.get("DERBY_SYSTEM_HOME", os.path.join(scratch, "derby"))
+    derby_home = os.environ.get("DERBY_SYSTEM_HOME") or os.path.join(
+        _scratch_root(), "derby"
+    )
     os.makedirs(derby_home, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

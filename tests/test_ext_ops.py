@@ -1710,6 +1710,24 @@ def test_set_similarity_join_exact_rational_boundary(spark):
                                          # prefix leads with s0 (pa=0)
     ]
     df = spark.createDataFrame(rows, "id long, s array<string>")
+    # assert the staged layout IS the tight configuration the test
+    # documents (guards against a prefix-order/length change silently
+    # hollowing this test into a generic pass — r13 self-review): the
+    # ONLY token shared by both prefixes is s0, at pa=0 / pb=2, so the
+    # per-row overlap bound is 0+1+min(7-1, 8-3) = 6 while the ceil
+    # form demands 7.
+    from databricks_flight_etl_spark.operators.dedup import (
+        _ordered_prefixes,
+    )
+
+    pref = {
+        r["__id"]: (list(r["__sorted"]), list(r["__prefix"]))
+        for r in _ordered_prefixes(df, "s", "id", 2 / 3, False).collect()
+    }
+    shared_prefix = set(pref[1][1]) & set(pref[2][1])
+    assert shared_prefix == {"s0"}, pref
+    assert (pref[1][1].index("s0"), pref[2][1].index("s0")) == (0, 2)
+    assert (len(pref[1][0]), len(pref[2][0])) == (7, 8)
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in set_similarity_join(df, "s", "id", 2 / 3).collect()}
     assert got == {(1, 2): round(2 / 3, 6)}
