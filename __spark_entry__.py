@@ -5578,6 +5578,37 @@ def q_auc_roc_grouped(spark, sf_dir):
     )
 
 
+def q_calibration_grouped(spark, sf_dir):
+    """X12 model-eval: PER-LANGUAGE 10-bin reliability table — the
+    per-slice companion of q_calibration_bins (did the scorer stay
+    calibrated on each language?). Still ONE hash-agg, keyed on
+    (lang, bin): ≤ langs·n_bins output rows."""
+    from databricks_flight_etl_spark.operators.model_eval import (
+        calibration_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return calibration_bins(
+        _score_label(docs, ["lang"]), "score", "label",
+        n_bins=10, by=["lang"],
+    )
+
+
+def q_threshold_sweep_grouped(spark, sf_dir):
+    """X12 model-eval: PER-LANGUAGE confusion/precision/recall/F1 at 3
+    operating points in one corpus pass — a slice-level operating-point
+    table (≤ langs·3 rows) from the same broadcast-explode hash-agg."""
+    from databricks_flight_etl_spark.operators.model_eval import (
+        confusion_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return confusion_sweep(
+        _score_label(docs, ["lang"]), "score", "label",
+        [0.25, 0.5, 0.75], by=["lang"],
+    )
+
+
 def q_calibration_bins(spark, sf_dir):
     """X12 model-eval: 10-bin reliability table (n, mean_score,
     frac_pos, |gap| — the ECE summand) for the derived scorer. Scores
@@ -5724,10 +5755,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FROM r14 ON: rotate positions 21-50 to refresh the
         # oldest-vintage certifications (next up: q_tfidf and
         # q_triangle_counts at r04, then the r05 cohort) and to
-        # window any newly registered oracle-bearing queries
-        # (q_auc_roc_grouped, registered r13, leads the r14 list).
-        # -- NEW round 13: X12 per-group model-eval (r14 candidate) -----
+        # window any newly registered oracle-bearing queries (the 3
+        # r13-registered per-group model-eval queries below —
+        # q_auc_roc_grouped, q_calibration_grouped,
+        # q_threshold_sweep_grouped — lead the r14 list).
+        # -- NEW round 13: X12 per-group model-eval (r14 candidates) ----
         "q_auc_roc_grouped": q_auc_roc_grouped,
+        "q_calibration_grouped": q_calibration_grouped,
+        "q_threshold_sweep_grouped": q_threshold_sweep_grouped,
         # -- rotated out after driver certification (r11 window) -------
         # -- X5 TPC-H deferred shapes ----------------------------------
         "q_tpch_q16_shape": q_tpch_q16_shape,
@@ -11236,6 +11271,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
                CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg
         FROM c GROUP BY lang ORDER BY lang
+    """
+    # Per-language reliability table: same clamped-bin agg keyed on
+    # (lang, bin); averages exact (binary-fraction scores).
+    d["q_calibration_grouped"] = f"""
+        WITH sc AS ({_SCORED_DOCS_SQL})
+        SELECT lang,
+               CAST(GREATEST(0, LEAST(9, FLOOR(score * 10))) AS INT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(score), 6) AS mean_score,
+               ROUND(AVG(label), 6) AS frac_pos,
+               ROUND(ABS(AVG(label) - AVG(score)), 6) AS gap
+        FROM sc
+        GROUP BY 1, 2 ORDER BY lang, bin
+    """
+    # Per-language threshold sweep: integer confusion counts per
+    # (lang, threshold), ratios as single rounded divisions.
+    d["q_threshold_sweep_grouped"] = f"""
+        WITH sc AS ({_SCORED_DOCS_SQL}),
+        t(threshold) AS (VALUES (0.25), (0.5), (0.75)),
+        agg AS (
+            SELECT sc.lang, t.threshold,
+                   CAST(SUM(CASE WHEN score >= t.threshold AND label = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score >= t.threshold AND label = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score < t.threshold AND label = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN score < t.threshold AND label = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM sc, t GROUP BY sc.lang, t.threshold
+        )
+        SELECT lang, CAST(threshold AS DOUBLE) AS threshold,
+               tp, fp, fn, tn,
+               ROUND(CASE WHEN tp + fp > 0
+                          THEN tp / CAST(tp + fp AS DOUBLE) END, 6)
+                   AS precision,
+               ROUND(CASE WHEN tp + fn > 0
+                          THEN tp / CAST(tp + fn AS DOUBLE) END, 6)
+                   AS recall,
+               ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                          AND (tp / CAST(tp + fp AS DOUBLE)
+                               + tp / CAST(tp + fn AS DOUBLE)) > 0
+                          THEN 2 * (tp / CAST(tp + fp AS DOUBLE))
+                               * (tp / CAST(tp + fn AS DOUBLE))
+                               / (tp / CAST(tp + fp AS DOUBLE)
+                                  + tp / CAST(tp + fn AS DOUBLE)) END, 6)
+                   AS f1
+        FROM agg ORDER BY lang, threshold
     """
     # scores are binary fractions k/2^12 → the double averages are
     # summation-order-exact (see _scored_docs), so avg() matches

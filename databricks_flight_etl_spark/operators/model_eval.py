@@ -165,6 +165,7 @@ def calibration_bins(
     label_col: str,
     n_bins: int = 10,
     decimals: int = 6,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Reliability table over equi-width score bins on [0, 1]: per bin
     (bin, n, mean_score, frac_pos, gap) with gap = |frac_pos −
@@ -176,11 +177,14 @@ def calibration_bins(
     score = 1.0 in bin n_bins−1.
 
     One bounded hash-agg: ≤ n_bins output rows regardless of corpus
-    size. Empty bins are absent (report joins against observed data,
-    not a bin spine — callers needing a dense axis can generate one)."""
+    size (× group count with ``by`` — per-slice reliability, same
+    single agg keyed on (by…, bin)). Empty bins are absent (report
+    joins against observed data, not a bin spine — callers needing a
+    dense axis can generate one)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    s = _scored(df, score_col, label_col)
+    by = _checked_by(by)
+    s = _scored(df, score_col, label_col, by)
     # clamp on the LongType floor FIRST, cast to int LAST: with ANSI
     # off, casting an extreme score's floor (|s·n_bins| > 2^31) to int
     # wraps, so a huge positive score could land in bin 0 instead of
@@ -193,7 +197,7 @@ def calibration_bins(
         ),
     ).cast("int")
     return (
-        s.groupBy(b.alias("bin"))
+        s.groupBy(*by, b.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("__s"), decimals).alias("mean_score"),
@@ -201,7 +205,7 @@ def calibration_bins(
             F.round(F.abs(F.avg("__y") - F.avg("__s")), decimals)
             .alias("gap"),
         )
-        .orderBy("bin")
+        .orderBy(*by, "bin")
     )
 
 
@@ -211,6 +215,7 @@ def confusion_sweep(
     label_col: str,
     thresholds: list[float],
     decimals: int = 6,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Confusion counts + precision/recall/F1 at EVERY threshold in one
     corpus pass: predicted positive iff score ≥ t. The thresholds ride
@@ -221,24 +226,28 @@ def confusion_sweep(
     Precision is NULL when nothing is predicted positive, recall NULL
     when there are no positives (0/0 is unknowable, not 0 — validity-
     operator convention); F1 NULL when either is. Output ordered by
-    threshold."""
+    threshold (``by`` groups lead the key and the sort — per-slice
+    operating points, still the one ≤ groups·len(thresholds)-row
+    hash-agg)."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    s = _scored(df, score_col, label_col)
+    by = _checked_by(by)
+    s = _scored(df, score_col, label_col, by)
     t = F.explode(
         F.array(*[F.lit(float(x)) for x in thresholds])
     ).alias("threshold")
     pred = (F.col("__s") >= F.col("threshold")).cast("int")
     agg = (
-        s.select("__s", "__y", t)
+        s.select(*by, "__s", "__y", t)
         .select(
+            *by,
             "threshold",
             (pred * F.col("__y")).alias("__tp"),
             (pred * (1 - F.col("__y"))).alias("__fp"),
             ((1 - pred) * F.col("__y")).alias("__fn"),
             ((1 - pred) * (1 - F.col("__y"))).alias("__tn"),
         )
-        .groupBy("threshold")
+        .groupBy(*by, "threshold")
         .agg(
             F.sum("__tp").alias("tp"),
             F.sum("__fp").alias("fp"),
@@ -261,6 +270,7 @@ def confusion_sweep(
         2 * precision * recall / (precision + recall),
     )
     return agg.select(
+        *by,
         "threshold",
         "tp",
         "fp",
@@ -269,4 +279,4 @@ def confusion_sweep(
         F.round(precision, decimals).alias("precision"),
         F.round(recall, decimals).alias("recall"),
         F.round(f1, decimals).alias("f1"),
-    ).orderBy("threshold")
+    ).orderBy(*by, "threshold")

@@ -218,3 +218,31 @@ def test_auc_grouped_single_class_group_null(spark):
     assert got["a"]["auc"] == 1.0
     assert got["b"]["auc"] is None
     assert (got["b"]["n_pos"], got["b"]["n_neg"]) == (2, 0)
+
+
+def test_calibration_and_sweep_grouped(spark):
+    """by= slices calibration and the threshold sweep per group,
+    each group's rows equal to the single-group call on that slice;
+    output leads with the group columns, ordered."""
+    rows = [("a", 0.25, 1), ("a", 0.75, 0), ("a", 0.75, 1),
+            ("b", 0.25, 0), ("b", 0.25, 0), ("b", 1.0, 1)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = calibration_bins(df, "s", "y", 2, by=["g"]).collect()
+    assert [r["g"] for r in got] == sorted(r["g"] for r in got)
+    for g in ("a", "b"):
+        whole = {(r["bin"], r["n"], r["mean_score"], r["frac_pos"])
+                 for r in calibration_bins(
+                     df.where(F.col("g") == g), "s", "y", 2).collect()}
+        sliced = {(r["bin"], r["n"], r["mean_score"], r["frac_pos"])
+                  for r in got if r["g"] == g}
+        assert sliced == whole, g
+    sweep = confusion_sweep(df, "s", "y", [0.5], by=["g"]).collect()
+    by_g = {r["g"]: r for r in sweep}
+    assert (by_g["a"]["tp"], by_g["a"]["fp"]) == (1, 1)
+    assert (by_g["b"]["tp"], by_g["b"]["tn"]) == (1, 2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        confusion_sweep(df, "s", "y", [0.5], by=["g", "g"])
+    with pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", 2, by=["__s"])
