@@ -129,7 +129,12 @@ def test_resample_to_target_exactness_property(spark, counts, targets):
 @given(sets=st.lists(
     st.sets(st.sampled_from("abcdefghij"), min_size=1, max_size=6),
     min_size=2, max_size=10),
-    thr=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+    # 1/3, 0.6, 2/3 are repeating binary fractions whose products
+    # round UP in IEEE at exact rational boundaries — the class of
+    # threshold where the r13 ceil-form candidate bound dropped valid
+    # pairs (the brute-force oracle below compares jac >= thr in the
+    # same IEEE semantics as the operator's verify)
+    thr=st.sampled_from([1 / 3, 0.34, 0.5, 0.6, 2 / 3, 0.75, 1.0]))
 @SET
 def test_set_similarity_join_lossless_property(spark, sets, thr):
     """The prefix filter must be LOSSLESS for any input/threshold:
