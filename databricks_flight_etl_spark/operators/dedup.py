@@ -1468,7 +1468,20 @@ def _ordered_prefixes(
     re-run the tokenizer lineage a third time (the lambda_filters
     tripwire — see plans.lambda_filters). Extracted (r13) so both
     joins share one staging and tests can assert the staged positions
-    directly instead of re-deriving them."""
+    directly instead of re-deriving them.
+
+    Float-boundary note (audited r13, after the overlap-bound fix):
+    the ceil in the prefix-length formula is SAFE, unlike the removed
+    ceil(t·(na+nb)/(1+t)) overlap bound. Both ceil operands (the
+    float threshold and the int size) are exact doubles, so the IEEE
+    product is the correctly-rounded exact product; when rounding
+    crosses an integer it can only round DOWN across it (exact k+δ →
+    k), never up past one (exact k−δ rounds at most to k, whose ceil
+    equals the exact ceil) — so the computed ceil is ≤ the exact
+    ceil, the prefix only ever gets LONGER, and the filter stays
+    lossless. The removed bound failed in the opposite direction
+    because its result was COMPARED AGAINST an integer count, where
+    rounding up by one ulp flips the comparison."""
     toks = _pin(
         df.select(
             F.col(id_col).alias("__id"),
