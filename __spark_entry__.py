@@ -5677,53 +5677,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sinks + SQL surface (S6·S8·G4, Q3 freq) -------------------
         "q_parquet_roundtrip": q_parquet_roundtrip,
         "q_sql_surface": q_sql_surface,
-        # -- ROUND-13 WINDOW (r12 verdict task #1): positions 21-50.
-        # -- This rotation COMPLETES the certification program: the 5
-        # -- never-windowed windowable queries (the last 2 streaming
-        # -- twins + the 3 new X12 model-eval queries) take the first
-        # -- slots, and the remaining 25 re-certify the OLDEST-vintage
-        # -- oracle-bearing entries (computed from the union of
-        # -- CORRECTNESS_r01..r12: 6 from r01, 10 from r02, 5 from
-        # -- r03, 4 from r04 — alphabetical within vintage; q_tfidf
-        # -- and q_triangle_counts are the next-oldest and lead the
-        # -- r14 refresh). Rows-only-by-design queries are excluded
-        # -- per the registry note below. The r12 window members are
+        # -- ROUND-14 WINDOW (r13 verdict task #1): positions 21-50.
+        # -- The certification program is complete (every oracle-bearing
+        # -- query driver-windowed at least once, r13); from here the
+        # -- rotation (a) windows newly registered oracle-bearing
+        # -- queries first — this round the 3 r13-registered per-group
+        # -- model-eval queries — and (b) re-certifies the
+        # -- OLDEST-vintage entries (latest-windowed round, computed
+        # -- from the union of CORRECTNESS_r01..r13: 2 from r04, 8 from
+        # -- r05, 6 from r06, then the r07 cohort alphabetically — the
+        # -- 11 that fit; the remaining 19 r07-vintage queries lead the
+        # -- r15 refresh). Rows-only-by-design queries are excluded per
+        # -- the registry note below. The r13 window members are
         # -- driver-certified and move below the marker. ----------------
-        # -- never-windowed: last 2 streaming twins + 3 X12 -------------
-        "q_streaming_interval_join": q_streaming_interval_join,
-        "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
-        "q_auc_roc": q_auc_roc,
-        "q_calibration_bins": q_calibration_bins,
-        "q_threshold_sweep": q_threshold_sweep,
-        # -- oldest vintage: r01 certifications -------------------------
-        "q_cube": q_cube,
-        "q_grouping_sets": q_grouping_sets,
-        "q_join_anti": q_join_anti,
-        "q_join_multiway": q_join_multiway,
-        "q_join_semi": q_join_semi,
-        "q_set_ops": q_set_ops,
-        # -- r02 certifications ------------------------------------------
-        "q_count_distinct": q_count_distinct,
-        "q_fingerprint": q_fingerprint,
-        "q_json_extract": q_json_extract,
-        "q_moving_avg": q_moving_avg,
-        "q_pivot": q_pivot,
-        "q_rollup": q_rollup,
-        "q_sessionize": q_sessionize,
-        "q_tpch_q1": q_tpch_q1,
-        "q_window_topk_per_group": q_window_topk_per_group,
-        "q_zscore_grouped": q_zscore_grouped,
-        # -- r03 certifications --------------------------------------------
-        "q_bm25": q_bm25,
-        "q_dedup_survivors": q_dedup_survivors,
-        "q_embed_dup": q_embed_dup,
-        "q_token_count_bpe": q_token_count_bpe,
-        "q_value_freq_capped": q_value_freq_capped,
-        # -- r04 certifications ----------------------------------------------
-        "q_interpolate_gaps": q_interpolate_gaps,
-        "q_k_anonymize": q_k_anonymize,
-        "q_quantile_sketch_merge": q_quantile_sketch_merge,
-        "q_semantic_dedup_2level": q_semantic_dedup_2level,
+        # -- newly registered (r13): X12 per-group model-eval -----------
+        "q_auc_roc_grouped": q_auc_roc_grouped,
+        "q_calibration_grouped": q_calibration_grouped,
+        "q_threshold_sweep_grouped": q_threshold_sweep_grouped,
+        # -- oldest vintage: r04 re-certifications ----------------------
+        "q_tfidf": q_tfidf,
+        "q_triangle_counts": q_triangle_counts,
+        # -- r05 re-certifications ---------------------------------------
+        "q_association_pairs": q_association_pairs,
+        "q_bpe_merges": q_bpe_merges,
+        "q_diff_cells": q_diff_cells,
+        "q_grouped_corr": q_grouped_corr,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_period_over_period": q_period_over_period,
+        "q_quality_signals": q_quality_signals,
+        "q_transition_matrix": q_transition_matrix,
+        # -- r06 re-certifications -----------------------------------------
+        "q_hamming_near_dup": q_hamming_near_dup,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_line_dedup": q_line_dedup,
+        "q_mad_grouped": q_mad_grouped,
+        "q_ohlc_bars": q_ohlc_bars,
+        "q_repetition_signals": q_repetition_signals,
+        # -- r07 re-certifications (first 11 alphabetically) ----------------
+        "q_chunk_documents": q_chunk_documents,
+        "q_contamination": q_contamination,
+        "q_corpus_release": q_corpus_release,
+        "q_cosine_topk": q_cosine_topk,
+        "q_decode_features": q_decode_features,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_exact": q_dedup_exact,
+        "q_deterministic_sample": q_deterministic_sample,
+        "q_domain_caps": q_domain_caps,
+        "q_join_inner": q_join_inner,
+        "q_join_outer": q_join_outer,
         # == position DRIVER_WINDOW (50) ends here — everything below ==
         # == is certified locally but outside the driver's window ======
         # CERTIFICATION PROGRAM COMPLETE (r13) — with the round-13
@@ -5752,17 +5753,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   q_simhash_certified, q_ann_lsh_exhaustive,
         #   q_cosine_topk_pandas, q_ann_ivf_exhaustive,
         #   q_textprep_exact/q_textprep_full_certified).
-        # FROM r14 ON: rotate positions 21-50 to refresh the
-        # oldest-vintage certifications (next up: q_tfidf and
-        # q_triangle_counts at r04, then the r05 cohort) and to
-        # window any newly registered oracle-bearing queries (the 3
-        # r13-registered per-group model-eval queries below —
-        # q_auc_roc_grouped, q_calibration_grouped,
-        # q_threshold_sweep_grouped — lead the r14 list).
-        # -- NEW round 13: X12 per-group model-eval (r14 candidates) ----
-        "q_auc_roc_grouped": q_auc_roc_grouped,
-        "q_calibration_grouped": q_calibration_grouped,
-        "q_threshold_sweep_grouped": q_threshold_sweep_grouped,
+        # FROM r15 ON: rotate positions 21-50 to refresh the
+        # oldest-vintage certifications (next up: the 19 remaining
+        # r07-vintage queries alphabetically from q_ks_drift, then the
+        # r08 cohort) and to window any newly registered oracle-bearing
+        # queries first (any registered during r14 lead the r15 list).
+        # -- rotated out after driver certification (r13 window) --------
+        "q_streaming_interval_join": q_streaming_interval_join,
+        "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
+        "q_auc_roc": q_auc_roc,
+        "q_calibration_bins": q_calibration_bins,
+        "q_threshold_sweep": q_threshold_sweep,
+        "q_cube": q_cube,
+        "q_grouping_sets": q_grouping_sets,
+        "q_join_anti": q_join_anti,
+        "q_join_multiway": q_join_multiway,
+        "q_join_semi": q_join_semi,
+        "q_set_ops": q_set_ops,
+        "q_count_distinct": q_count_distinct,
+        "q_fingerprint": q_fingerprint,
+        "q_json_extract": q_json_extract,
+        "q_moving_avg": q_moving_avg,
+        "q_pivot": q_pivot,
+        "q_rollup": q_rollup,
+        "q_sessionize": q_sessionize,
+        "q_tpch_q1": q_tpch_q1,
+        "q_window_topk_per_group": q_window_topk_per_group,
+        "q_zscore_grouped": q_zscore_grouped,
+        "q_bm25": q_bm25,
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_embed_dup": q_embed_dup,
+        "q_token_count_bpe": q_token_count_bpe,
+        "q_value_freq_capped": q_value_freq_capped,
+        "q_interpolate_gaps": q_interpolate_gaps,
+        "q_k_anonymize": q_k_anonymize,
+        "q_quantile_sketch_merge": q_quantile_sketch_merge,
+        "q_semantic_dedup_2level": q_semantic_dedup_2level,
         # -- rotated out after driver certification (r11 window) -------
         # -- X5 TPC-H deferred shapes ----------------------------------
         "q_tpch_q16_shape": q_tpch_q16_shape,
@@ -5918,47 +5944,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift_report": q_ks_drift_report,
         "q_linear_scorer": q_linear_scorer,
         "q_streaming_drift": q_streaming_drift,
-        "q_domain_caps": q_domain_caps,
         "q_strip_html": q_strip_html,
         "q_streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "q_join_inner": q_join_inner,
-        "q_join_outer": q_join_outer,
         "q_token_counts": q_token_counts,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
-        "q_chunk_documents": q_chunk_documents,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_clusters": q_dedup_clusters,
         "q_minhash_certified": q_minhash_certified,
         "q_simhash_certified": q_simhash_certified,
-        "q_cosine_topk": q_cosine_topk,
         "q_multimodal_meta": q_multimodal_meta,
-        "q_decode_features": q_decode_features,
-        "q_deterministic_sample": q_deterministic_sample,
         "q_pii_redact": q_pii_redact,
-        "q_contamination": q_contamination,
         "q_winnow_certified": q_winnow_certified,
         "q_pack_shards": q_pack_shards,
         "q_textprep_exact": q_textprep_exact,
         "q_textprep_full_certified": q_textprep_full_certified,
-        "q_corpus_release": q_corpus_release,
         "q_streaming_day_counts": q_streaming_day_counts,
-        "q_line_dedup": q_line_dedup,
-        "q_repetition_signals": q_repetition_signals,
-        "q_hamming_near_dup": q_hamming_near_dup,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_mad_grouped": q_mad_grouped,
-        "q_ohlc_bars": q_ohlc_bars,
-        "q_quality_signals": q_quality_signals,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_association_pairs": q_association_pairs,
-        "q_period_over_period": q_period_over_period,
-        "q_grouped_corr": q_grouped_corr,
-        "q_transition_matrix": q_transition_matrix,
-        "q_bpe_merges": q_bpe_merges,
-        "q_diff_cells": q_diff_cells,
-        "q_tfidf": q_tfidf,
-        "q_triangle_counts": q_triangle_counts,
         # -- rotated out after driver certification (r12 window) --------
         "q_pagerank": q_pagerank,
         "q_dedup_clusters_star": q_dedup_clusters_star,
