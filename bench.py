@@ -246,15 +246,27 @@ def main() -> None:
              "BENCH_DETAIL.json"],
             capture_output=True, text=True, timeout=30,
         ).stdout
+        # case-insensitive, separator-tolerant match ("round 13: ...",
+        # "Round-13 close: ...") — an exact-prefix match silently
+        # no-ops the cross-round detector if the driver's commit
+        # wording ever drifts (r13 ADVICE)
+        round_re = re.compile(r"^round[ -]?\d+", re.IGNORECASE)
         for line in log.splitlines():
             sha, _, subject = line.partition(" ")
-            if subject.startswith("round "):
+            if round_re.match(subject):
                 blob = subprocess.run(
                     ["git", "-C", repo, "show", f"{sha}:BENCH_DETAIL.json"],
                     capture_output=True, text=True, timeout=30,
                 ).stdout
                 round_timings = json.loads(blob).get("queries", {})
                 break
+        else:
+            print(
+                "# cross-round baseline: no round-close commit found "
+                "touching BENCH_DETAIL.json; drift detector degrades "
+                "to the working-tree baseline only",
+                file=sys.stderr,
+            )
     except Exception:
         pass
     adjudication: dict[str, dict] = {}

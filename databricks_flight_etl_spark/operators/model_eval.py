@@ -50,16 +50,30 @@ __all__ = [
 ]
 
 
-def _checked_by(by: list[str] | None) -> list[str]:
-    """Validate grouped-metric group columns: no collision with the
-    internal staging names (_scored projects score/label onto
-    __s/__y) and no duplicates (duplicate output columns would fail
-    confusingly downstream instead of at the call site)."""
+def _checked_by(
+    by: list[str] | None,
+    reserved: frozenset[str],
+    score_col: str,
+    label_col: str,
+) -> list[str]:
+    """Validate grouped-metric group columns at the call site: no
+    collision with the caller's staging/output names (``reserved``,
+    which always includes _scored's __s/__y — a ``by`` named
+    'threshold' or 'bin' or 'auc' would otherwise surface as a
+    duplicate/ambiguous column in a confusing downstream
+    AnalysisException, r13 ADVICE), no duplicates, and not the score
+    or label column itself (those are consumed into __s/__y, so
+    grouping on them would silently group per-score/per-label)."""
     by = list(by or [])
-    if bad := {"__s", "__y"} & set(by):
+    if bad := ({"__s", "__y"} | reserved) & set(by):
         raise ValueError(
-            f"by columns {sorted(bad)} collide with internal staging "
-            f"names; rename them before calling"
+            f"by columns {sorted(bad)} collide with this metric's "
+            f"staging/output column names; rename them before calling"
+        )
+    if bad := {score_col, label_col} & set(by):
+        raise ValueError(
+            f"by columns {sorted(bad)} are the score/label column — "
+            f"group columns must be distinct from them"
         )
     if len(set(by)) != len(by):
         raise ValueError(f"duplicate by columns: {by}")
@@ -90,6 +104,7 @@ def auc_roc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    *,
     by: list[str] | None = None,
     decimals: int = 6,
 ) -> DataFrame:
@@ -119,7 +134,15 @@ def auc_roc(
     still reported."""
     from .accuracy import _hist_cumsum
 
-    by = _checked_by(by)
+    by = _checked_by(
+        by,
+        frozenset(
+            {"__np", "__nn", "__2u", "__bkt", "__cum___nn",
+             "__cum___np", "auc", "n_pos", "n_neg"}
+        ),
+        score_col,
+        label_col,
+    )
     hist = (
         _scored(df, score_col, label_col, by)
         .groupBy(*by, "__s")
@@ -164,6 +187,7 @@ def calibration_bins(
     score_col: str,
     label_col: str,
     n_bins: int = 10,
+    *,
     decimals: int = 6,
     by: list[str] | None = None,
 ) -> DataFrame:
@@ -183,7 +207,12 @@ def calibration_bins(
     dense axis can generate one)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    by = _checked_by(by)
+    by = _checked_by(
+        by,
+        frozenset({"bin", "n", "mean_score", "frac_pos", "gap"}),
+        score_col,
+        label_col,
+    )
     s = _scored(df, score_col, label_col, by)
     # clamp on the LongType floor FIRST, cast to int LAST: with ANSI
     # off, casting an extreme score's floor (|s·n_bins| > 2^31) to int
@@ -214,6 +243,7 @@ def confusion_sweep(
     score_col: str,
     label_col: str,
     thresholds: list[float],
+    *,
     decimals: int = 6,
     by: list[str] | None = None,
 ) -> DataFrame:
@@ -231,7 +261,15 @@ def confusion_sweep(
     hash-agg)."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    by = _checked_by(by)
+    by = _checked_by(
+        by,
+        frozenset(
+            {"threshold", "__tp", "__fp", "__fn", "__tn",
+             "tp", "fp", "fn", "tn", "precision", "recall", "f1"}
+        ),
+        score_col,
+        label_col,
+    )
     s = _scored(df, score_col, label_col, by)
     t = F.explode(
         F.array(*[F.lit(float(x)) for x in thresholds])

@@ -246,3 +246,38 @@ def test_calibration_and_sweep_grouped(spark):
         confusion_sweep(df, "s", "y", [0.5], by=["g", "g"])
     with pytest.raises(ValueError):
         calibration_bins(df, "s", "y", 2, by=["__s"])
+
+
+def test_by_rejects_reserved_and_score_label_names(spark):
+    """r13 ADVICE: each metric rejects by columns that collide with its
+    OWN staging/output names (not just __s/__y) and by columns equal to
+    the score/label column — all at the call site, not as a confusing
+    downstream AnalysisException."""
+    import pytest
+
+    rows = [("a", 0.25, 1), ("b", 0.75, 0)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    # per-caller reserved output names
+    for by in (["threshold"], ["tp"], ["precision"]):
+        with pytest.raises(ValueError, match="staging/output"):
+            confusion_sweep(df.withColumnRenamed("g", by[0]),
+                            "s", "y", [0.5], by=by)
+    for by in (["bin"], ["n"], ["gap"]):
+        with pytest.raises(ValueError, match="staging/output"):
+            calibration_bins(df.withColumnRenamed("g", by[0]),
+                             "s", "y", 2, by=by)
+    for by in (["auc"], ["n_pos"], ["__cum___nn"]):
+        with pytest.raises(ValueError, match="staging/output"):
+            auc_roc(df.withColumnRenamed("g", by[0]), "s", "y", by=by)
+    # by == score/label column is a call-site error, every sibling
+    for fn in (
+        lambda by: auc_roc(df, "s", "y", by=by),
+        lambda by: calibration_bins(df, "s", "y", 2, by=by),
+        lambda by: confusion_sweep(df, "s", "y", [0.5], by=by),
+    ):
+        with pytest.raises(ValueError, match="score/label"):
+            fn(["s"])
+        with pytest.raises(ValueError, match="score/label"):
+            fn(["y"])
+    # a reserved name elsewhere in the frame is fine when not in by
+    assert auc_roc(df, "s", "y", by=["g"]).count() == 2
