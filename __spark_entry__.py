@@ -5565,8 +5565,9 @@ def q_auc_roc(spark, sf_dir):
 
 def q_auc_roc_grouped(spark, sf_dir):
     """X12 model-eval: PER-LANGUAGE AUC-ROC (r12 verdict task #5) —
-    the realistic quality-filter validation is "did the classifier
-    hold up on each domain/language slice". Same integer 2U rank-sum,
+    the grouped variant of q_auc_roc; the realistic quality-filter
+    validation is "did the classifier hold up on each
+    domain/language slice". Same integer 2U rank-sum,
     but the histogram keys on (lang, score) and _hist_cumsum's native
     by= scopes the prefix-sum per language — two hash-aggs + the
     shared bucketed window, no per-group loop, group count unbounded."""
@@ -5596,8 +5597,9 @@ def q_calibration_grouped(spark, sf_dir):
 
 def q_threshold_sweep_grouped(spark, sf_dir):
     """X12 model-eval: PER-LANGUAGE confusion/precision/recall/F1 at 3
-    operating points in one corpus pass — a slice-level operating-point
-    table (≤ langs·3 rows) from the same broadcast-explode hash-agg."""
+    operating points in one corpus pass — the grouped variant of
+    q_threshold_sweep, a slice-level operating-point table (≤ langs·3
+    rows) from the same broadcast-explode hash-agg."""
     from databricks_flight_etl_spark.operators.model_eval import (
         confusion_sweep,
     )
