@@ -5536,6 +5536,38 @@ def _score_label(docs, keep):
     )
 
 
+def _score_label_v2(docs, keep):
+    """The CANDIDATE scoring run for drift queries: identical labels,
+    and the baseline score everywhere EXCEPT fr/zh, where an
+    independently-salted md5 draw replaces it — uncorrelated with the
+    label by construction, so those slices' AUC collapses toward 0.5
+    while every other slice's drift is exactly 0."""
+    si = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10
+    ).cast("int")
+    vi = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("v2"), F.col("doc_id").cast("string"))),
+            1, 3,
+        ), 16, 10,
+    ).cast("int")
+    ni = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("lbl"), F.col("doc_id").cast("string"))),
+            1, 3,
+        ), 16, 10,
+    ).cast("int")
+    score = F.when(
+        F.col("lang").isin("fr", "zh"), vi / F.lit(4096.0)
+    ).otherwise(si / F.lit(4096.0))
+    return docs.select(
+        *keep,
+        "doc_id",
+        score.alias("score"),
+        ((si + ni) >= 4096).cast("int").alias("label"),
+    )
+
+
 _SCORED_DOCS_SQL = """
     SELECT lang,
            doc_id,
@@ -5576,6 +5608,30 @@ def q_auc_roc_grouped(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return auc_roc(
         _score_label(docs, ["lang"]), "score", "label", by=["lang"]
+    )
+
+
+def q_auc_drift(spark, sf_dir):
+    """X12 model-eval: per-language AUC DRIFT between two scoring runs
+    (r13 verdict task #5) — the "did the new quality filter regress any
+    language" release gate, the discrimination-statistic companion of
+    q_psi_drift. The candidate run keeps the baseline scorer on most
+    languages (delta exactly 0 — bit-certifiable no-regression) and
+    swaps in an independently-salted, label-uncorrelated scorer on
+    fr/zh (auc_cand ≈ 0.5 there — a planted regression). One union +
+    ONE auc_roc pass with by=[lang, run] (single histogram, single
+    scoped prefix-sum), then a bounded ≤2-rows-per-group pivot; both
+    runs certified as two grouped-AUC window passes FULL-OUTER-joined
+    in the oracle."""
+    from databricks_flight_etl_spark.operators.model_eval import auc_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return auc_drift(
+        _score_label(docs, ["lang"]),
+        _score_label_v2(docs, ["lang"]),
+        "score",
+        "label",
+        by=["lang"],
     )
 
 
@@ -5760,6 +5816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07-vintage queries alphabetically from q_ks_drift, then the
         # r08 cohort) and to window any newly registered oracle-bearing
         # queries first (any registered during r14 lead the r15 list).
+        # -- NEW round 14: X12 per-slice AUC drift (r15 window lead) ----
+        "q_auc_drift": q_auc_drift,
         # -- rotated out after driver certification (r13 window) --------
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
@@ -11321,6 +11379,58 @@ def oracle_sql() -> dict[str, str]:
                                   + tp / CAST(tp + fn AS DOUBLE)) END, 6)
                    AS f1
         FROM agg ORDER BY lang, threshold
+    """
+    # Certified as the verdict prescribed: TWO grouped-AUC window
+    # passes (the q_auc_roc_grouped SQL, once per scoring run)
+    # FULL-OUTER-joined on the slice key. The candidate run's score
+    # swaps in the independently-salted md5 draw on fr/zh only
+    # (_score_label_v2); both runs share the label derivation.
+    _AUC_BY_LANG = """
+        SELECT lang,
+               CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+                    THEN ROUND(CAST(SUM(np * (2 * cum + nn)) AS DOUBLE)
+                               / (2.0 * SUM(np) * SUM(nn)), 6)
+               END AS auc,
+               CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
+               CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg
+        FROM (
+            SELECT lang, np, nn,
+                   COALESCE(CAST(SUM(nn) OVER (
+                       PARTITION BY lang ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum
+            FROM (
+                SELECT lang, score,
+                       CAST(SUM(label) AS BIGINT) AS np,
+                       CAST(SUM(1 - label) AS BIGINT) AS nn
+                FROM {src} GROUP BY lang, score
+            )
+        ) GROUP BY lang
+    """
+    d["q_auc_drift"] = f"""
+        WITH sc_base AS ({_SCORED_DOCS_SQL}),
+        sc_cand AS (
+            SELECT lang, doc_id,
+                   CASE WHEN lang IN ('fr', 'zh')
+                        THEN CAST('0x' || substr(md5('v2' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 3)
+                                 AS BIGINT) / 4096.0
+                        ELSE score END AS score,
+                   label
+            FROM sc_base
+        ),
+        ab AS ({_AUC_BY_LANG.format(src="sc_base")}),
+        ac AS ({_AUC_BY_LANG.format(src="sc_cand")})
+        SELECT COALESCE(ab.lang, ac.lang) AS lang,
+               ab.auc AS auc_base,
+               ac.auc AS auc_cand,
+               ROUND(ac.auc - ab.auc, 6) AS auc_delta,
+               ab.n_pos AS n_pos_base,
+               ab.n_neg AS n_neg_base,
+               ac.n_pos AS n_pos_cand,
+               ac.n_neg AS n_neg_cand
+        FROM ab FULL OUTER JOIN ac ON ab.lang = ac.lang
+        ORDER BY lang
     """
     # scores are binary fractions k/2^12 → the double averages are
     # summation-order-exact (see _scored_docs), so avg() matches

@@ -1450,25 +1450,64 @@ def corpus_digests(df: DataFrame, text_col: str) -> DataFrame:
     ).distinct()
 
 
+def _hash_injective(toks: DataFrame) -> bool:
+    """EXACT injectivity probe for the hashed PPJoin staging: True iff
+    xxhash64 maps this corpus's distinct tokens 1:1 (countDistinct of
+    tokens equals countDistinct of their hashes — both map-side
+    partial-distinct aggregates, so the job is vocabulary-bound, not
+    corpus-bound). Split out so tests can force the string fallback
+    without manufacturing a real 64-bit collision."""
+    chk = (
+        toks.select(F.explode("__s").alias("__t"))
+        .agg(
+            F.countDistinct("__t").alias("nt"),
+            F.countDistinct(F.xxhash64("__t")).alias("nh"),
+        )
+        .first()
+    )
+    return bool(chk and chk["nt"] == chk["nh"])
+
+
 def _ordered_prefixes(
     df: DataFrame,
     set_col: str,
     id_col: str,
     threshold: float,
     persist: bool,
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Shared PPJoin staging for set_similarity_join / containment_join:
-    (__id, __sorted, __prefix) where __sorted is the token set ordered
-    by the GLOBAL rare-first total order (document-frequency asc, token
-    asc — the same order for every doc, which the positional filter's
-    order-consistency argument requires) and __prefix is its first
-    |s| − ⌈t·|s|⌉ + 1 tokens. Pinned twice: the toks projection feeds
-    two consumers (the df-count and the per-doc ordering) and the
-    size(__s) > 0 filter would otherwise push below the projection and
-    re-run the tokenizer lineage a third time (the lambda_filters
-    tripwire — see plans.lambda_filters). Extracted (r13) so both
-    joins share one staging and tests can assert the staged positions
-    directly instead of re-deriving them.
+    returns ((__id, __sorted, __prefix), hashed) where __sorted is the
+    token set ordered by a GLOBAL rare-first total order
+    (document-frequency asc, token asc — the same order for every doc,
+    which the positional filter's order-consistency argument requires)
+    and __prefix is its first |s| − ⌈t·|s|⌉ + 1 tokens. Pinned twice:
+    the toks projection feeds two consumers (the df-count and the
+    per-doc ordering) and the size(__s) > 0 filter would otherwise
+    push below the projection and re-run the tokenizer lineage a third
+    time (the lambda_filters tripwire — see plans.lambda_filters).
+    Extracted (r13) so both joins share one staging and tests can
+    assert the staged positions directly instead of re-deriving them.
+
+    HASHED MODE (r14 — the 100x probe's verify stage was byte-bound on
+    ~30-byte shingle strings: 20M candidates × two ~3.5 KB string
+    arrays ≈ 140 GB of verify shuffle): when xxhash64 is INJECTIVE on
+    this corpus's distinct tokens — checked exactly, one bounded 1-row
+    aggregate comparing countDistinct(token) against
+    countDistinct(xxhash64(token)) — every downstream structure
+    (df-count join, per-doc sort, prefix explode, verify arrays) runs
+    on 8-byte longs instead of token strings, and the global order
+    becomes (df asc, hash asc). Under a bijection this is EXACT, not
+    approximate: distinct tokens ↔ distinct hashes, so every
+    intersection/union COUNT — the only thing the joins' outputs
+    (ids + ratios) depend on — is identical, and (df, hash) is as
+    valid a fixed total order as (df, token) (the prefix filter needs
+    SOME shared total order, rare-first only for selectivity). On a
+    collision (needs ~2³² distinct tokens for even coin-flip odds) the
+    staging falls back to the string pipeline, preserving exactness;
+    ``hashed`` tells callers which element type the arrays hold. The
+    injectivity probe makes this function EAGER (one small job at
+    build time) — the same bounded-driver-action budget as the graph
+    module's edge gate.
 
     Float-boundary note (audited r13, after the overlap-bound fix):
     the ceil in the prefix-length formula is SAFE, unlike the removed
@@ -1489,13 +1528,18 @@ def _ordered_prefixes(
         ).where(F.size("__s") > 0),
         persist,
     )
+    hashed = _hash_injective(toks)
+    tok = F.explode("__s").alias("__t")
+    t = F.xxhash64("__t") if hashed else F.col("__t")
     tok_df = (
-        toks.select(F.explode("__s").alias("__t"))
+        toks.select(tok)
+        .select(t.alias("__t"))
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
     with_order = (
-        toks.select("__id", F.explode("__s").alias("__t"))
+        toks.select("__id", tok)
+        .select("__id", t.alias("__t"))
         .join(tok_df, "__t")
         .groupBy("__id")
         .agg(
@@ -1515,7 +1559,7 @@ def _ordered_prefixes(
             F.slice("__sorted", 1, prefix_len).alias("__prefix"),
         ),
         persist,
-    )
+    ), hashed
 
 
 def set_similarity_join(
@@ -1551,7 +1595,7 @@ def set_similarity_join(
     that — cap the input or raise the threshold there."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    pref = _ordered_prefixes(df, set_col, id_col, threshold, persist)
+    pref, hashed = _ordered_prefixes(df, set_col, id_col, threshold, persist)
     # candidates meet on BARE IDS + two ints (set size, prefix token
     # position): dedupe (id_a, id_b) while the rows are narrow, then
     # re-join the pinned per-doc arrays for the verify — shuffling the
@@ -1576,21 +1620,24 @@ def set_similarity_join(
     #     ceil(t·(na+nb)/(1+t)) overlap form would round UP at exact
     #     rational boundaries (0.6·16/1.6 floats to 6.000…001 → ceil 7)
     #     and silently drop a pair whose exact Jaccard equals t.
-    # the join key is xxhash64(token), not the token string: shingle
+    # In hashed staging mode the prefix elements already ARE 8-byte
+    # longs (exact under the checked bijection), so they join as-is;
+    # in the string fallback the join key is xxhash64(token) — shingle
     # tokens are tens of bytes and the candidate join's shuffle+sort is
-    # byte-bound (the 100x probe spilled on exactly this sort). A hash
-    # collision can only ADD a spurious candidate — the exact-Jaccard
-    # verify below removes it — so losslessness is untouched.
+    # byte-bound (the 100x probe spilled on exactly this sort), and a
+    # key collision there can only ADD a spurious candidate that the
+    # exact verify removes.
+    key = F.col("__t") if hashed else F.xxhash64("__t")
     a = pref.select(
         F.col("__id").alias("id_a"),
         F.size("__sorted").alias("__na"),
         F.posexplode("__prefix").alias("__pa", "__t"),
-    ).select("id_a", "__na", "__pa", F.xxhash64("__t").alias("__h"))
+    ).select("id_a", "__na", "__pa", key.alias("__h"))
     b = pref.select(
         F.col("__id").alias("id_b"),
         F.size("__sorted").alias("__nb"),
         F.posexplode("__prefix").alias("__pb", "__t"),
-    ).select("id_b", "__nb", "__pb", F.xxhash64("__t").alias("__h"))
+    ).select("id_b", "__nb", "__pb", key.alias("__h"))
     na, nb = F.col("__na"), F.col("__nb")
     pa, pb = F.col("__pa"), F.col("__pb")
     ubound = (
@@ -1658,7 +1705,12 @@ def containment_join(
     # NOTE: containment's prefix bound is one-sided (|A∩B| >= ⌈t·|A|⌉,
     # no B-side restriction), but the PER-DOC prefix length formula is
     # the same |s| − ⌈t·|s|⌉ + 1, so the staging is shared verbatim.
-    pref = _ordered_prefixes(df, set_col, id_col, threshold, persist)
+    # In hashed staging mode (see _ordered_prefixes) the token arrays
+    # hold 8-byte longs under a CHECKED bijection, so the candidate
+    # equi-join and the intersect/size verify below are exact on
+    # either element type — containment's counts, like Jaccard's,
+    # depend only on token identity.
+    pref, _ = _ordered_prefixes(df, set_col, id_col, threshold, persist)
     # same narrow-dedupe-then-fetch shape as set_similarity_join:
     # pair ids meet and dedupe as two longs, arrays re-attach after
     a = pref.select(

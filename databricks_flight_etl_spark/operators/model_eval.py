@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "auc_drift",
     "auc_roc",
     "calibration_bins",
     "confusion_sweep",
@@ -178,6 +179,86 @@ def auc_roc(
         ).alias("auc"),
         "n_pos",
         "n_neg",
+    )
+    return out.orderBy(*by) if by else out
+
+
+def auc_drift(
+    base: DataFrame,
+    cand: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    by: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-slice AUC drift between two scoring runs — the "did the new
+    quality filter regress any language" gate: baseline vs candidate
+    AUC side by side with their delta, one row per ``by`` group (or
+    one global row). The natural companion of the PSI/KS drift
+    operators, but on the DISCRIMINATION statistic rather than the
+    score distribution: a scorer can keep its score histogram and
+    still lose ranking power on a slice.
+
+    Distributed shape: the two runs union under a literal ``__run``
+    tag and flow through ONE :func:`auc_roc` pass with ``by`` extended
+    by the tag — a single histogram keyed on (run, by…, score) and one
+    shared bucketed prefix-sum scoped per (run, group), then a bounded
+    ≤ 2-rows-per-group pivot. Both inputs are scanned exactly once;
+    no join of per-run aggregates, no second cumulative.
+
+    Output: (by…, auc_base, auc_cand, auc_delta, n_pos_base,
+    n_neg_base, n_pos_cand, n_neg_cand), ordered by the group columns.
+    auc_delta = round(auc_cand − auc_base) and is NULL when either
+    side's AUC is undefined (single-class or absent slice — 0-evidence
+    is unknowable, not 0, the validity-operator convention). A slice
+    with NO usable rows in one run reports that side's auc AND counts
+    as NULL — absence is distinguishable from a present-but-one-class
+    slice (auc NULL, counts real)."""
+    reserved = frozenset(
+        {"__run", "__np", "__nn", "__2u", "__bkt", "__cum___nn",
+         "__cum___np", "auc", "n_pos", "n_neg", "auc_base", "auc_cand",
+         "auc_delta", "n_pos_base", "n_neg_base", "n_pos_cand",
+         "n_neg_cand"}
+    )
+    by = _checked_by(by, reserved, score_col, label_col)
+    if "__run" in (score_col, label_col):
+        raise ValueError(
+            "score/label column may not be named __run — it is the "
+            "internal run tag"
+        )
+    cols = [*by, score_col, label_col]
+    tagged = (
+        base.select(*cols)
+        .withColumn("__run", F.lit(0))
+        .unionByName(cand.select(*cols).withColumn("__run", F.lit(1)))
+    )
+    per = auc_roc(
+        tagged, score_col, label_col, by=[*by, "__run"], decimals=decimals
+    )
+
+    def _side(run: int, col: str):
+        return F.max(F.when(F.col("__run") == run, F.col(col)))
+
+    aggs = [
+        _side(0, "auc").alias("auc_base"),
+        _side(1, "auc").alias("auc_cand"),
+        _side(0, "n_pos").alias("n_pos_base"),
+        _side(0, "n_neg").alias("n_neg_base"),
+        _side(1, "n_pos").alias("n_pos_cand"),
+        _side(1, "n_neg").alias("n_neg_cand"),
+    ]
+    wide = per.groupBy(*by).agg(*aggs) if by else per.agg(*aggs)
+    out = wide.select(
+        *by,
+        "auc_base",
+        "auc_cand",
+        F.round(F.col("auc_cand") - F.col("auc_base"), decimals)
+        .alias("auc_delta"),
+        "n_pos_base",
+        "n_neg_base",
+        "n_pos_cand",
+        "n_neg_cand",
     )
     return out.orderBy(*by) if by else out
 

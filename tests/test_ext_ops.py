@@ -1692,12 +1692,13 @@ def test_set_similarity_join_exact_rational_boundary(spark):
     candidate filters — regression for the (reverted) ceil-form
     positional bound: at t=2/3, na+nb=15 the float
     ceil(t·15/(1+t)) = ceil(10.000…001/1.666…) lands at 7 while the
-    exact required overlap is 6, and this instance's ONLY shared
-    prefix token (s0 at positions pa=0, pb=2 — the unique-token dfs
-    push it to those slots) has ubound = 0+1+min(6,5) = 6 < 7, so the
-    valid J=6/9=2/3 pair would have been dropped before verification.
-    The filters are now the verify's own IEEE ratio compare (monotone
-    division), which keeps every boundary pair by construction."""
+    exact required overlap is 6, so under the ceil form any shared
+    prefix token whose positional ubound lands at exactly 6 would drop
+    the valid J=6/9=2/3 pair before verification. The filters are now
+    the verify's own IEEE ratio compare (monotone division), which
+    keeps every boundary pair by construction — asserted end-to-end
+    below, plus an independent derivation of the staged rare-first
+    layout so a silent order/length change can't hollow the test."""
     from databricks_flight_etl_spark.operators.dedup import (
         set_similarity_join,
     )
@@ -1706,31 +1707,84 @@ def test_set_similarity_join_exact_rational_boundary(spark):
     rows = [
         (1, shared + ["z9"]),            # na=7 (z9 df=2 via doc 3)
         (2, shared + ["ub1", "ub2"]),    # nb=8; inter=6, union=9
-        (3, ["z9"]),                     # raises z9's df so doc 1's
-                                         # prefix leads with s0 (pa=0)
+        (3, ["z9"]),                     # raises z9's df so the
+                                         # rare-first order demotes it
     ]
     df = spark.createDataFrame(rows, "id long, s array<string>")
-    # assert the staged layout IS the tight configuration the test
-    # documents (guards against a prefix-order/length change silently
-    # hollowing this test into a generic pass — r13 self-review): the
-    # ONLY token shared by both prefixes is s0, at pa=0 / pb=2, so the
-    # per-row overlap bound is 0+1+min(7-1, 8-3) = 6 while the ceil
-    # form demands 7.
+    # assert the staged layout IS the documented (df asc, key asc)
+    # rare-first order at the documented prefix length — derived
+    # independently here, so an order/length change in the staging
+    # cannot silently hollow this test into a generic pass (r13
+    # self-review). Since r14 the staging runs on xxhash64 longs when
+    # the hash is injective on the corpus tokens (it is here), so the
+    # expectation maps tokens through the SAME hash and sorts by
+    # (df, hash).
+    import math
+
     from databricks_flight_etl_spark.operators.dedup import (
         _ordered_prefixes,
     )
 
+    tokens = sorted({t for _, s in rows for t in s})
+    h = dict(
+        spark.createDataFrame([(t,) for t in tokens], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    )
+    dfreq = {t: sum(t in s for _, s in rows) for t in tokens}
+    expect = {}
+    for rid, s in rows:
+        ordered = [h[t] for t in sorted(s, key=lambda t: (dfreq[t], h[t]))]
+        plen = len(ordered) - math.ceil(2 / 3 * len(ordered)) + 1
+        expect[rid] = (ordered, ordered[:plen])
+    pref_df, hashed = _ordered_prefixes(df, "s", "id", 2 / 3, False)
+    assert hashed
     pref = {
         r["__id"]: (list(r["__sorted"]), list(r["__prefix"]))
-        for r in _ordered_prefixes(df, "s", "id", 2 / 3, False).collect()
+        for r in pref_df.collect()
     }
-    shared_prefix = set(pref[1][1]) & set(pref[2][1])
-    assert shared_prefix == {"s0"}, pref
-    assert (pref[1][1].index("s0"), pref[2][1].index("s0")) == (0, 2)
-    assert (len(pref[1][0]), len(pref[2][0])) == (7, 8)
+    assert pref == expect
+    # the boundary pair itself survives end-to-end regardless of the
+    # order chosen: its exact Jaccard EQUALS the threshold, and every
+    # filter is the verify's own ratio compare
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in set_similarity_join(df, "s", "id", 2 / 3).collect()}
     assert got == {(1, 2): round(2 / 3, 6)}
+
+
+def test_set_similarity_string_fallback_identical(spark, monkeypatch):
+    """The string-pipeline fallback (taken when the injectivity probe
+    fails) returns EXACTLY the hashed pipeline's rows for both joins —
+    forced via the probe hook, since a real 64-bit collision can't be
+    manufactured."""
+    from databricks_flight_etl_spark.operators import dedup
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "x"]),
+        (3, ["a", "b", "c", "d", "e", "f"]),
+        (4, ["q", "r", "s"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+
+    def run_both(fn, *args):
+        hashed = {tuple(r) for r in fn(df, "s", "id", *args).collect()}
+        monkeypatch.setattr(dedup, "_hash_injective", lambda toks: False)
+        try:
+            fell_back = {tuple(r) for r in fn(df, "s", "id", *args).collect()}
+        finally:
+            monkeypatch.undo()
+        return hashed, fell_back
+
+    h, s = run_both(dedup.set_similarity_join, 0.6)
+    assert h == s and h  # non-empty and identical
+    h, s = run_both(dedup.containment_join, 0.8)
+    assert h == s and h
+    # the fallback staging really does hold strings
+    monkeypatch.setattr(dedup, "_hash_injective", lambda toks: False)
+    pref, hashed = dedup._ordered_prefixes(df, "s", "id", 0.6, False)
+    assert not hashed
+    assert isinstance(pref.first()["__sorted"][0], str)
 
 
 def test_containment_join_asymmetric(spark):

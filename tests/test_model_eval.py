@@ -7,6 +7,7 @@ import random
 from pyspark.sql import functions as F
 
 from databricks_flight_etl_spark.operators.model_eval import (
+    auc_drift,
     auc_roc,
     calibration_bins,
     confusion_sweep,
@@ -281,3 +282,81 @@ def test_by_rejects_reserved_and_score_label_names(spark):
             fn(["y"])
     # a reserved name elsewhere in the frame is fine when not in by
     assert auc_roc(df, "s", "y", by=["g"]).count() == 2
+
+
+def test_auc_drift_planted_regression(spark):
+    """Grouped drift against the per-group pairwise reference: group
+    'keep' identical in both runs (delta 0), group 'drop' has its
+    candidate scores anti-correlated (auc_cand well below auc_base,
+    delta = the rounded difference of the per-run references)."""
+    base_rows, cand_rows = [], []
+    for i in range(30):
+        s_pos, s_neg = 0.7 + (i % 5) / 100.0, 0.3 + (i % 7) / 100.0
+        for g in ("keep", "drop"):
+            base_rows += [(g, s_pos, 1), (g, s_neg, 0)]
+        cand_rows += [("keep", s_pos, 1), ("keep", s_neg, 0)]
+        # candidate inverts the separation on 'drop'
+        cand_rows += [("drop", s_neg, 1), ("drop", s_pos, 0)]
+    b = spark.createDataFrame(base_rows, "g string, s double, y int")
+    c = spark.createDataFrame(cand_rows, "g string, s double, y int")
+    got = {r["g"]: r for r in auc_drift(b, c, "s", "y", by=["g"]).collect()}
+    for g in ("keep", "drop"):
+        rb = _auc_reference([(s, y) for gg, s, y in base_rows if gg == g])
+        rc = _auc_reference([(s, y) for gg, s, y in cand_rows if gg == g])
+        assert got[g]["auc_base"] == round(rb, 6), g
+        assert got[g]["auc_cand"] == round(rc, 6), g
+        assert got[g]["auc_delta"] == round(
+            round(rc, 6) - round(rb, 6), 6
+        ), g
+    assert got["keep"]["auc_delta"] == 0.0
+    assert got["drop"]["auc_delta"] < -0.5
+    assert (got["keep"]["n_pos_base"], got["keep"]["n_pos_cand"]) == (30, 30)
+    # ordered by the group column
+    order = [r["g"] for r in auc_drift(b, c, "s", "y", by=["g"]).collect()]
+    assert order == sorted(order)
+
+
+def test_auc_drift_absent_and_single_class_slices(spark):
+    """A slice absent from one run reports that side's auc AND counts
+    NULL; a present-but-single-class slice reports auc NULL with real
+    counts; delta NULL whenever either auc is."""
+    b = spark.createDataFrame(
+        [("a", 0.9, 1), ("a", 0.1, 0), ("gone", 0.8, 1), ("gone", 0.2, 0)],
+        "g string, s double, y int",
+    )
+    c = spark.createDataFrame(
+        [("a", 0.9, 1), ("a", 0.1, 0), ("one", 0.5, 1), ("one", 0.6, 1)],
+        "g string, s double, y int",
+    )
+    got = {r["g"]: r for r in auc_drift(b, c, "s", "y", by=["g"]).collect()}
+    assert set(got) == {"a", "gone", "one"}
+    assert got["a"]["auc_delta"] == 0.0
+    assert got["gone"]["auc_base"] == 1.0
+    assert got["gone"]["auc_cand"] is None
+    assert got["gone"]["n_pos_cand"] is None  # absent, not zero
+    assert got["gone"]["auc_delta"] is None
+    assert got["one"]["auc_cand"] is None  # single class
+    assert (got["one"]["n_pos_cand"], got["one"]["n_neg_cand"]) == (2, 0)
+    assert got["one"]["auc_delta"] is None
+
+
+def test_auc_drift_global_and_guards(spark):
+    """No by= -> one global row; reserved/by-collision errors surface
+    at the call site."""
+    import pytest
+
+    b = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0)], "s double, y int"
+    )
+    c = spark.createDataFrame(
+        [(0.1, 1), (0.9, 0)], "s double, y int"
+    )
+    r = auc_drift(b, c, "s", "y").first()
+    assert (r["auc_base"], r["auc_cand"], r["auc_delta"]) == (1.0, 0.0, -1.0)
+    g = spark.createDataFrame(
+        [("x", 0.9, 1)], "auc_base string, s double, y int"
+    )
+    with pytest.raises(ValueError, match="staging/output"):
+        auc_drift(g, g, "s", "y", by=["auc_base"])
+    with pytest.raises(ValueError, match="score/label"):
+        auc_drift(b, c, "s", "y", by=["s"])
