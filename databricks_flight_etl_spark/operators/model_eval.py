@@ -51,6 +51,29 @@ __all__ = [
 ]
 
 
+# Per-metric reserved name sets for _checked_by: every staging and
+# output column the metric introduces, so a colliding by= column fails
+# at the call site. Hand-maintained BESIDE the implementations below —
+# tests/test_model_eval.py asserts each metric's actual output columns
+# are covered, so adding an output column without extending its set is
+# a red test, not a silent hole.
+_AUC_RESERVED = frozenset(
+    {"__np", "__nn", "__2u", "__bkt", "__cum___nn", "__cum___np",
+     "auc", "n_pos", "n_neg"}
+)
+_DRIFT_RESERVED = _AUC_RESERVED | frozenset(
+    {"__run", "auc_base", "auc_cand", "auc_delta", "n_pos_base",
+     "n_neg_base", "n_pos_cand", "n_neg_cand"}
+)
+_CALIBRATION_RESERVED = frozenset(
+    {"bin", "n", "mean_score", "frac_pos", "gap"}
+)
+_SWEEP_RESERVED = frozenset(
+    {"threshold", "__tp", "__fp", "__fn", "__tn",
+     "tp", "fp", "fn", "tn", "precision", "recall", "f1"}
+)
+
+
 def _checked_by(
     by: list[str] | None,
     reserved: frozenset[str],
@@ -135,15 +158,7 @@ def auc_roc(
     still reported."""
     from .accuracy import _hist_cumsum
 
-    by = _checked_by(
-        by,
-        frozenset(
-            {"__np", "__nn", "__2u", "__bkt", "__cum___nn",
-             "__cum___np", "auc", "n_pos", "n_neg"}
-        ),
-        score_col,
-        label_col,
-    )
+    by = _checked_by(by, _AUC_RESERVED, score_col, label_col)
     hist = (
         _scored(df, score_col, label_col, by)
         .groupBy(*by, "__s")
@@ -215,13 +230,7 @@ def auc_drift(
     with NO usable rows in one run reports that side's auc AND counts
     as NULL — absence is distinguishable from a present-but-one-class
     slice (auc NULL, counts real)."""
-    reserved = frozenset(
-        {"__run", "__np", "__nn", "__2u", "__bkt", "__cum___nn",
-         "__cum___np", "auc", "n_pos", "n_neg", "auc_base", "auc_cand",
-         "auc_delta", "n_pos_base", "n_neg_base", "n_pos_cand",
-         "n_neg_cand"}
-    )
-    by = _checked_by(by, reserved, score_col, label_col)
+    by = _checked_by(by, _DRIFT_RESERVED, score_col, label_col)
     if "__run" in (score_col, label_col):
         raise ValueError(
             "score/label column may not be named __run — it is the "
@@ -288,12 +297,7 @@ def calibration_bins(
     dense axis can generate one)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    by = _checked_by(
-        by,
-        frozenset({"bin", "n", "mean_score", "frac_pos", "gap"}),
-        score_col,
-        label_col,
-    )
+    by = _checked_by(by, _CALIBRATION_RESERVED, score_col, label_col)
     s = _scored(df, score_col, label_col, by)
     # clamp on the LongType floor FIRST, cast to int LAST: with ANSI
     # off, casting an extreme score's floor (|s·n_bins| > 2^31) to int
@@ -342,15 +346,7 @@ def confusion_sweep(
     hash-agg)."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
-    by = _checked_by(
-        by,
-        frozenset(
-            {"threshold", "__tp", "__fp", "__fn", "__tn",
-             "tp", "fp", "fn", "tn", "precision", "recall", "f1"}
-        ),
-        score_col,
-        label_col,
-    )
+    by = _checked_by(by, _SWEEP_RESERVED, score_col, label_col)
     s = _scored(df, score_col, label_col, by)
     t = F.explode(
         F.array(*[F.lit(float(x)) for x in thresholds])

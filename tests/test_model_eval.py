@@ -284,6 +284,29 @@ def test_by_rejects_reserved_and_score_label_names(spark):
     assert auc_roc(df, "s", "y", by=["g"]).count() == 2
 
 
+def test_reserved_sets_cover_actual_outputs(spark):
+    """The hand-maintained per-metric reserved sets stay in sync with
+    the metrics' ACTUAL output columns: every non-by output column
+    must be reserved, so a future output column can't silently become
+    a by= collision hole."""
+    from databricks_flight_etl_spark.operators import model_eval as me
+
+    df = spark.createDataFrame(
+        [("a", 0.25, 1), ("a", 0.75, 0)], "g string, s double, y int"
+    )
+    cases = [
+        (me._AUC_RESERVED, auc_roc(df, "s", "y", by=["g"])),
+        (me._DRIFT_RESERVED, auc_drift(df, df, "s", "y", by=["g"])),
+        (me._CALIBRATION_RESERVED,
+         calibration_bins(df, "s", "y", 2, by=["g"])),
+        (me._SWEEP_RESERVED,
+         confusion_sweep(df, "s", "y", [0.5], by=["g"])),
+    ]
+    for reserved, out in cases:
+        extra = set(out.columns) - {"g"} - reserved
+        assert not extra, f"output columns not reserved: {extra}"
+
+
 def test_auc_drift_planted_regression(spark):
     """Grouped drift against the per-group pairwise reference: group
     'keep' identical in both runs (delta 0), group 'drop' has its
