@@ -5635,6 +5635,28 @@ def q_auc_drift(spark, sf_dir):
     )
 
 
+def q_ece_drift(spark, sf_dir):
+    """X12 model-eval: per-language EXPECTED-CALIBRATION-ERROR drift
+    between the same two scoring runs as q_auc_drift — the calibration
+    face of the release gate (a scorer can hold its AUC and still
+    drift off-calibration on a slice, or vice versa). ECE in its sum
+    form Σ_bins |Σlabel − Σscore| / N: every summand exact for the
+    binary-fraction scores, so the whole table certifies
+    cell-for-cell. One union + one bounded (lang, run, bin) hash-agg +
+    a ≤ langs·2-row fold."""
+    from databricks_flight_etl_spark.operators.model_eval import ece_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return ece_drift(
+        _score_label(docs, ["lang"]),
+        _score_label_v2(docs, ["lang"]),
+        "score",
+        "label",
+        n_bins=10,
+        by=["lang"],
+    )
+
+
 def q_calibration_grouped(spark, sf_dir):
     """X12 model-eval: PER-LANGUAGE 10-bin reliability table — the
     per-slice companion of q_calibration_bins (did the scorer stay
@@ -5816,8 +5838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07-vintage queries alphabetically from q_ks_drift, then the
         # r08 cohort) and to window any newly registered oracle-bearing
         # queries first (any registered during r14 lead the r15 list).
-        # -- NEW round 14: X12 per-slice AUC drift (r15 window lead) ----
+        # -- NEW round 14: X12 per-slice drift gates (r15 window leads) -
         "q_auc_drift": q_auc_drift,
+        "q_ece_drift": q_ece_drift,
         # -- rotated out after driver certification (r13 window) --------
         "q_streaming_interval_join": q_streaming_interval_join,
         "q_streaming_quantile_sketch": q_streaming_quantile_sketch,
@@ -11430,6 +11453,46 @@ def oracle_sql() -> dict[str, str]:
                ac.n_pos AS n_pos_cand,
                ac.n_neg AS n_neg_cand
         FROM ab FULL OUTER JOIN ac ON ab.lang = ac.lang
+        ORDER BY lang
+    """
+    # ECE in sum form: Σ_bins |Σlabel − Σscore| / N — numerator exact
+    # (integer minus binary-fraction sum), ONE division, rounded once;
+    # the delta subtracts the UNROUNDED per-run divisions (mirroring
+    # the operator) before its own single rounding.
+    _ECE_BY_LANG = """
+        SELECT lang,
+               SUM(ad) / SUM(n) AS e_raw,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM (
+            SELECT lang,
+                   CAST(GREATEST(0, LEAST(9, FLOOR(score * 10)))
+                        AS INT) AS bin,
+                   ABS(CAST(SUM(label) AS DOUBLE) - SUM(score)) AS ad,
+                   COUNT(*) AS n
+            FROM {src} GROUP BY 1, 2
+        ) GROUP BY lang
+    """
+    d["q_ece_drift"] = f"""
+        WITH sc_base AS ({_SCORED_DOCS_SQL}),
+        sc_cand AS (
+            SELECT lang, doc_id,
+                   CASE WHEN lang IN ('fr', 'zh')
+                        THEN CAST('0x' || substr(md5('v2' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 3)
+                                 AS BIGINT) / 4096.0
+                        ELSE score END AS score,
+                   label
+            FROM sc_base
+        ),
+        eb AS ({_ECE_BY_LANG.format(src="sc_base")}),
+        ec AS ({_ECE_BY_LANG.format(src="sc_cand")})
+        SELECT COALESCE(eb.lang, ec.lang) AS lang,
+               ROUND(eb.e_raw, 6) AS ece_base,
+               ROUND(ec.e_raw, 6) AS ece_cand,
+               ROUND(ec.e_raw - eb.e_raw, 6) AS ece_delta,
+               eb.n AS n_base,
+               ec.n AS n_cand
+        FROM eb FULL OUTER JOIN ec ON eb.lang = ec.lang
         ORDER BY lang
     """
     # scores are binary fractions k/2^12 → the double averages are

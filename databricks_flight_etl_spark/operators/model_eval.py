@@ -48,6 +48,7 @@ __all__ = [
     "auc_roc",
     "calibration_bins",
     "confusion_sweep",
+    "ece_drift",
 ]
 
 
@@ -67,6 +68,10 @@ _DRIFT_RESERVED = _AUC_RESERVED | frozenset(
 )
 _CALIBRATION_RESERVED = frozenset(
     {"bin", "n", "mean_score", "frac_pos", "gap"}
+)
+_ECE_RESERVED = frozenset(
+    {"__run", "__bin", "__sy", "__ss", "__n", "__ece", "__nr",
+     "ece_base", "ece_cand", "ece_delta", "n_base", "n_cand"}
 )
 _SWEEP_RESERVED = frozenset(
     {"threshold", "__tp", "__fp", "__fn", "__tn",
@@ -272,6 +277,22 @@ def auc_drift(
     return out.orderBy(*by) if by else out
 
 
+def _clamped_bin(n_bins: int):
+    """Equi-width bin index on [0, 1] over the staged __s column, out-
+    of-range scores clamped into the edge bins. Clamp on the LongType
+    floor FIRST, cast to int LAST: with ANSI off, casting an extreme
+    score's floor (|s·n_bins| > 2^31) to int wraps, so a huge positive
+    score could land in bin 0 instead of the top edge bin the
+    calibration docstring promises (r12 ADVICE)."""
+    return F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col("__s") * n_bins),
+        ),
+    ).cast("int")
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -299,17 +320,7 @@ def calibration_bins(
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     by = _checked_by(by, _CALIBRATION_RESERVED, score_col, label_col)
     s = _scored(df, score_col, label_col, by)
-    # clamp on the LongType floor FIRST, cast to int LAST: with ANSI
-    # off, casting an extreme score's floor (|s·n_bins| > 2^31) to int
-    # wraps, so a huge positive score could land in bin 0 instead of
-    # the top edge bin the docstring promises (r12 ADVICE).
-    b = F.greatest(
-        F.lit(0),
-        F.least(
-            F.lit(n_bins - 1),
-            F.floor(F.col("__s") * n_bins),
-        ),
-    ).cast("int")
+    b = _clamped_bin(n_bins)
     return (
         s.groupBy(*by, b.alias("bin"))
         .agg(
@@ -321,6 +332,76 @@ def calibration_bins(
         )
         .orderBy(*by, "bin")
     )
+
+
+def ece_drift(
+    base: DataFrame,
+    cand: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    *,
+    by: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-slice expected-calibration-error drift between two scoring
+    runs — the calibration face of :func:`auc_drift` ("did the new
+    scorer stay calibrated on each language"). ECE is computed in its
+    SUM form, ECE = Σ_bins |Σ label − Σ score| / N (algebraically
+    identical to the usual Σ (n_b/N)·|frac_pos_b − mean_score_b|, but
+    every summand is an exact value when scores are binary fractions —
+    an integer label sum minus an exact score sum — so the statistic
+    is certifiable cell-for-cell, not last-ulp sensitive like a sum of
+    per-bin RATIOS would be).
+
+    Distributed shape: the two runs union under a literal ``__run``
+    tag, then ONE bounded hash-agg keyed on (by…, run, bin) — ≤
+    groups·2·n_bins rows — and a second ≤ groups·2-row fold + pivot.
+    Both inputs are scanned exactly once.
+
+    Output: (by…, ece_base, ece_cand, ece_delta, n_base, n_cand),
+    ordered by the group columns; a slice with no usable rows in one
+    run reports that side's ece AND count as NULL (absence, not 0),
+    and ece_delta is NULL when either side is."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    by = _checked_by(by, _ECE_RESERVED, score_col, label_col)
+    if "__run" in (score_col, label_col):
+        raise ValueError(
+            "score/label column may not be named __run — it is the "
+            "internal run tag"
+        )
+    cols = [*by, score_col, label_col]
+    tagged = (
+        base.select(*cols)
+        .withColumn("__run", F.lit(0))
+        .unionByName(cand.select(*cols).withColumn("__run", F.lit(1)))
+    )
+    s = _scored(tagged, score_col, label_col, [*by, "__run"])
+    bins = s.groupBy(*by, "__run", _clamped_bin(n_bins).alias("__bin")).agg(
+        F.sum("__y").alias("__sy"),
+        F.sum("__s").alias("__ss"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    per = bins.groupBy(*by, "__run").agg(
+        (F.sum(F.abs(F.col("__sy") - F.col("__ss"))) / F.sum("__n"))
+        .alias("__ece"),
+        F.sum("__n").alias("__nr"),
+    )
+
+    def _side(run: int, col: str):
+        return F.max(F.when(F.col("__run") == run, F.col(col)))
+
+    aggs = [
+        F.round(_side(0, "__ece"), decimals).alias("ece_base"),
+        F.round(_side(1, "__ece"), decimals).alias("ece_cand"),
+        F.round(_side(1, "__ece") - _side(0, "__ece"), decimals)
+        .alias("ece_delta"),
+        _side(0, "__nr").alias("n_base"),
+        _side(1, "__nr").alias("n_cand"),
+    ]
+    wide = per.groupBy(*by).agg(*aggs) if by else per.agg(*aggs)
+    return wide.orderBy(*by) if by else wide
 
 
 def confusion_sweep(

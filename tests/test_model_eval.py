@@ -11,6 +11,7 @@ from databricks_flight_etl_spark.operators.model_eval import (
     auc_roc,
     calibration_bins,
     confusion_sweep,
+    ece_drift,
 )
 
 
@@ -301,6 +302,7 @@ def test_reserved_sets_cover_actual_outputs(spark):
          calibration_bins(df, "s", "y", 2, by=["g"])),
         (me._SWEEP_RESERVED,
          confusion_sweep(df, "s", "y", [0.5], by=["g"])),
+        (me._ECE_RESERVED, ece_drift(df, df, "s", "y", 2, by=["g"])),
     ]
     for reserved, out in cases:
         extra = set(out.columns) - {"g"} - reserved
@@ -361,6 +363,80 @@ def test_auc_drift_absent_and_single_class_slices(spark):
     assert got["one"]["auc_cand"] is None  # single class
     assert (got["one"]["n_pos_cand"], got["one"]["n_neg_cand"]) == (2, 0)
     assert got["one"]["auc_delta"] is None
+
+
+def _ece_reference(pairs, n_bins):
+    """Literal Σ (n_b/N)·|frac_pos − mean_score| over clamped
+    equi-width bins — the textbook form the sum form must equal."""
+    import collections
+
+    bins = collections.defaultdict(list)
+    for s, y in pairs:
+        bins[min(n_bins - 1, max(0, int(s * n_bins)))].append((s, y))
+    n = len(pairs)
+    return sum(
+        (len(v) / n)
+        * abs(
+            sum(y for _, y in v) / len(v) - sum(s for s, _ in v) / len(v)
+        )
+        for v in bins.values()
+    )
+
+
+def test_ece_drift_matches_reference(spark):
+    """Grouped ECE drift against the literal per-bin reference on
+    planted data: group 'keep' identical in both runs (delta 0), group
+    'worse' has candidate scores pushed away from the labels. Binary-
+    fraction scores -> every cell exact."""
+    base_rows, cand_rows = [], []
+    for i in range(32):
+        s = (i % 16) / 16.0
+        y = 1 if i % 16 >= 8 else 0
+        for g in ("keep", "worse"):
+            base_rows.append((g, s, y))
+        cand_rows.append(("keep", s, y))
+        cand_rows.append(("worse", (15 - i % 16) / 16.0, y))
+    b = spark.createDataFrame(base_rows, "g string, s double, y int")
+    c = spark.createDataFrame(cand_rows, "g string, s double, y int")
+    got = {r["g"]: r for r in ece_drift(b, c, "s", "y", 4, by=["g"]).collect()}
+    for g in ("keep", "worse"):
+        rb = _ece_reference(
+            [(s, y) for gg, s, y in base_rows if gg == g], 4
+        )
+        rc = _ece_reference(
+            [(s, y) for gg, s, y in cand_rows if gg == g], 4
+        )
+        assert got[g]["ece_base"] == round(rb, 6), g
+        assert got[g]["ece_cand"] == round(rc, 6), g
+        assert got[g]["ece_delta"] == round(rc - rb, 6), g
+        assert (got[g]["n_base"], got[g]["n_cand"]) == (32, 32)
+    assert got["keep"]["ece_delta"] == 0.0
+    assert got["worse"]["ece_delta"] > 0.1
+
+
+def test_ece_drift_absent_slice_and_global(spark):
+    """Absent slice -> NULL side and NULL delta; no by= -> one global
+    row; guards fire at the call site."""
+    import pytest
+
+    b = spark.createDataFrame(
+        [("a", 0.25, 0), ("a", 0.75, 1), ("gone", 0.5, 1)],
+        "g string, s double, y int",
+    )
+    c = spark.createDataFrame(
+        [("a", 0.25, 0), ("a", 0.75, 1)], "g string, s double, y int"
+    )
+    got = {r["g"]: r for r in ece_drift(b, c, "s", "y", 2, by=["g"]).collect()}
+    assert got["gone"]["ece_cand"] is None
+    assert got["gone"]["n_cand"] is None
+    assert got["gone"]["ece_delta"] is None
+    assert got["a"]["ece_delta"] == 0.0
+    r = ece_drift(b, c, "s", "y", 2).first()
+    assert r["n_base"] == 3 and r["n_cand"] == 2
+    with pytest.raises(ValueError, match="staging/output"):
+        ece_drift(b, c, "s", "y", 2, by=["ece_base"])
+    with pytest.raises(ValueError):
+        ece_drift(b, c, "s", "y", 0)
 
 
 def test_auc_drift_global_and_guards(spark):
