@@ -1450,22 +1450,15 @@ def corpus_digests(df: DataFrame, text_col: str) -> DataFrame:
     ).distinct()
 
 
-def _hash_injective(toks: DataFrame) -> bool:
-    """EXACT injectivity probe for the hashed PPJoin staging: True iff
-    xxhash64 maps this corpus's distinct tokens 1:1 (countDistinct of
-    tokens equals countDistinct of their hashes — both map-side
-    partial-distinct aggregates, so the job is vocabulary-bound, not
-    corpus-bound). Split out so tests can force the string fallback
-    without manufacturing a real 64-bit collision."""
-    chk = (
-        toks.select(F.explode("__s").alias("__t"))
-        .agg(
-            F.countDistinct("__t").alias("nt"),
-            F.countDistinct(F.xxhash64("__t")).alias("nh"),
-        )
-        .first()
-    )
-    return bool(chk and chk["nt"] == chk["nh"])
+def _hash_injective(tok_stats: DataFrame) -> bool:
+    """EXACT injectivity verdict for the hashed PPJoin staging: True
+    iff no hash bucket in the per-hash token-stats table holds more
+    than one distinct token (i.e. xxhash64 maps this corpus's distinct
+    tokens 1:1). The stats table is the SAME aggregate the df-count
+    consumer reuses, so the probe costs no extra corpus pass — only
+    this bounded emptiness action. Split out so tests can force the
+    string fallback without manufacturing a real 64-bit collision."""
+    return tok_stats.where(F.col("__nt") > 1).isEmpty()
 
 
 def _ordered_prefixes(
@@ -1491,9 +1484,10 @@ def _ordered_prefixes(
     HASHED MODE (r14 — the 100x probe's verify stage was byte-bound on
     ~30-byte shingle strings: 20M candidates × two ~3.5 KB string
     arrays ≈ 140 GB of verify shuffle): when xxhash64 is INJECTIVE on
-    this corpus's distinct tokens — checked exactly, one bounded 1-row
-    aggregate comparing countDistinct(token) against
-    countDistinct(xxhash64(token)) — every downstream structure
+    this corpus's distinct tokens — checked exactly via the per-hash
+    (df, distinct-token-count) aggregate the df-count consumer reuses
+    (one explode pass, vocabulary-bound; see _hash_injective) — every
+    downstream structure
     (df-count join, per-doc sort, prefix explode, verify arrays) runs
     on 8-byte longs instead of token strings, and the global order
     becomes (df asc, hash asc). Under a bijection this is EXACT, not
@@ -1505,7 +1499,7 @@ def _ordered_prefixes(
     collision (needs ~2³² distinct tokens for even coin-flip odds) the
     staging falls back to the string pipeline, preserving exactness;
     ``hashed`` tells callers which element type the arrays hold. The
-    injectivity probe makes this function EAGER (one small job at
+    injectivity probe makes this function EAGER (one bounded action at
     build time) — the same bounded-driver-action budget as the graph
     module's edge gate.
 
@@ -1528,15 +1522,32 @@ def _ordered_prefixes(
         ).where(F.size("__s") > 0),
         persist,
     )
-    hashed = _hash_injective(toks)
+    # ONE explode pass serves both the injectivity probe and the
+    # df-count: per-hash (document frequency, distinct-token count) —
+    # the probe is then a bounded emptiness action on the pinned
+    # aggregate the df-join reuses, not a second corpus pass (r14).
+    tok_stats = _pin(
+        toks.select(F.explode("__s").alias("__t"))
+        .groupBy(F.xxhash64("__t").alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("__df"),
+            F.countDistinct("__t").alias("__nt"),
+        ),
+        persist,
+    )
+    hashed = _hash_injective(tok_stats)
     tok = F.explode("__s").alias("__t")
     t = F.xxhash64("__t") if hashed else F.col("__t")
-    tok_df = (
-        toks.select(tok)
-        .select(t.alias("__t"))
-        .groupBy("__t")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
+    if hashed:
+        tok_df = tok_stats.select(F.col("__h").alias("__t"), "__df")
+    else:
+        # collision fallback: recompute document frequency on the raw
+        # token strings (the hashed table just merged ≥2 tokens)
+        tok_df = (
+            toks.select(tok)
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
     with_order = (
         toks.select("__id", tok)
         .select("__id", t.alias("__t"))
@@ -1628,31 +1639,62 @@ def set_similarity_join(
     # key collision there can only ADD a spurious candidate that the
     # exact verify removes.
     key = F.col("__t") if hashed else F.xxhash64("__t")
-    a = pref.select(
-        F.col("__id").alias("id_a"),
-        F.size("__sorted").alias("__na"),
-        F.posexplode("__prefix").alias("__pa", "__t"),
-    ).select("id_a", "__na", "__pa", key.alias("__h"))
+    na, nb = F.col("__na"), F.col("__nb")
+    pa, pb = F.col("__pa"), F.col("__pb")
+    # PROBE/INDEX asymmetric prefixes (Xiao WWW'08 §3.2, r14): the
+    # candidate join orders each unordered pair by (size, id) and
+    # seeks it ONLY as (a = smaller, b = larger). The b side indexes
+    # the full staged prefix, but the a side keeps just the positions
+    # p with (na − p)/(na + p) >= t: for a true pair with nb >= na,
+    # o = |A∩B| >= t·(na + nb)/(1 + t) >= 2t·na/(1 + t), and the
+    # prefix lemma puts a common token within a's first na − o + 1
+    # positions AND b's first nb − o + 1 <= nb − ⌈t·nb⌉ + 1 positions
+    # (o >= t·nb because the pair survives the length filter). Every
+    # lemma position p <= na − o satisfies na − p >= 2t·na/(1+t), so
+    # (na − p)/(na + p) >= t holds EXACTLY as rationals — and the
+    # IEEE compare keeps it: the correctly-rounded quotient of exact
+    # integer operands cannot fall below the representable t when the
+    # exact value is >= t (nearest-rounding of a value >= t lands on a
+    # representable >= t). So shortening the probe side is lossless,
+    # phrased — like the length and positional filters below — as the
+    # verify's own ratio-vs-threshold comparison, never a ceil whose
+    # coefficient is itself a rounded float. At t = 0.8 this keeps 13
+    # of 24 prefix positions per doc, roughly halving candidates.
+    a = (
+        pref.select(
+            F.col("__id").alias("id_a"),
+            F.size("__sorted").alias("__na"),
+            F.posexplode("__prefix").alias("__pa", "__t"),
+        )
+        .where((na - pa).cast("double") / (na + pa) >= F.lit(threshold))
+        .select("id_a", "__na", "__pa", key.alias("__h"))
+    )
     b = pref.select(
         F.col("__id").alias("id_b"),
         F.size("__sorted").alias("__nb"),
         F.posexplode("__prefix").alias("__pb", "__t"),
     ).select("id_b", "__nb", "__pb", key.alias("__h"))
-    na, nb = F.col("__na"), F.col("__nb")
-    pa, pb = F.col("__pa"), F.col("__pb")
     ubound = (
         F.least(pa, pb) + 1 + F.least(na - pa - 1, nb - pb - 1)
     )
     pairs = (
         a.join(b, "__h")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (na < nb)
+            | ((na == nb) & (F.col("id_a") < F.col("id_b")))
+        )
         .where(
             (F.least(na, nb).cast("double") / F.greatest(na, nb)
              >= F.lit(threshold))
             & (ubound.cast("double") / (na + nb - ubound)
                >= F.lit(threshold))
         )
-        .select("id_a", "id_b")
+        # normalize to id_a < id_b AFTER the size-ordered meet (when
+        # na < nb the smaller-set side may carry the larger id)
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
         .distinct()
     )
     cands = (
