@@ -156,6 +156,40 @@ def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     return _shingle_arrays_pre(raw, k)
 
 
+def _staged_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int, persist: bool,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """ONE pinned normalize+shingle pass shared by every stage of a
+    near-dup entry point — the guard's entropy aggregate, the stop-list
+    document-frequency pass, the signature aggregate, and the verify's
+    per-doc arrays previously EACH re-ran the regexp-normalize +
+    shingle-transform lineage from the raw scan (three full corpus
+    passes per unmitigated ``minhash_dedup_pairs`` call; measured ~1.9 s
+    of a 3.6 s sf0.1 query — guide §1.2 step 1, §2.4: recompute is a
+    shuffle-shaped cost you can remove outright).
+
+    Returns ``(arrs, st)``: ``arrs`` the pinned ``(id, distinct-shingle
+    array)`` frame (bit-identical to :func:`_shingle_arrays`), ``st``
+    its explode — row-identical to :func:`_shingle_table` by
+    construction (same ``_shingles_of``, same null-text drop), but the
+    explode reads the MATERIALIZED arrays instead of re-evaluating the
+    shingle transform. Aggregate consumers (min / count / sum) are
+    order-insensitive, so sharing cannot perturb any certified value.
+
+    ``persist=False`` returns ``(None, None)``: the unpinned flow keeps
+    the documented streaming-pass shapes — pinning a corpus-scale
+    table to MEMORY_AND_DISK is exactly the disk-pressure hazard the
+    guard's docstring describes, so opting out of caching opts out of
+    staging too. Memory note for the pinned path: callers previously
+    pinned the exploded long table (stop-list path) AND the verify's
+    array table; one array-form pin is strictly smaller than either."""
+    if not persist:
+        return None, None
+    arrs = _pin(_shingle_arrays(df, text_col, id_col, k), True)
+    st = arrs.select("__id", F.explode("__shs").alias("__sh"))
+    return arrs, st
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, shingle) long table — the unit of inverted-index candidate
     generation. The shingle expression is inlined in the explode (NOT
@@ -829,6 +863,7 @@ def _jaccard_verified(
     threshold: float, shingle_k: int, persist: bool = True,
     strategy: str = "intersect",
     stops: DataFrame | None = None,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs. Two physical
     strategies, identical results (both compute |A∩B| over DISTINCT
@@ -852,7 +887,14 @@ def _jaccard_verified(
 
     Only docs that appear in some candidate pair are even SHINGLED
     (left-semi prune on the raw docs, before the shingle projection) —
-    verification cost scales with the candidate set, not the corpus."""
+    verification cost scales with the candidate set, not the corpus.
+
+    ``arrs`` (optional): an ALREADY-PINNED ``_shingle_arrays`` frame
+    from the caller's shared staging (see :func:`_staged_shingles`) —
+    the semi prune then runs over the materialized arrays instead of
+    re-normalizing + re-shingling the pruned raw docs, and the
+    narrow-scan probe (a full physical planning of the corpus
+    projection) is skipped entirely."""
     if strategy not in ("intersect", "index"):
         raise ValueError(
             f"strategy must be 'intersect' or 'index', got {strategy!r}"
@@ -862,28 +904,35 @@ def _jaccard_verified(
         .unionByName(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    # prune + canonicalize BEFORE the semi join so the narrow-scan
-    # probe below plans ONLY the corpus projection (null filter still
-    # pushes to the scan; filter and semi join commute)
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")
-    )
-    docs = base.join(ids, "__id", "left_semi")  # AQE broadcasts small ids
-    # Narrow-scan detection runs on the CORPUS plan, not the joined
-    # plan: probing docs.rdd here forced full physical planning of the
-    # entire candidate lineage — measured ~8 s of cold driver time at
-    # sf0.1, the q_minhash_clusters fixed-overhead floor (round-11) —
-    # while a broadcast semi join preserves base's partitioning anyway,
-    # so base's split count IS the joined side's in exactly the case
-    # the spread matters (few-split scan + small candidate set). When
-    # the ids side is instead shuffle-joined, the output is already
-    # target-partitioned and the extra keyed repartition of the (small,
-    # candidates-only) doc set is one cheap exchange.
-    sc_ = df.sparkSession.sparkContext
-    if (not df.isStreaming
-            and base.rdd.getNumPartitions() < sc_.defaultParallelism):
-        docs = docs.repartition(sc_.defaultParallelism, "__id")
-    arrs = _shingle_arrays_pre(docs, shingle_k)
+    if arrs is not None:
+        # shared staging: prune the pinned arrays to candidate docs
+        # (AQE broadcasts small ids); partitioning/spread decisions were
+        # already taken when the staging was built
+        arrs = arrs.join(ids, "__id", "left_semi")
+    else:
+        # prune + canonicalize BEFORE the semi join so the narrow-scan
+        # probe below plans ONLY the corpus projection (null filter
+        # still pushes to the scan; filter and semi join commute)
+        base = df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__raw")
+        )
+        docs = base.join(ids, "__id", "left_semi")  # AQE broadcasts ids
+        # Narrow-scan detection runs on the CORPUS plan, not the joined
+        # plan: probing docs.rdd here forced full physical planning of
+        # the entire candidate lineage — measured ~8 s of cold driver
+        # time at sf0.1, the q_minhash_clusters fixed-overhead floor
+        # (round-11) — while a broadcast semi join preserves base's
+        # partitioning anyway, so base's split count IS the joined
+        # side's in exactly the case the spread matters (few-split scan
+        # + small candidate set). When the ids side is instead
+        # shuffle-joined, the output is already target-partitioned and
+        # the extra keyed repartition of the (small, candidates-only)
+        # doc set is one cheap exchange.
+        sc_ = df.sparkSession.sparkContext
+        if (not df.isStreaming
+                and base.rdd.getNumPartitions() < sc_.defaultParallelism):
+            docs = docs.repartition(sc_.defaultParallelism, "__id")
+        arrs = _shingle_arrays_pre(docs, shingle_k)
     if stops is not None:
         # Jaccard over the FILTERED sets — the same exclusion the
         # signature side applied, so verify and banding agree. Explode →
@@ -1062,30 +1111,35 @@ def minhash_dedup_pairs(
             "not both"
         )
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
-    st = None
+    # One pinned shingle pass feeds the guard, the stop-list df pass,
+    # the signatures AND the verify arrays (see _staged_shingles);
+    # persist=False keeps the historical unpinned streaming passes.
+    arrs, st = _staged_shingles(df, text_col, id_col, shingle_k, persist)
     if stops is not None:
         stops = stops.select("shingle")  # caller-supplied, never cached
     elif max_df is not None:
-        # ONE pinned shingle table serves both the document-frequency
-        # pass and the signature pass — the corpus is normalized and
-        # shingled once, not once per pass (review finding, round 8)
-        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
+        # the document-frequency pass reads the shared staging; with
+        # persist=False it builds (and does not cache) its own table —
+        # the pre-staging shape (review finding, round 8)
+        if st is None:
+            st = _shingle_table(df, text_col, id_col, shingle_k)
         stops = _pin(
             shingle_stop_list(df, text_col, id_col, shingle_k, max_df,
                               table=st),
             persist,
         )
     elif guard != "off":
-        # unmitigated run: pre-flight entropy check as ONE STREAMING
-        # PASS over an UN-pinned shingle table — deliberately not
-        # cached and not shared with the signature pass. Pinning here
-        # would materialize the corpus-scale table (≈ shingle_k ×
-        # text bytes) to MEMORY_AND_DISK on every previously-lazy
-        # call, i.e. the anti-ENOSPC guard would itself create the
-        # disk-pressure failure mode it exists to prevent. The cost
-        # is one extra shingling+aggregate pass; nothing is cached.
+        # pre-flight entropy check. Unpinned (persist=False) runs keep
+        # the ONE-STREAMING-PASS shape — materializing a corpus-scale
+        # table just for the guard would create the disk-pressure
+        # failure mode it exists to prevent; pinned runs aggregate over
+        # the shared staging instead (the cache is materialized by this
+        # eager collect and then reused by the signature + verify
+        # passes, so the guard's marginal cost drops to one aggregate).
         _bg_jaccard_guard(
-            df, text_col, _shingle_table(df, text_col, id_col, shingle_k),
+            df, text_col,
+            st if st is not None
+            else _shingle_table(df, text_col, id_col, shingle_k),
             guard, guard_threshold, caller="minhash_dedup_pairs",
         )
     cands = _pin(
@@ -1097,7 +1151,7 @@ def minhash_dedup_pairs(
     )
     out = _jaccard_verified(
         df, text_col, id_col, cands, threshold, shingle_k, persist,
-        strategy=verify, stops=stops,
+        strategy=verify, stops=stops, arrs=arrs,
     )
     if output == "clusters":
         from .graph import connected_components
@@ -1231,20 +1285,31 @@ def simhash_near_dup_pairs(
     max_df = resolve_max_df(df, text_col, max_df, max_df_frac)
     st = None
     if stops is not None:
-        stops = stops.select("shingle")  # caller-supplied, never cached
+        # caller-supplied stops: the shingle table has ONE consumer
+        # (the signature sums) — staging would cache a corpus-scale
+        # table for a single read, so the signature pass stays fresh
+        stops = stops.select("shingle")  # never cached
     elif max_df is not None:
-        # one pinned shingle table for both the df pass and the
-        # signature sums (see minhash_dedup_pairs)
-        st = _pin(_shingle_table(df, text_col, id_col, shingle_k), persist)
+        # one shared shingle pass for both the df pass and the
+        # signature sums (see minhash_dedup_pairs / _staged_shingles;
+        # persist=False keeps the historical unpinned table)
+        _, st = _staged_shingles(df, text_col, id_col, shingle_k, persist)
+        if st is None:
+            st = _shingle_table(df, text_col, id_col, shingle_k)
         stops = _pin(
             shingle_stop_list(df, text_col, id_col, shingle_k, max_df,
                               table=st),
             persist,
         )
     elif guard != "off":
-        # un-pinned streaming pass — footprint rationale on minhash
+        # guard + signature sums share one staged pass when pinned;
+        # un-pinned runs keep the streaming pass — footprint rationale
+        # on minhash_dedup_pairs
+        _, st = _staged_shingles(df, text_col, id_col, shingle_k, persist)
         _bg_jaccard_guard(
-            df, text_col, _shingle_table(df, text_col, id_col, shingle_k),
+            df, text_col,
+            st if st is not None
+            else _shingle_table(df, text_col, id_col, shingle_k),
             guard, guard_threshold, caller="simhash_near_dup_pairs",
         )
     sig = simhash64(df, text_col, id_col, shingle_k, hash_family,
