@@ -160,7 +160,15 @@ def _cc_driver_union_find(collected_rows, e: DataFrame) -> DataFrame:
     # (≤2M rows) keep enough slices for parallel consumption
     from ..partitioning import local_df
 
-    return local_df(spark, rows, schema)
+    out = local_df(spark, rows, schema)
+    # the labeling was computed driver-side, so its non-representative
+    # count is already known — stash it on the frame so dedup_survivors'
+    # broadcast-size gate can skip its count() job (one fewer eager
+    # action per survivor selection; guide §1.2 step 1). Advisory only:
+    # any transformation drops the attribute and callers fall back to
+    # counting.
+    out._cc_n_drop = sum(1 for n, c in rows if n != c)
+    return out
 
 
 def dedup_survivors(
@@ -184,7 +192,13 @@ def dedup_survivors(
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    if broadcast_max_rows and drop.count() <= broadcast_max_rows:
+    # the driver union-find fast path already knows the drop-list size —
+    # reuse it instead of paying a count() job for the gate (the gate's
+    # semantics are unchanged: same number, computed on the driver)
+    n_drop = getattr(cc, "_cc_n_drop", None)
+    if broadcast_max_rows and (
+        n_drop if n_drop is not None else drop.count()
+    ) <= broadcast_max_rows:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
 
@@ -227,7 +241,14 @@ def dedup_survivors_by(
         .where(F.col("__rn") > 1)
         .select(F.col(id_col))
     )
-    if broadcast_max_rows and drop.count() <= broadcast_max_rows:
+    # row_number keeps exactly one member per component, so the drop
+    # count equals (#nodes − #components) — the same number the driver
+    # union-find fast path stashed as _cc_n_drop (node != component also
+    # holds once per non-representative member). Reuse it for the gate.
+    n_drop = getattr(cc, "_cc_n_drop", None)
+    if broadcast_max_rows and (
+        n_drop if n_drop is not None else drop.count()
+    ) <= broadcast_max_rows:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
 
