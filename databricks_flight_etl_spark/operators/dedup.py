@@ -1218,38 +1218,39 @@ def simhash64(df: DataFrame, text_col: str, id_col: str,
             stops.select(F.col("shingle").alias("__sh")), "__sh",
             "left_anti",
         )
-    sh = st
-    h = _base_hash(F.col("__sh"), hash_family)
+    # ONE base hash per shingle row, projected before the aggregate so
+    # the (md5-conv or xxhash64) expression appears once in the plan
+    # instead of once per lane term (64 copies previously).
+    sh = st.select("__id", _base_hash(F.col("__sh"), hash_family).alias("__h"))
+    # Every aggregate/packing expression is built as ONE F.expr parse
+    # instead of a py4j-built Column chain — the same plan, but the
+    # 64-term when/bitwiseOR reduce cost ~2.5 s of py4j round-trips per
+    # call at construction time (profiled r14: 11,870 socket commands,
+    # 2.0 s in the packed reduce alone — the dominant cost of a warm
+    # one-shot simhash query; minhash_signatures documents the same
+    # finding for its agg list). Arithmetic is term-for-term identical
+    # (1L literals make the int→long promotions explicit), so the
+    # signatures stay bit-identical — pinned by the existing
+    # packed-vs-unpacked and oracle certifications.
     sums = []
     for j in range(16):
-        lanes = reduce(
-            lambda acc, l: acc + F.shiftleft(
-                F.shiftright(h, j + 16 * l).bitwiseAND(F.lit(1)).cast("long"),
-                16 * l,
-            ),
-            range(1, 4),
-            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long"),
+        lanes = " + ".join(
+            f"(shiftright(__h, {j}) & 1L)" if l == 0 else
+            f"shiftleft(shiftright(__h, {j + 16 * l}) & 1L, {16 * l})"
+            for l in range(4)
         )
-        sums.append(F.sum(lanes).alias(f"s_{j}"))
+        sums.append(F.expr(f"sum({lanes}) AS s_{j}"))
     agg = sh.groupBy("__id").agg(*sums, F.count(F.lit(1)).alias("__n"))
 
-    def _bit_count(i: int) -> Column:
-        j, lane = i % 16, i // 16
-        return F.shiftright(F.col(f"s_{j}"), 16 * lane).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-
-    packed = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            # sign of 2·b_i − n: bit set when ones are at least half
-            F.when(_bit_count(i) * 2 >= F.col("__n"),
-                   F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    # sign of 2·b_i − n per bit i: bit set when ones are at least half
+    packed = " | ".join(
+        f"(CASE WHEN (shiftright(s_{i % 16}, {16 * (i // 16)}) & 65535L)"
+        f" * 2L >= __n THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(64)
     )
-    return agg.select(F.col("__id").alias(id_col), packed.alias("simhash"))
+    return agg.select(
+        F.col("__id").alias(id_col), F.expr(f"({packed}) AS simhash")
+    )
 
 
 def simhash_near_dup_pairs(

@@ -1342,14 +1342,22 @@ def project_embeddings(
         F.col(id_col),
         F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("__vd"),
     )
+    # each coordinate is ONE F.expr parse instead of a py4j-built
+    # Column chain: the literal sign array alone cost ~4 round-trips
+    # per element (dim·out_dim = 1024 lits ≈ 1 s of plan-build time at
+    # the default shape — the r14 simhash packed-reduce finding). The
+    # parsed tree is term-for-term the one the Column form built: same
+    # zip_with, same first-term-seeded left fold, same literal doubles
+    # (repr() round-trips IEEE doubles exactly).
     outs = []
     for j in range(out_dim):
-        sgn = F.array(*[F.lit(float(s)) for s in signs[j]])
-        terms = F.zip_with(sgn, F.col("__vd"), lambda s, x: s * x)
-        coord = F.aggregate(
-            F.slice(terms, 2, max(dim - 1, 0)),
-            F.element_at(terms, 1),
-            lambda acc, x: acc + x,
+        sgn = "array({})".format(
+            ",".join(f"{float(s)!r}D" for s in signs[j])
+        )
+        terms = f"zip_with({sgn}, __vd, (s, x) -> s * x)"
+        coord = F.expr(
+            f"aggregate(slice({terms}, 2, {max(dim - 1, 0)}), "
+            f"element_at({terms}, 1), (acc, x) -> acc + x)"
         )
         outs.append(F.round(coord * F.lit(scale), decimals))
     return vd.select(F.col(id_col), F.array(*outs).alias("proj"))

@@ -247,13 +247,14 @@ def bloom_build(
 
 def _bit_of(pos: Column) -> Column:
     """2^(pos mod 62) as an exact long. shiftleft's shift amount must be
-    a Python literal in the DataFrame API, so index a 62-entry literal
-    power-of-two array instead — still a narrow constant-folded
-    expression."""
+    a Python literal in the DataFrame API's typed signature, but the SQL
+    function itself takes any int expression — ``call_function`` invokes
+    it directly, replacing the former 62-entry literal power-of-two
+    array (62 × ~4 py4j round-trips per use, and a 62-element literal
+    copied into the plan once per bloom check). Same exact value:
+    shiftleft(1L, i) == 2^i for i in [0, 61]."""
     idx = (pos % _BLOOM_BITS_PER_WORD).cast("int")
-    pow2 = F.array(*[F.lit(1 << i).cast("long")
-                     for i in range(_BLOOM_BITS_PER_WORD)])
-    return F.element_at(pow2, idx + 1)
+    return F.call_function("shiftleft", F.lit(1).cast("long"), idx)
 
 
 def bloom_might_contain(
@@ -266,7 +267,13 @@ def bloom_might_contain(
     dense = [0] * n_words
     for r in bitmap.collect():
         dense[r["word"]] = r["bits"]
-    arr = F.array(*[F.lit(b).cast("long") for b in dense])
+    # ONE parsed literal instead of an n_words-element F.array of
+    # F.lit columns — the py4j-built form cost ~4 round-trips per word
+    # (n_words=4096 → ~16k socket commands of pure plan-build time;
+    # the simhash packed-reduce finding, same fix)
+    arr = F.expr(
+        "array({})".format(",".join(f"{b}L" for b in dense))
+    )
     c = F.col(col) if isinstance(col, str) else col
     checks = []
     for posc in _bloom_positions(c, n_words, k):
