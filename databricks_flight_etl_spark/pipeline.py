@@ -326,6 +326,15 @@ def run_corpus_release(
         "clean",
         F.size(text.tokens(F.col("clean"))).alias("n_tokens"),
     )
+    if textprep_kwargs.get("persist", True):
+        # FOUR consumers read this frame (the packer's two eager
+        # actions — id bounds and per-bucket sums — plus the window
+        # input and the final join-back), and its lineage holds the
+        # 6-regex PII pass: unpinned, that pass re-ran once per
+        # consumer (guide §5 — persist exactly the reused-and-expensive
+        # intermediates). Same persist knob as the funnel's own pins;
+        # at 100 TB substitute a parquet checkpoint (module docstring).
+        with_tokens = with_tokens.persist(StorageLevel.MEMORY_AND_DISK)
     packed = pack_by_token_budget(with_tokens, id_col, "n_tokens", budget)
     released = packed.join(
         with_tokens.select(F.col(id_col), "clean"), id_col
