@@ -656,22 +656,32 @@ def chi_square_independence(
         .join(F.broadcast(rb), col_b)
         .crossJoin(F.broadcast(tot))
         .select(
+            col_a,
+            col_b,
             "o",
             (F.col("ra").cast("double") * F.col("rb")
              / F.col("n")).alias("e"),
             "n",
         )
     )
+    # dof rides the stat aggregate (r15: two fewer eager count() jobs —
+    # guide §1.2 step 1, every action is a pass at scale). Every df row
+    # lands in some observed cell, so distinct col_a/col_b over ``cells``
+    # equals ra.count()/rb.count() exactly; the struct wrapper makes a
+    # NULL category count as a distinct value, matching the groupBy's
+    # null group. Cast pins dof to the certified int type (count_distinct
+    # returns long).
     stat = cells.agg(
         F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
               / F.col("e")).alias("chi2"),
         F.first("n").alias("n"),
+        F.count_distinct(F.struct(col_a)).alias("__ka"),
+        F.count_distinct(F.struct(col_b)).alias("__kb"),
     )
-    ka = ra.count()
-    kb = rb.count()
     return stat.select(
         F.round("chi2", decimals).alias("chi2"),
-        F.lit((ka - 1) * (kb - 1)).alias("dof"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1))
+        .cast("int").alias("dof"),
         F.col("n").cast("long").alias("n"),
     )
 

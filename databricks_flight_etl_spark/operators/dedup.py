@@ -1544,12 +1544,25 @@ def _hash_injective(tok_stats: DataFrame) -> bool:
     return tok_stats.where(F.col("__nt") > 1).isEmpty()
 
 
+# Injectivity verdicts keyed by the token-stats plan's semantic hash
+# (r15): repeated constructions over the SAME source plan — plan
+# audits dumping every registry query, the containment twin sharing a
+# query's tokenizer lineage, re-built pipelines in one process — reuse
+# the probe's verdict instead of re-running its job. Sources are
+# treated as immutable within a process (the same assumption _pin's
+# caching already makes); frames built from in-memory rows get a fresh
+# LogicalRDD — and so a fresh semantic hash — per creation, so tests
+# and ad-hoc frames never share stale verdicts.
+_INJECTIVITY_MEMO: dict[int, bool] = {}
+
+
 def _ordered_prefixes(
     df: DataFrame,
     set_col: str,
     id_col: str,
     threshold: float,
     persist: bool,
+    mode: str = "auto",
 ) -> tuple[DataFrame, bool]:
     """Shared PPJoin staging for set_similarity_join / containment_join:
     returns ((__id, __sorted, __prefix), hashed) where __sorted is the
@@ -1584,7 +1597,17 @@ def _ordered_prefixes(
     ``hashed`` tells callers which element type the arrays hold. The
     injectivity probe makes this function EAGER (one bounded action at
     build time) — the same bounded-driver-action budget as the graph
-    module's edge gate.
+    module's edge gate — MEMOIZED per source plan (r15, see
+    ``_INJECTIVITY_MEMO``) so repeated constructions run zero jobs.
+
+    ``mode`` (r15) picks the staging explicitly: ``'auto'`` (default)
+    probes as above; ``'strings'`` skips the probe AND the hashed
+    staging — always exact, zero construction jobs, token-string-sized
+    shuffles; ``'hashed'`` skips the probe and TRUSTS the caller that
+    the corpus vocabulary is collision-free under xxhash64 — zero
+    construction jobs, long-sized shuffles, but an actual collision
+    would merge tokens inside the verify counts, so certified callers
+    must keep ``'auto'``.
 
     Float-boundary note (audited r13, after the overlap-bound fix):
     the ceil in the prefix-length formula is SAFE, unlike the removed
@@ -1598,6 +1621,10 @@ def _ordered_prefixes(
     lossless. The removed bound failed in the opposite direction
     because its result was COMPARED AGAINST an integer count, where
     rounding up by one ulp flips the comparison."""
+    if mode not in ("auto", "hashed", "strings"):
+        raise ValueError(
+            f"mode must be 'auto', 'hashed' or 'strings', got {mode!r}"
+        )
     toks = _pin(
         df.select(
             F.col(id_col).alias("__id"),
@@ -1605,27 +1632,51 @@ def _ordered_prefixes(
         ).where(F.size("__s") > 0),
         persist,
     )
-    # ONE explode pass serves both the injectivity probe and the
-    # df-count: per-hash (document frequency, distinct-token count) —
-    # the probe is then a bounded emptiness action on the pinned
-    # aggregate the df-join reuses, not a second corpus pass (r14).
-    tok_stats = _pin(
-        toks.select(F.explode("__s").alias("__t"))
-        .groupBy(F.xxhash64("__t").alias("__h"))
-        .agg(
-            F.count(F.lit(1)).alias("__df"),
-            F.countDistinct("__t").alias("__nt"),
-        ),
-        persist,
-    )
-    hashed = _hash_injective(tok_stats)
     tok = F.explode("__s").alias("__t")
+    if mode == "strings":
+        # probe-free exact path: the string total order needs no
+        # injectivity evidence, so construction runs ZERO Spark jobs
+        hashed = False
+        tok_stats = None
+    else:
+        # ONE explode pass serves both the injectivity probe and the
+        # df-count: per-hash (document frequency, distinct-token count)
+        # — the probe is then a bounded emptiness action on the pinned
+        # aggregate the df-join reuses, not a second corpus pass (r14).
+        # Pinned UNCONDITIONALLY (r15): the table is VOCABULARY-bounded
+        # — two longs per distinct token, never corpus-scale — and in
+        # the persist=False flow the probe plus the df-count consumer
+        # would otherwise each replay the full tokenizer lineage (the
+        # r14 advice finding).
+        tok_stats = _pin(
+            toks.select(tok)
+            .groupBy(F.xxhash64("__t").alias("__h"))
+            .agg(
+                F.count(F.lit(1)).alias("__df"),
+                F.countDistinct("__t").alias("__nt"),
+            ),
+            True,
+        )
+        if mode == "hashed":
+            # caller-asserted injectivity: zero construction jobs, but
+            # a real 64-bit collision would MERGE tokens in the verify
+            # counts — exactness is the caller's claim, not checked
+            hashed = True
+        else:
+            memo_key = (
+                tok_stats._jdf.queryExecution().analyzed().semanticHash()
+            )
+            hashed = _INJECTIVITY_MEMO.get(memo_key)
+            if hashed is None:
+                hashed = _hash_injective(tok_stats)
+                _INJECTIVITY_MEMO[memo_key] = hashed
     t = F.xxhash64("__t") if hashed else F.col("__t")
     if hashed:
         tok_df = tok_stats.select(F.col("__h").alias("__t"), "__df")
     else:
-        # collision fallback: recompute document frequency on the raw
-        # token strings (the hashed table just merged ≥2 tokens)
+        # collision fallback (and the 'strings' path): document
+        # frequency on the raw token strings (a collided hashed table
+        # would have merged ≥2 tokens)
         tok_df = (
             toks.select(tok)
             .groupBy("__t")
@@ -1662,6 +1713,7 @@ def set_similarity_join(
     id_col: str,
     threshold: float = 0.6,
     persist: bool = True,
+    mode: str = "auto",
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join over token SETS via prefix
     filtering (PPJoin family, Xiao et al. WWW'08): provably LOSSLESS,
@@ -1686,10 +1738,17 @@ def set_similarity_join(
     distribution's heavy tail (natural text). On a degenerate tiny-
     vocabulary corpus where most pairs genuinely exceed the threshold,
     the TRUE answer is O(n²) pairs and no exact algorithm beats
-    that — cap the input or raise the threshold there."""
+    that — cap the input or raise the threshold there.
+
+    ``mode``: staging selection — 'auto' (probed hashed staging,
+    exact), 'strings' (probe-free, exact, zero construction jobs) or
+    'hashed' (probe-free, trusts xxhash64 injectivity on this corpus);
+    see :func:`_ordered_prefixes`."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    pref, hashed = _ordered_prefixes(df, set_col, id_col, threshold, persist)
+    pref, hashed = _ordered_prefixes(
+        df, set_col, id_col, threshold, persist, mode
+    )
     # candidates meet on BARE IDS + two ints (set size, prefix token
     # position): dedupe (id_a, id_b) while the rows are narrow, then
     # re-join the pinned per-doc arrays for the verify — shuffling the
@@ -1811,6 +1870,7 @@ def containment_join(
     id_col: str,
     threshold: float = 0.9,
     persist: bool = True,
+    mode: str = "auto",
 ) -> DataFrame:
     """ASYMMETRIC near-subset detection: pairs where
     |A∩B| / |A| ≥ threshold — A's content is (almost) contained in B.
@@ -1824,7 +1884,8 @@ def containment_join(
     candidates meet in an equi-join between A-prefix tokens and B's
     full token index. Exact verify within candidates. Lossless — the
     oracle is the brute-force scan. Output: (id_a, id_b, containment)
-    for a ≠ b, both directions reported independently."""
+    for a ≠ b, both directions reported independently. ``mode`` as in
+    :func:`set_similarity_join`."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # NOTE: containment's prefix bound is one-sided (|A∩B| >= ⌈t·|A|⌉,
@@ -1835,7 +1896,9 @@ def containment_join(
     # equi-join and the intersect/size verify below are exact on
     # either element type — containment's counts, like Jaccard's,
     # depend only on token identity.
-    pref, _ = _ordered_prefixes(df, set_col, id_col, threshold, persist)
+    pref, _ = _ordered_prefixes(
+        df, set_col, id_col, threshold, persist, mode
+    )
     # same narrow-dedupe-then-fetch shape as set_similarity_join:
     # pair ids meet and dedupe as two longs, arrays re-attach after
     a = pref.select(

@@ -404,18 +404,25 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
-    ).localCheckpoint(eager=False)  # re-joined every round
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    )
+    # out_deg is STATIC across rounds — attach it to the node base once
+    # and carry it through each round's checkpointed rank frame, instead
+    # of re-joining ranks⋈out_deg every round (r15: one fewer join +
+    # broadcast build per round; guide §2.4 — two operations keyed the
+    # same way share one distribution). Integer data, so the lazy
+    # checkpoint's consumer race is value-safe (same argument as nodes).
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=False)
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        with_deg = ranks.join(out_deg, "node", "left")
         # dangling mass stays a broadcast one-row frame — no driver
-        # collect per round; the only action is the lineage checkpoint
-        dangling = with_deg.where(F.col("out_deg").isNull()).agg(
+        # collect per round; same rank doubles summed as the with_deg
+        # form (the out_deg-null rows of the SAME rank frame)
+        dangling = ranks.where(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
         )
         contribs = (
             edges.join(
-                with_deg.where(F.col("out_deg").isNotNull()).select(
+                ranks.where(F.col("out_deg").isNotNull()).select(
                     F.col("node").alias(src),
                     (F.col("rank") / F.col("out_deg")).alias("__c"),
                 ),
@@ -425,10 +432,11 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            base.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "out_deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -448,8 +456,8 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     if decimals is not None:
-        ranks = ranks.select("node", F.round("rank", decimals).alias("rank"))
-    return ranks
+        return ranks.select("node", F.round("rank", decimals).alias("rank"))
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(

@@ -12,15 +12,68 @@ already arrive pre-split.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = ["spread", "local_df"]
 
 
+def _file_leaf_stats(df: DataFrame) -> tuple[int, int]:
+    """(total bytes, file count) of the file-source leaves of the
+    ANALYZED logical plan. Driver-side py4j tree walk — measured
+    13–36 ms from scan-only through funnel-depth plans; no
+    optimization, no physical planning, no jobs. Unions/joins sum their
+    branches (each branch plans its own scan, so double-reads count
+    double — correct for a parallelism estimate). Subquery expressions
+    are not descended into: they do not govern this frame's
+    partitioning. ``(0, 0)`` when the plan has no file leaves
+    (LocalRelation / LogicalRDD / Range sources)."""
+    total = 0
+    n_files = 0
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        children = node.children()
+        n = children.size()
+        if n == 0 and node.nodeName() == "LogicalRelation":
+            rel = node.relation()
+            total += rel.sizeInBytes()
+            n_files += len(rel.location().inputFiles())
+        for i in range(n):
+            stack.append(children.apply(i))
+    return total, n_files
+
+
+def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
+    """Estimate the plan's source parallelism with Spark's own file-
+    split formula (FilePartition.maxSplitBytes): pad each file with
+    ``openCostInBytes``, cap splits at ``maxPartitionBytes``, floor the
+    per-core share at the open cost. Returns None when the plan has no
+    file leaves (caller falls back to the exact probe)."""
+    total, n_files = _file_leaf_stats(df)
+    if n_files == 0:
+        return None
+    jvm = df.sparkSession._jvm
+    conf = df.sparkSession.conf
+
+    def _bytes(key: str, default: str) -> int:
+        return jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            conf.get(key, default)
+        )
+
+    max_part = _bytes("spark.sql.files.maxPartitionBytes", "128m")
+    open_cost = _bytes("spark.sql.files.openCostInBytes", "4m")
+    padded = total + n_files * open_cost
+    bytes_per_core = padded // max(1, target)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return max(1, math.ceil(padded / max(1, max_split)))
+
+
 def spread(df: DataFrame, *keys: Column | str) -> DataFrame:
-    """Raise map-side parallelism when (and only when) the plan's scan
-    is narrower than ``sparkContext.defaultParallelism``.
+    """Raise map-side parallelism when (and only when) the plan's
+    source arrives narrower than ``sparkContext.defaultParallelism``.
 
     With ``keys``, hash-repartitions on them — downstream groupBy /
     join on the same keys then reuses the distribution and the plan
@@ -29,10 +82,22 @@ def spread(df: DataFrame, *keys: Column | str) -> DataFrame:
     right for purely per-row work (ANN scoring, quality metrics) where
     balance matters and no downstream key exists.
 
-    The partition probe (``df.rdd.getNumPartitions()``) is driver-side
-    plan inspection only; no job runs. Measured on the 32-core local
-    harness: 2.3–3.7× on the dedup signature suite, which previously
-    ran its whole map side on one core.
+    The narrowness decision comes from the file-leaf size estimate
+    (:func:`_estimated_scan_splits`), NOT from probing the physical
+    plan (r15). The previous probe — ``df.rdd.getNumPartitions()`` —
+    was billed as plan inspection, but under AQE converting a plan with
+    exchanges to an RDD **executes its query stages**: measured 3.97 s
+    cold (real jobs) on the textprep funnel's post-exact-dedup lineage,
+    ~0.1 s of physical planning even on scan-only plans, per call. The
+    size walk costs 13–36 ms, runs zero jobs, and makes the same
+    decision: small local inputs (single-row-group files, the case the
+    repartition exists for) estimate far below any core count, and
+    production-sized inputs estimate at or above ``defaultParallelism``
+    by Spark's own split formula, keeping spread a no-op there.
+    Measured on the 32-core local harness: 2.3–3.7× on the dedup
+    signature suite, which previously ran its whole map side on one
+    core. Plans with no file leaves (driver-local frames) keep the
+    exact probe — those lineages are cheap to plan by construction.
     """
     if df.isStreaming:
         # no .rdd on a streaming plan; micro-batch parallelism is the
@@ -40,7 +105,10 @@ def spread(df: DataFrame, *keys: Column | str) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    est = _estimated_scan_splits(df, target)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= target:
         return df
     if keys:
         return df.repartition(target, *keys)

@@ -1769,11 +1769,15 @@ def test_set_similarity_string_fallback_identical(spark, monkeypatch):
 
     def run_both(fn, *args):
         hashed = {tuple(r) for r in fn(df, "s", "id", *args).collect()}
+        # the r15 memo caches the probe's verdict per source plan —
+        # clear it so the forced-collision hook is actually consulted
+        dedup._INJECTIVITY_MEMO.clear()
         monkeypatch.setattr(dedup, "_hash_injective", lambda toks: False)
         try:
             fell_back = {tuple(r) for r in fn(df, "s", "id", *args).collect()}
         finally:
             monkeypatch.undo()
+            dedup._INJECTIVITY_MEMO.clear()
         return hashed, fell_back
 
     h, s = run_both(dedup.set_similarity_join, 0.6)
@@ -1781,6 +1785,7 @@ def test_set_similarity_string_fallback_identical(spark, monkeypatch):
     h, s = run_both(dedup.containment_join, 0.8)
     assert h == s and h
     # the fallback staging really does hold strings
+    dedup._INJECTIVITY_MEMO.clear()
     monkeypatch.setattr(dedup, "_hash_injective", lambda toks: False)
     pref, hashed = dedup._ordered_prefixes(df, "s", "id", 0.6, False)
     assert not hashed
